@@ -1,0 +1,74 @@
+"""MinHash + LSH near-duplicate candidate pairs (sub-quadratic path).
+
+Shingle → hash token sets into a sparse vector → MinHashLSH banding →
+bucket self-join. Uses pyspark.ml.feature.MinHashLSH, whose
+approxSimilarityJoin only compares documents that collide in at least
+one LSH band — the 100 TB-scale alternative to exact Jaccard's
+inverted-index join (dedup.jaccard).
+
+Hash functions are seeded, so results are deterministic for a given
+Spark version, but not reproducible in an external SQL engine →
+checked rows-only by the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+
+
+def shingles_expr(col, n: int = 3):
+    """Word n-gram shingles from the token array (higher-order exprs;
+    n=1 degenerates to the token set)."""
+    toks = tokens_expr(col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 1,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.3,
+    vocab_size: int = 1 << 18,
+) -> DataFrame:
+    """Candidate near-dup pairs with estimated Jaccard distance <= cutoff.
+
+    Output: doc_a, doc_b, jaccard_dist. Pairs are deduped (doc_a < doc_b).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cv = CountVectorizer(
+        inputCol="sh", outputCol="features", vocabSize=vocab_size, binary=True
+    )
+    model = cv.fit(shingled)
+    vecs = model.transform(shingled)
+    # MinHashLSH requires at least one non-zero entry per vector.
+    vecs = vecs.filter(F.col("sh").isNotNull())
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    lsh_model = lsh.fit(vecs)
+    pairs = lsh_model.approxSimilarityJoin(
+        vecs, vecs, max_jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

@@ -1,0 +1,106 @@
+"""Join operators (SURVEY.md §2.6).
+
+The reference's joins are all inner equi-joins: a 3-column composite
+key join of results ⋈ per-game event aggregates
+(reference code/experiment.py:372-379) and a home/away self-join to
+build matchups (code/experiment.py:502-541). We add semi/anti forms
+(the reference's pandas ``isin`` subsampling, create_subsample.py:72)
+and a broadcast-aware star join.
+
+Scale notes: big⋈big equi joins shuffle both sides on the key —
+unavoidable but AQE handles skew; big⋈small must BROADCAST the small
+side (dims here are region/nation/supplier-sized). A self-join on the
+same key is one shuffle, not two, because both sides share the
+exchange (Catalyst ReusedExchange).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_equi(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Multi-column equi-join on same-named keys — the reference's
+    3-key join (code/experiment.py:372-379) generalized. Joining with
+    a key-name list (not a boolean expr) keeps ONE copy of each key
+    column in the output, avoiding the duplicate-name re-projection
+    dance the reference needs (381-397)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, list(keys), how)
+
+
+def join_self_matchup(
+    df: DataFrame,
+    keys: Sequence[str],
+    split_col: str,
+    left_value: object,
+    right_value: object,
+    left_prefix: str = "home_",
+    right_prefix: str = "away_",
+) -> DataFrame:
+    """Self-join rows where split_col == left_value to rows of the same
+    keys where split_col == right_value — the reference's home⋈away
+    matchup builder (code/experiment.py:502-541), one output row per
+    key group.
+
+    All non-key columns are re-projected with side prefixes, resolving
+    the self-join ambiguity the reference handles with a 31-line
+    aliased select.
+    """
+    value_cols = [c for c in df.columns if c not in keys and c != split_col]
+    left = df.filter(F.col(split_col) == F.lit(left_value)).select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in value_cols],
+    )
+    right = df.filter(F.col(split_col) == F.lit(right_value)).select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in value_cols],
+    )
+    return left.join(right, list(keys), "inner")
+
+
+def semi_join_keys(df: DataFrame, keys_df: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Filter df to rows whose key appears in keys_df — the distributed
+    form of the reference's ``isin(sampled_games)``
+    (create_subsample.py:72, 86). left_semi never widens the row and
+    never duplicates on multi-matches."""
+    return df.join(keys_df, list(on), "left_semi")
+
+
+def anti_join_keys(df: DataFrame, keys_df: DataFrame, on: Sequence[str]) -> DataFrame:
+    """NOT EXISTS complement of semi_join_keys (capability extension)."""
+    return df.join(keys_df, list(on), "left_anti")
+
+
+def join_star(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Sequence[str]]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Fact table joined to a chain of dimension tables, each broadcast.
+
+    At 100 TB the fact side streams through all dim hash maps in one
+    stage with zero shuffles — verify with .explain(): every join
+    should be BroadcastHashJoin.
+    """
+    out = fact
+    for dim, keys in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, list(keys), "inner")
+    return out
+
+
+def join_expr(
+    left: DataFrame, right: DataFrame, cond: Column, how: str = "inner"
+) -> DataFrame:
+    """General boolean-expression join for non-same-named keys."""
+    return left.join(right, cond, how)

@@ -1,0 +1,72 @@
+"""Sampling, splits, and top-k (SURVEY.md §2.8, §2.10).
+
+The reference samples 20% of GAMES (keys, not rows) with numpy seed
+42 and filters both tables to the sampled keys
+(create_subsample.py:54-72); splits train/test temporally on max
+season (code/experiment.py:564-567) with a seeded randomSplit
+fallback (570-572); and takes a driver-side top-10 (45-52).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.operators.aggregates import (
+    agg_global_max,
+    collect_scalar,
+)
+from bigdatafinalproject_hockey_spark.operators.joins import semi_join_keys
+
+
+def sample_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Key-consistent random sample: sample the DISTINCT keys, then
+    semi-join rows to the sampled keys — every row of a sampled key is
+    kept together (reference create_subsample.py:54-72). Row-level
+    df.sample would tear key groups apart."""
+    keys = df.select(*key_cols).distinct().sample(False, fraction, seed)
+    return semi_join_keys(df, keys, key_cols)
+
+
+def sample_by_key_mod(
+    df: DataFrame, key_col: str, modulus: int, keep_residue: int = 0
+) -> DataFrame:
+    """Deterministic engine-agnostic key sample: keep keys where
+    key % modulus == r. Same key-consistency property as
+    sample_by_key but reproducible across engines (used by the
+    DuckDB-oracle checks, where Spark's sample RNG can't be mirrored)."""
+    return df.filter(F.pmod(F.col(key_col), F.lit(modulus)) == F.lit(keep_residue))
+
+
+def split_temporal(
+    df: DataFrame, time_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train = strictly before the max period, test = the max period —
+    the reference's leakage-free split (code/experiment.py:564-567).
+    One collect of one scalar; both halves stay lazy."""
+    max_val = collect_scalar(agg_global_max(df, time_col))
+    train = df.filter(F.col(time_col) < F.lit(max_val))
+    test = df.filter(F.col(time_col) == F.lit(max_val))
+    return train, test
+
+
+def split_random(
+    df: DataFrame, weights: Sequence[float] = (0.8, 0.2), seed: int = 42
+) -> list[DataFrame]:
+    """Seeded random split fallback (reference code/experiment.py:570-572)."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def topk(df: DataFrame, order_by: Sequence[Column], k: int = 10) -> DataFrame:
+    """Global top-K, distributed: Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition heaps + driver merge of K
+    rows) — the scalable form of the reference's driver-side python
+    sort (code/experiment.py:45-52). order_by must break ties."""
+    return df.orderBy(*order_by).limit(k)

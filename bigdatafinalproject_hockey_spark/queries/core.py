@@ -1,0 +1,922 @@
+"""Core relational queries — one per operator in SURVEY.md §2.1-§2.11.
+
+Each query runs on the driver's synthetic tables (TESTDATA.md) and has
+a DuckDB oracle with identical column names/semantics. Floating-point
+discipline (see functions.numeric): money sums are fixed-point-exact;
+averages and window aggregates are rounded to 6 decimals on BOTH
+sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.functions.numeric import (
+    cents_expr,
+    fixed_point_sum,
+    fixed_point_sum_sql,
+)
+from bigdatafinalproject_hockey_spark.operators import (
+    aggregates as agg_ops,
+    joins as join_ops,
+    lookup as lookup_ops,
+    sampling as sample_ops,
+    scalar as scalar_ops,
+    setops,
+    strings as string_ops,
+    windows as win_ops,
+)
+from bigdatafinalproject_hockey_spark.queries.base import register
+
+# ---------------------------------------------------------------------------
+# §2.2 scalar transforms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rename_col",
+    oracle="""
+    SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q_rename_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename incl. projection (reference code/experiment.py:286-288)."""
+    df = load_table(spark, "customer", sf_dir)
+    df = scalar_ops.rename_cols(
+        df, {"c_custkey": "cust_key", "c_name": "cust_name", "c_mktsegment": "segment"}
+    )
+    return df.select("cust_key", "cust_name", "segment")
+
+
+@register(
+    "cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS INTEGER) AS qty_int,
+           CAST(l_linenumber AS BIGINT) AS line_long,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_trunc
+    FROM lineitem
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int/long/double casts (reference code/experiment.py:290-297, 328-338).
+    Note: Spark double→long cast truncates toward zero; the oracle
+    spells FLOOR explicitly (values are positive so they agree)."""
+    df = load_table(spark, "lineitem", sf_dir)
+    df = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty_int"),
+        F.col("l_linenumber").alias("line_long"),
+        F.col("l_extendedprice").alias("price_trunc"),
+    )
+    return scalar_ops.cast_types(
+        df, {"qty_int": "int", "line_long": "long", "price_trunc": "long"}
+    )
+
+
+@register(
+    "parse_date",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%-m/%-d/%Y') AS raw_date,
+           CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE)
+               AS order_date
+    FROM orders
+    """,
+)
+def q_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String → date with single-digit M/d/yyyy pattern — the
+    reference's date format (code/experiment.py:298, e.g. '1/25/2011').
+    Round-trips through a formatted string to prove the parse."""
+    df = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", F.date_format("o_orderdate", "M/d/yyyy").alias("raw_date")
+    )
+    return scalar_ops.parse_date(df, "raw_date", "M/d/yyyy", out="order_date")
+
+
+@register(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_orderkey >= 1000
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive >= filters (reference code/experiment.py:301-302, 341-342).
+    Both predicates reach the parquet scan as PushedFilters."""
+    df = load_table(spark, "lineitem", sf_dir)
+    df = scalar_ops.filter_range(df, {"l_quantity": 30.0, "l_orderkey": 1000})
+    return df.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "filter_eq",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter (reference code/experiment.py:502-503, 566-567)."""
+    df = load_table(spark, "orders", sf_dir)
+    return scalar_ops.filter_eq(df, "o_orderstatus", "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "filter_notnull",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'R') AS flag_or_null
+    FROM lineitem
+    WHERE NULLIF(l_returnflag, 'R') IS NOT NULL
+    """,
+)
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key row drop (reference code/experiment.py:401-402). The
+    synthetic tables are null-free, so nulls are derived via NULLIF
+    first — same shape as the reference's join-key guard."""
+    df = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag_or_null"),
+    )
+    return scalar_ops.filter_notnull(df, ["flag_or_null"])
+
+
+@register(
+    "drop_nulls_any",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'A') AS maybe_flag,
+           NULLIF(l_linestatus, 'F') AS maybe_status
+    FROM lineitem
+    WHERE NULLIF(l_returnflag, 'A') IS NOT NULL
+      AND NULLIF(l_linestatus, 'F') IS NOT NULL
+    """,
+)
+def q_drop_nulls_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna(how='any') (reference code/experiment.py:555)."""
+    df = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("A")).alias("maybe_flag"),
+        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("maybe_status"),
+    )
+    return scalar_ops.drop_nulls_any(df)
+
+
+@register(
+    "filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 25
+    """,
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean predicate (reference code/experiment.py:645-656)."""
+    df = load_table(spark, "lineitem", sf_dir)
+    df = scalar_ops.filter_compound(
+        df, F.col("l_returnflag") == "A", F.col("l_quantity") >= 25
+    )
+    return df.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+@register(
+    "project_alias",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           l_partkey AS part_key,
+           l_quantity AS qty,
+           l_extendedprice AS base_price,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def q_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aliased re-projection (reference code/experiment.py:381-397).
+    Per-row double arithmetic is bit-deterministic — no rounding needed."""
+    df = load_table(spark, "lineitem", sf_dir)
+    return scalar_ops.project_alias(
+        df,
+        {
+            "order_key": "l_orderkey",
+            "part_key": "l_partkey",
+            "qty": "l_quantity",
+            "base_price": "l_extendedprice",
+            "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        },
+    )
+
+
+@register(
+    "derive_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_extendedprice - l_quantity AS price_qty_diff
+    FROM lineitem
+    """,
+)
+def q_derive_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived arithmetic columns (the reference's differential
+    features, code/experiment.py:544-552)."""
+    df = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_tax", "l_quantity",
+    )
+    df = scalar_ops.derive_arith(
+        df,
+        {
+            "revenue": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "charge": F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            "price_qty_diff": F.col("l_extendedprice") - F.col("l_quantity"),
+        },
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber", "revenue", "charge", "price_qty_diff"
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label binarization (reference code/experiment.py:628-633)."""
+    df = load_table(spark, "orders", sf_dir)
+    df = scalar_ops.case_when(df, "label", F.col("o_orderstatus") == "F", 1.0, 0.0)
+    return df.select("o_orderkey", "label")
+
+
+@register(
+    "fill_default",
+    oracle="""
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'UNKNOWN') AS type_filled,
+           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0)
+               AS value_filled
+    FROM events
+    """,
+)
+def q_fill_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column literal defaults via coalesce
+    (reference code/experiment.py:476-494)."""
+    df = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_filled"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+    )
+    return scalar_ops.fill_default(df, {"type_filled": "UNKNOWN", "value_filled": -1.0})
+
+
+# ---------------------------------------------------------------------------
+# §2.3 strings + §2.4 map lookup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_normalize_ws",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace('  ' || text || '   ', '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_str_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace collapse + trim (reference code/experiment.py:305-307).
+    Padding is injected so the op provably changes something."""
+    df = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("norm_text")
+    )
+    return string_ops.str_normalize_ws(df, "norm_text")
+
+
+@register(
+    "str_strip_charset",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(upper(c_name), '[^A-Z]', '', 'g') AS name_code
+    FROM customer
+    """,
+)
+def q_str_strip_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uppercase + strip non-[A-Z] — the reference's fallback team-code
+    rule (code/experiment.py:311-316)."""
+    df = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", F.col("c_name").alias("name_code")
+    )
+    return string_ops.str_strip_charset(df, "name_code")
+
+
+REGION_CODES = {
+    "AFRICA": "AF",
+    "AMERICA": "AM",
+    "ASIA": "AS",
+    "EUROPE": "EU",
+    # MIDDLE EAST deliberately unmapped → NULL (tests the miss path,
+    # like the reference's unmapped team names).
+}
+
+
+@register(
+    "map_literal_lookup",
+    oracle="""
+    SELECT r_regionkey, r_name,
+           CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                       WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+           END AS region_code
+    FROM region
+    """,
+)
+def q_map_literal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal create_map lookup, miss → NULL
+    (reference code/experiment.py:58-246, 272-274, 308-310)."""
+    df = load_table(spark, "region", sf_dir)
+    return lookup_ops.map_literal_lookup(df, "r_name", REGION_CODES, "region_code")
+
+
+@register(
+    "lookup_with_fallback",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           COALESCE(
+             CASE n_name WHEN 'NATION_0' THEN 'ZZZ' WHEN 'NATION_7' THEN 'QQQ' END,
+             substr(regexp_replace(upper(n_name), '[^A-Z0-9]', '', 'g'), 1, 6)
+           ) AS nation_code
+    FROM nation
+    """,
+)
+def q_lookup_with_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map hit with regex fallback for misses
+    (reference code/experiment.py:311-316, 351-356)."""
+    df = load_table(spark, "nation", sf_dir)
+    fallback = F.substring(
+        F.regexp_replace(F.upper(F.col("n_name")), "[^A-Z0-9]", ""), 1, 6
+    )
+    return lookup_ops.lookup_with_fallback(
+        df, "n_name", {"NATION_0": "ZZZ", "NATION_7": "QQQ"}, fallback, "nation_code"
+    ).select("n_nationkey", "n_name", "nation_code")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {fixed_point_sum_sql("l_extendedprice", 100)} AS sum_base_price,
+           {fixed_point_sum_sql("l_extendedprice * (1 - l_discount)", 10000)}
+               AS sum_disc_price,
+           {fixed_point_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000)}
+               AS sum_charge,
+           SUM(l_quantity) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           ({fixed_point_sum_sql("l_extendedprice", 100)})
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           ({fixed_point_sum_sql("l_discount", 100)})
+               / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure grouped aggregate — the reference's per-game event
+    rollup (code/experiment.py:359-366), in TPC-H Q1 shape.
+
+    All measures are order-independent: sum_qty exact (integral
+    doubles), money sums fixed-point, averages = exact sum / count —
+    bit-stable under any partitioning and in the oracle.
+    """
+    df = load_table(spark, "lineitem", sf_dir)
+    df = df.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return agg_ops.agg_group_multi(
+        df,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum("l_quantity"),
+            "sum_base_price": fixed_point_sum(F.col("l_extendedprice"), 100),
+            "sum_disc_price": fixed_point_sum(disc_price, 10000),
+            "sum_charge": fixed_point_sum(charge, 1000000),
+            "avg_qty": F.sum("l_quantity") / n.cast("double"),
+            "avg_price": fixed_point_sum(F.col("l_extendedprice"), 100)
+            / n.cast("double"),
+            "avg_disc": fixed_point_sum(F.col("l_discount"), 100) / n.cast("double"),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "agg_global_max",
+    oracle="""
+    SELECT MAX(o_orderdate) AS max_orderdate, MAX(o_totalprice) AS max_total
+    FROM orders
+    """,
+)
+def q_agg_global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped max (reference code/experiment.py:564)."""
+    df = load_table(spark, "orders", sf_dir)
+    return df.agg(
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.max("o_totalprice").alias("max_total"),
+    )
+
+
+@register(
+    "agg_count_group",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().count().orderBy() — the reference's confusion-matrix
+    display (code/experiment.py:678-680)."""
+    df = load_table(spark, "events", sf_dir)
+    return agg_ops.agg_count_group(df, ["event_type"], out="n")
+
+
+@register(
+    "agg_count_filter",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'F'  AND o_totalprice >= 100000) AS n_f_high,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F'  AND o_totalprice <  100000) AS n_f_low,
+           COUNT(*) FILTER (WHERE o_orderstatus <> 'F' AND o_totalprice >= 100000) AS n_o_high,
+           COUNT(*) FILTER (WHERE o_orderstatus <> 'F' AND o_totalprice <  100000) AS n_o_low
+    FROM orders
+    """,
+)
+def q_agg_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix-style cell counts in ONE job — replaces the
+    reference's 4 separate filter().count() actions
+    (code/experiment.py:645-656; SURVEY.md §3.3)."""
+    df = load_table(spark, "orders", sf_dir)
+    f = F.col("o_orderstatus") == "F"
+    high = F.col("o_totalprice") >= 100000
+    return agg_ops.agg_count_filter(
+        df,
+        {
+            "n_f_high": f & high,
+            "n_f_low": f & ~high,
+            "n_o_high": ~f & high,
+            "n_o_low": ~f & ~high,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_equi_3key",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+           g.group_qty, g.group_rev
+    FROM lineitem l
+    JOIN (
+      SELECT l_orderkey, l_partkey, l_suppkey,
+             SUM(l_quantity) AS group_qty,
+             COUNT(*) AS group_rev
+      FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey
+    ) g USING (l_orderkey, l_partkey, l_suppkey)
+    """,
+)
+def q_join_equi_3key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-column composite-key inner equi-join — the reference's
+    results ⋈ event-aggregates join (code/experiment.py:372-379):
+    detail rows joined back to their 3-key group aggregates."""
+    li = load_table(spark, "lineitem", sf_dir)
+    keys = ["l_orderkey", "l_partkey", "l_suppkey"]
+    grouped = agg_ops.agg_group_multi(
+        li,
+        keys,
+        {"group_qty": F.sum("l_quantity"), "group_rev": F.count(F.lit(1))},
+    )
+    joined = join_ops.join_equi(li, grouped, keys)
+    return joined.select(*keys, "l_linenumber", "group_qty", "group_rev")
+
+
+@register(
+    "join_star",
+    oracle=f"""
+    SELECT n_name,
+           {fixed_point_sum_sql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+    GROUP BY n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: big fact ⋈ broadcast dims, local-
+    supplier condition, grouped revenue. Dim tables are explicitly
+    broadcast — at 100 TB the lineitem side never shuffles for them."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.year("o_orderdate") == 1996
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return agg_ops.agg_group_multi(
+        joined,
+        ["n_name"],
+        {
+            "revenue": fixed_point_sum(disc_price, 10000),
+            "n_items": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "join_self_matchup",
+    oracle="""
+    SELECT a.l_orderkey,
+           a.l_quantity AS side1_l_quantity,
+           a.l_extendedprice AS side1_l_extendedprice,
+           b.l_quantity AS side2_l_quantity,
+           b.l_extendedprice AS side2_l_extendedprice,
+           a.l_quantity - b.l_quantity AS qty_diff
+    FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) a
+    JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) b
+      USING (l_orderkey)
+    """,
+)
+def q_join_self_matchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join of a table split on an indicator column — the
+    reference's home ⋈ away matchup builder
+    (code/experiment.py:502-541), with the differential feature."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    matched = join_ops.join_self_matchup(
+        li,
+        keys=["l_orderkey"],
+        split_col="l_linenumber",
+        left_value=1,
+        right_value=2,
+        left_prefix="side1_",
+        right_prefix="side2_",
+    )
+    return scalar_ops.derive_arith(
+        matched,
+        {"qty_diff": F.col("side1_l_quantity") - F.col("side2_l_quantity")},
+    )
+
+
+@register(
+    "semi_join_isin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_semi_join_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set filter as a left-semi join — the distributed form of the
+    reference's isin(sampled_games) (create_subsample.py:72, 86)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    keys = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return join_ops.semi_join_keys(li, keys, ["l_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS complement (capability extension of §2.6)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    keys = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return join_ops.anti_join_keys(li, keys, ["l_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS row_num
+    FROM events
+    """,
+)
+def q_win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence number per (user) ordered by (ts, unique id) — the
+    reference's game number (code/experiment.py:423-429)."""
+    df = load_table(spark, "events", sf_dir)
+    df = win_ops.win_row_number(df, ["user_id"], ["ts", "event_id"], out="row_num")
+    return df.select("user_id", "event_id", "row_num")
+
+
+@register(
+    "win_expanding_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) / 100.0 AS prior_avg_value,
+           COALESCE(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) / 100.0, 0.0) AS prior_avg_filled
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q_win_expanding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: leakage-free expanding average over all PRIOR rows
+    (frame unboundedPreceding..-1), NULL on first row, then defaulted —
+    the reference's season-to-date features
+    (code/experiment.py:416-458, 476-494).
+
+    The average is computed as (exact int64 cents sum over the frame)
+    / count / 100 — order-independent, so the value is bit-identical
+    under any partitioning (and in the oracle)."""
+    df = load_table(spark, "events", sf_dir)
+    df = win_ops.win_expanding(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures={
+            "prior_cents": F.sum(cents_expr(F.col("value"))),
+            "prior_n": F.count("value"),
+        },
+    )
+    avg = (
+        F.col("prior_cents").cast("double") / F.col("prior_n").cast("double") / 100.0
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        avg.alias("prior_avg_value"),
+        F.coalesce(avg, F.lit(0.0)).alias("prior_avg_filled"),
+    )
+
+
+@register(
+    "win_sliding_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) / 100.0 AS last5_avg_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+               AS last5_sum_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q_win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-5 sliding window EXCLUDING current row (frame -5..-1) —
+    the reference's recent-form features (code/experiment.py:461-472).
+    Fixed-point cents sums for cross-engine bit-determinism."""
+    df = load_table(spark, "events", sf_dir)
+    df = win_ops.win_sliding(
+        df,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures={
+            "last5_cents": F.sum(cents_expr(F.col("value"))),
+            "last5_n": F.count("value"),
+        },
+        lookback=5,
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("last5_cents").cast("double")
+            / F.col("last5_n").cast("double")
+            / 100.0
+        ).alias("last5_avg_value"),
+        (F.col("last5_cents").cast("double") / 100.0).alias("last5_sum_value"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+               AS running_value
+    FROM events
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive running total (window-family extension), fixed-point."""
+    df = load_table(spark, "events", sf_dir).withColumn(
+        "value_cents", cents_expr(F.col("value"))
+    )
+    df = win_ops.win_running_sum(
+        df, ["user_id"], ["ts", "event_id"], "value_cents", out="running_cents"
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        (F.col("running_cents").cast("double") / 100.0).alias("running_value"),
+    )
+
+
+@register(
+    "win_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+    FROM events
+    """,
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous-row value (window-family extension; exact, no rounding
+    — lag moves a value without arithmetic)."""
+    df = load_table(spark, "events", sf_dir)
+    df = win_ops.win_lag(df, ["user_id"], ["ts", "event_id"], "value")
+    return df.select("user_id", "event_id", "prev_value")
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, value, rnk FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window — the distributed form of the
+    reference's driver-side top-10 (code/experiment.py:45-52)."""
+    df = load_table(spark, "events", sf_dir)
+    df = win_ops.topk_per_group(
+        df, ["user_id"], [F.col("value").desc(), F.col("event_id")], k=3
+    )
+    return df.select("user_id", "event_id", "value", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 sort/limit, §2.9 set ops, §2.10 sampling/splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 with deterministic tiebreak — plans as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    df = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    return sample_ops.topk(df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, 'high' AS bucket
+    FROM lineitem WHERE l_quantity >= 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_quantity, 'low' AS bucket
+    FROM lineitem WHERE l_quantity <= 5
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (reference pd.concat, create_subsample.py:90)."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    hi = li.filter(F.col("l_quantity") >= 45).withColumn("bucket", F.lit("high"))
+    lo = li.filter(F.col("l_quantity") <= 5).withColumn("bucket", F.lit("low"))
+    return setops.union_all(hi, lo)
+
+
+@register(
+    "sample_by_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_orderkey % 10 = 3
+    """,
+)
+def q_sample_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-consistent sampling: every row of a kept key survives —
+    the reference samples GAMES, not rows (create_subsample.py:54-72).
+    The oracle-checkable variant is deterministic modulo-sampling; the
+    seeded-random variant (sampling.sample_by_key) is API-compatible."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return sample_ops.sample_by_key_mod(li, "l_orderkey", 10, 3).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "split_temporal",
+    oracle="""
+    SELECT o_orderkey, year(o_orderdate) AS order_year
+    FROM orders
+    WHERE year(o_orderdate) < (SELECT MAX(year(o_orderdate)) FROM orders)
+    """,
+)
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train split: everything strictly before the max period
+    (reference code/experiment.py:564-567). Returns the train half."""
+    df = load_table(spark, "orders", sf_dir).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    train, _test = sample_ops.split_temporal(df, "order_year")
+    return train.select("o_orderkey", "order_year")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 scalar function coverage (json on props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column
+    (capability extension; the reference has no JSON, SURVEY §2.11)."""
+    df = load_table(spark, "events", sf_dir)
+    return df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )

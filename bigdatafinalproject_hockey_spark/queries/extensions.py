@@ -1,0 +1,433 @@
+"""Extension queries: dedup, text analysis, similarity search,
+multimodal plumbing, and the composed pipeline-shaped query.
+
+These are the training-data-pipeline operators mandated beyond the
+reference's own surface (BASELINE.json north star). Oracle SQL is
+provided wherever the computation is engine-agnostic; hash-seeded ops
+(MinHash/SimHash/ANN-LSH) and ML are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_groups
+from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
+from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pairs
+from bigdatafinalproject_hockey_spark.dedup.simhash import simhash_near_pairs
+from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
+from bigdatafinalproject_hockey_spark.functions.text import (
+    STOPWORDS,
+    avg_token_len_expr,
+    digit_ratio_expr,
+    md5_fingerprint_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from bigdatafinalproject_hockey_spark.multimodal import (
+    attach_binary_payload,
+    extract_features_batched,
+)
+from bigdatafinalproject_hockey_spark.operators import (
+    sampling as sample_ops,
+    scalar as scalar_ops,
+    windows as win_ops,
+)
+from bigdatafinalproject_hockey_spark.queries.base import register
+from bigdatafinalproject_hockey_spark.similarity import (
+    ann_lsh_near_pairs,
+    brute_force_cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+# DuckDB-side tokenizer identical to functions.text.tokens_expr
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-text fingerprint (hash groupBy)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_exact_groups(docs, "text", "doc_id").select(
+        "fp", "keep_id", "n_copies"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct({_SQL_TOKS.format(c="text")})) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) /
+           CAST(ca.n_tok + cb.n_tok - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) /
+          CAST(ca.n_tok + cb.n_tok - n_inter AS DOUBLE) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by language —
+    inverted-index self-join, integer-count division (deterministic)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+
+
+@register("dedup_minhash_lsh")  # Spark-seeded hashes → rows-only check
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (sub-quadratic scale path)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs(
+        docs, "text", "doc_id", shingle_n=1, max_jaccard_distance=0.4
+    )
+
+
+@register("dedup_simhash")  # xxhash64 is Spark-specific → rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint near-dup pairs within hamming distance 8."""
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) *
+                  sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) *
+                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.8
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.8 (brute-force form; the
+    LSH form is sim_ann_lsh). Scores rounded before thresholding on
+    both sides."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup_pairs(emb, min_cosine=0.8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    s AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(qemb, c.emb) /
+                   (sqrt(list_dot_product(qemb, qemb)) *
+                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id<20.
+    Rounded-then-ranked so ordering is engine-stable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_cosine_topk(emb, queries, k=5)
+
+
+@register("sim_ann_lsh")  # Spark-seeded projections → rows-only check
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH approximate near-neighbor pairs (L2)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ann_lsh_near_pairs(emb, bucket_length=4.0, max_l2=12.0)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS.format(c="text")}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token + char counts (whitespace/regex tokenizer, scan-side)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+_EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'value']"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKS.format(c="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN length(text) > 0 THEN
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END, 6) AS digit_ratio
+    FROM t
+    """,
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: stopword ratio, mean token length, digit ratio
+    — the length/punct/stopword heuristics of pretraining filters."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").cast("long").alias("n_tokens"),
+        round6(stopword_ratio_expr("text", STOPWORDS["en"])).alias("stopword_ratio"),
+        round6(avg_token_len_expr("text")).alias("avg_token_len"),
+        round6(digit_ratio_expr("text")).alias("digit_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_TOKS.format(c="text")} AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END, 6) AS en_score,
+           CASE WHEN CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x))) AS DOUBLE)
+               / len(toks) ELSE 0.0 END >= 0.05
+             THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM t
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic: score the token overlap
+    with a per-language stopword list; argmax (here: en vs unknown —
+    the synthetic corpus shares one vocabulary)."""
+    docs = load_table(spark, "documents", sf_dir)
+    en_score = round6(stopword_ratio_expr("text", STOPWORDS["en"]))
+    return docs.select(
+        "doc_id",
+        "lang",
+        en_score.alias("en_score"),
+        F.when(en_score >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (cross-engine-checkable); the
+    rolling-hash variant lives in functions.text.rolling_hash_expr."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", md5_fingerprint_expr("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: byte length + content hash of the
+    media column (utf-8 text standing in for image/audio bytes)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return media.select("doc_id", "n_bytes", "content_md5")
+
+
+@register("multimodal_features")  # pandas-UDF fake decoder → rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic fake for the codec step)."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return extract_features_batched(media)
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline-shaped query (the reference's end-to-end flow on
+# the synthetic star schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_features",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS order_qty,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS order_rev_units,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+             o.o_orderdate, p.order_qty, p.order_rev_units, p.n_lines
+      FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    ),
+    feat AS (
+      SELECT o_orderkey, o_custkey, order_year, n_lines,
+             CAST(SUM(order_rev_units) OVER wexp AS DOUBLE)
+               / CAST(COUNT(*) OVER wexp AS DOUBLE) / 10000.0 AS prior_rev_avg,
+             SUM(order_qty) OVER w5
+               / CAST(COUNT(*) OVER w5 AS DOUBLE) AS last5_qty_avg
+      FROM joined
+      WINDOW wexp AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT o_orderkey, o_custkey, order_year, n_lines,
+           COALESCE(prior_rev_avg, 0.0) AS prior_rev_avg,
+           COALESCE(last5_qty_avg, 0.0) AS last5_qty_avg
+    FROM feat
+    """,
+)
+def q_pipeline_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature flow composed end-to-end on the star
+    schema: per-entity aggregate → equi-join → leakage-free expanding
+    + sliding window features → null-defaulting
+    (reference code/experiment.py:359-494 shape). Money features ride
+    int64 fixed-point units through the windows (order-independent)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("order_qty"),
+        F.sum(cents_expr(disc_price, 10000)).alias("order_rev_units"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = orders.join(
+        per_order, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderdate",
+        "order_qty",
+        "order_rev_units",
+        "n_lines",
+    )
+    feat = win_ops.win_expanding(
+        joined,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        measures={
+            "prior_units": F.sum("order_rev_units"),
+            "prior_n": F.count(F.lit(1)),
+        },
+    )
+    feat = win_ops.win_sliding(
+        feat,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        measures={
+            "last5_qty_sum": F.sum("order_qty"),
+            "last5_n": F.count(F.lit(1)),
+        },
+        lookback=5,
+    )
+    feat = feat.withColumns(
+        {
+            "prior_rev_avg": F.col("prior_units").cast("double")
+            / F.col("prior_n").cast("double")
+            / 10000.0,
+            "last5_qty_avg": F.col("last5_qty_sum")
+            / F.col("last5_n").cast("double"),
+        }
+    )
+    feat = scalar_ops.fill_default(
+        feat, {"prior_rev_avg": 0.0, "last5_qty_avg": 0.0}
+    )
+    return feat.select(
+        "o_orderkey", "o_custkey", "order_year", "n_lines",
+        "prior_rev_avg", "last5_qty_avg",
+    )
+
+
+@register("split_random")  # Spark RNG → rows-only check
+def q_split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomSplit fallback (reference code/experiment.py:570-572);
+    returns the train fraction."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    train, _ = sample_ops.split_random(orders, (0.8, 0.2), seed=42)
+    return train

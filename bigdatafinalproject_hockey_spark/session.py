@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference builds its session with 4g driver/executor memory and
+``spark.sql.shuffle.partitions=50`` (reference code/experiment.py:264-270).
+We instead enable AQE so shuffle sizing is adaptive (the modern
+replacement for a hand-tuned partition count), pin the session
+timezone to UTC (so results are comparable against UTC-naive engines
+like DuckDB), and enable Arrow for any pandas exchange.
+
+At cluster scale the same builder works unchanged: ``master`` is left
+to spark-submit/cluster config unless explicitly given.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "bigdatafinalproject_hockey_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local mode is the test/bench default (``local[$SPARK_GRAFT_CPUS]``);
+    on a real cluster pass ``master=None`` and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching — the scale story for 100 TB.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Deterministic cross-engine comparison (DuckDB is UTC-naive).
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow for pandas_udf / toPandas / createDataFrame paths.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
