@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced through the noop sink so the FULL plan executes
+(count() would let Catalyst prune window/projection work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatafinalproject_hockey_spark.queries import QUERIES  # noqa: E402
+from bigdatafinalproject_hockey_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The engine's headline suite: the reference-shaped relational core
+# (agg/join/window/pipeline) + the scale-path extension operators.
+HEADLINE = [
+    "agg_group_multi",      # TPC-H Q1 shape: grouped multi-measure agg
+    "join_star",            # Q5 shape: fact ⋈ broadcast dims
+    "join_self_matchup",    # the reference's matchup self-join
+    "win_expanding_avg",    # flagship leakage-free window
+    "win_sliding_avg",
+    "pipeline_features",    # composed end-to-end reference flow
+    "dedup_exact",
+    "dedup_minhash_lsh",    # sub-quadratic near-dup (scale path)
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    spark = get_session(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # JVM/codegen/scan warmup so query timings reflect steady state
+    # rather than first-touch session costs.
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"  {name}: {dt:.3f}s", file=sys.stderr)
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,7 @@ checked rows-only by the driver.
 
 from __future__ import annotations
 
-from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -21,17 +21,25 @@ from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
 
 
 def shingles_expr(col, n: int = 3):
-    """Word n-gram shingles from the token array (higher-order exprs;
-    n=1 degenerates to the token set)."""
+    """Word n-gram shingles from the token array.
+
+    Built by zip_with-ing n-1 shifted copies of the token array —
+    O(tokens) array ops per row. (A transform-over-indices with
+    per-index slice/indexing is ~40× slower: nested HOF indexing
+    doesn't codegen and re-evaluates the array per position.)
+    n=1 degenerates to the distinct token set.
+    """
     toks = tokens_expr(col)
     if n <= 1:
         return F.array_distinct(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.when(
+        F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(full)
 
 
 def minhash_candidate_pairs(
@@ -50,13 +58,13 @@ def minhash_candidate_pairs(
     shingled = df.select(
         F.col(id_col).alias("doc"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
-    cv = CountVectorizer(
-        inputCol="sh", outputCol="features", vocabSize=vocab_size, binary=True
+    # HashingTF, not CountVectorizer: stateless feature hashing needs no
+    # vocabulary fit (no extra pass, no driver-side vocab) — at corpus
+    # scale a CountVectorizer vocab would not fit the driver at all.
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=vocab_size, binary=True
     )
-    model = cv.fit(shingled)
-    vecs = model.transform(shingled)
-    # MinHashLSH requires at least one non-zero entry per vector.
-    vecs = vecs.filter(F.col("sh").isNotNull())
+    vecs = tf.transform(shingled)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

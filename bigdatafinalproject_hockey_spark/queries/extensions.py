@@ -107,7 +107,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (sub-quadratic scale path)."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_candidate_pairs(
-        docs, "text", "doc_id", shingle_n=1, max_jaccard_distance=0.4
+        docs, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
     )
 
 
@@ -129,15 +129,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.emb, b.emb) /
                 (sqrt(list_dot_product(a.emb, a.emb)) *
-                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.8
+                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.8 (brute-force form; the
+    """Embedding-cosine near-dup pairs ≥ 0.3 (brute-force form; the
     LSH form is sim_ann_lsh). Scores rounded before thresholding on
     both sides."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_near_dup_pairs(emb, min_cosine=0.8)
+    return embedding_near_dup_pairs(emb, min_cosine=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +176,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH approximate near-neighbor pairs (L2)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return ann_lsh_near_pairs(emb, bucket_length=4.0, max_l2=12.0)
+    return ann_lsh_near_pairs(emb, bucket_length=1.0, max_l2=1.2)
 
 
 # ---------------------------------------------------------------------------
