@@ -10,6 +10,7 @@ with IDENTICAL output column names and value semantics.
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
 
 # Importing the modules populates the registry.
+from bigdatafinalproject_hockey_spark.queries import advanced  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import core  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import extensions  # noqa: E402,F401
 

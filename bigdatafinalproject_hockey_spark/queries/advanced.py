@@ -1,0 +1,148 @@
+"""Streaming, sessionization, ML, and source/sink queries.
+
+Covers SURVEY.md §2.1 (scan/sink), §2.12 (streaming extension) and
+§2.14 (ML surface). The streaming aggregate runs a REAL Structured
+Streaming query (file replay → watermark → windowed agg → memory
+sink) whose complete-mode result equals the batch oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
+from bigdatafinalproject_hockey_spark.ml import (
+    baselines,
+    evaluate_binary,
+    train_pipeline,
+)
+from bigdatafinalproject_hockey_spark.operators.sampling import split_temporal
+from bigdatafinalproject_hockey_spark.queries.base import register
+from bigdatafinalproject_hockey_spark.sources.csv import scan_csv, sink_csv
+from bigdatafinalproject_hockey_spark.streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    sessionize,
+    tumbling_agg,
+)
+
+TMP_DIR = "/root/repo/.tmp"
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate executed as a REAL
+    streaming query (availableNow file replay → memory sink, complete
+    mode). Epoch-aligned windows match the batch time_bucket oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = tumbling_agg(stream, window_duration="1 day", watermark_delay="1 hour")
+    return run_stream_to_table(spark, agg, output_mode="complete")
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via the built-in
+    session_window — the oracle is the classic gaps-and-islands SQL.
+    Spark semantics: a session's window extends gap past the last
+    event; an event at exactly +gap starts a NEW session (oracle uses
+    >= accordingly)."""
+    events = load_table(spark, "events", sf_dir)
+    return sessionize(events, gap="30 minutes")
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + explicit-schema CSV scan (SURVEY.md §2.1): write the
+    customer table to CSV, read it back typed, values identical to the
+    parquet original. Exercises header handling, null sentinels, and
+    full-precision double round-trip."""
+    path = os.path.join(TMP_DIR, "csv_roundtrip_customer")
+    df = load_table(spark, "customer", sf_dir)
+    sink_csv(df, path)
+    return scan_csv(spark, path, SCHEMAS["customer"])
+
+
+@register("ml_train_eval")  # model internals → rows-only check
+def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ML surface: features from the star schema, temporal
+    split, logistic regression (reference config shape, fewer iters at
+    test scale), SINGLE-PASS confusion-matrix evaluation + baselines
+    (vs the reference's six jobs, SURVEY.md §3.3). Returns one metrics
+    row."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.avg("l_discount").alias("f_disc"),
+        F.avg("l_extendedprice").alias("f_price"),
+        F.count(F.lit(1)).alias("f_lines"),
+    )
+    data = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .withColumn("label", F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0))
+        .withColumn("order_year", F.year("o_orderdate"))
+        .select("label", "order_year", "f_qty", "f_disc", "f_price", "f_lines")
+    )
+    train, test = split_temporal(data, "order_year")
+    feats = ["f_qty", "f_disc", "f_price", "f_lines"]
+    model = train_pipeline(train, feats, "lr")
+    preds = model.transform(test).cache()
+    m = evaluate_binary(preds)
+    base = baselines(test)
+    row = {
+        "n_test": float(m.n),
+        "accuracy": m.accuracy,
+        "precision": m.precision,
+        "recall": m.recall,
+        "f1": m.f1,
+        "auc": float(m.auc or 0.0),
+        "baseline_majority": base["majority"],
+        "baseline_weighted": base["weighted_random"],
+    }
+    return spark.createDataFrame([row])

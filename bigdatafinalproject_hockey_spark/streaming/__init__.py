@@ -1,0 +1,137 @@
+"""Structured Streaming extension over the events table.
+
+The reference is purely batch (SURVEY.md §2.12), but its events table
+is stream-shaped; this module provides the streaming counterparts a
+production deployment would run: watermarked tumbling/sliding window
+aggregates and gap-based sessionization.
+
+Design notes:
+- Sources: file streams here (parquet replay for tests/driver); the
+  same query graph runs unchanged on kafka sources in production.
+- Watermarks bound state: ``withWatermark(ts, delay)`` lets Spark
+  drop window state older than the watermark — mandatory at scale or
+  state grows without bound.
+- For finite replays the driver/test path runs the query to
+  completion synchronously (processAllAvailable) into a memory sink.
+  Complete output mode is used for the windowed aggregate so the
+  result equals the batch-SQL computation (append mode would withhold
+  windows newer than the final watermark).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr
+
+# Raw schema of events.parquet as Spark can stream it: ts is int64
+# NANOS on disk (see catalog.load_table).
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a DIRECTORY to monitor; the testdata
+    table is a single parquet file. Stage a symlink dir (no copy)."""
+    tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    stage = f"/root/repo/.tmp/stream_src_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream over the events parquet (kafka stand-in)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_stage_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window count + fixed-point sum per
+    (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink and
+    return the materialized result (finite-replay semantics)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", user_col: str = "user_id"
+) -> DataFrame:
+    """Gap-based sessionization via the built-in session_window —
+    works identically on batch and streaming inputs. One row per
+    (user, session): bounds, event count, fixed-point value sum."""
+    return (
+        events.groupBy(F.session_window("ts", gap), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col(user_col),
+            "first_ts",
+            "last_ts",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )

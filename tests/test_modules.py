@@ -1,0 +1,138 @@
+"""Unit tests for module-level behaviors the oracle suite can't see:
+null-sentinel CSV parsing, single-pass ML evaluation math, simhash
+properties, multimodal batch extraction, dedup survivor determinism,
+key-consistent sampling."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_keep_first
+from bigdatafinalproject_hockey_spark.dedup.simhash import (
+    hamming_expr,
+    simhash_fingerprints,
+)
+from bigdatafinalproject_hockey_spark.ml import BinaryMetrics, baselines, evaluate_binary
+from bigdatafinalproject_hockey_spark.multimodal import (
+    attach_binary_payload,
+    extract_features_batched,
+)
+from bigdatafinalproject_hockey_spark.operators.sampling import sample_by_key
+from bigdatafinalproject_hockey_spark.sources.csv import scan_csv
+
+TMP = "/root/repo/.tmp"
+
+
+def test_scan_csv_null_sentinels(spark, tmp_path):
+    """\\N and empty fields must both land as real NULLs with explicit
+    schema (the reference's events-file quirk, FIXTURES.md §A1)."""
+    p = os.path.join(TMP, "null_sentinel.csv")
+    os.makedirs(TMP, exist_ok=True)
+    with open(p, "w") as f:
+        f.write("id,name,score\n")
+        f.write("1,alice,3.5\n")
+        f.write("2,\\N,\\N\n")
+        f.write("3,,\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = scan_csv(spark, p, schema)
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("alice", 3.5)
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+
+
+def test_evaluate_binary_single_pass(spark):
+    rows = (
+        [(1.0, 1.0)] * 10  # tp
+        + [(0.0, 0.0)] * 20  # tn
+        + [(0.0, 1.0)] * 5  # fp (pred 1, label 0)
+        + [(1.0, 0.0)] * 15  # fn (pred 0, label 1)
+    )
+    df = spark.createDataFrame(
+        [(lbl, prd) for lbl, prd in rows], ["label", "prediction"]
+    )
+    m = evaluate_binary(df, with_auc=False)
+    assert (m.tp, m.tn, m.fp, m.fn) == (10, 20, 5, 15)
+    assert abs(m.accuracy - 30 / 50) < 1e-12
+    assert abs(m.precision - 10 / 15) < 1e-12
+    assert abs(m.recall - 10 / 25) < 1e-12
+
+
+def test_binary_metrics_degenerate():
+    m = BinaryMetrics(tp=0, tn=0, fp=0, fn=0)
+    assert m.accuracy == 0.0 and m.precision == 0.0 and m.f1 == 0.0
+
+
+def test_baselines_math(spark):
+    df = spark.createDataFrame([(1.0,)] * 6 + [(0.0,)] * 4, ["label"])
+    b = baselines(df)
+    assert abs(b["majority"] - 0.6) < 1e-12
+    assert abs(b["weighted_random"] - (0.36 + 0.16)) < 1e-12
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "the quick brown fox jumps over the dog"),
+            (3, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = simhash_fingerprints(df, "text", "doc_id")
+    a = fps.alias("a").filter(F.col("doc_id") == 1)
+    b = fps.alias("b").filter(F.col("doc_id") == 2)
+    c = fps.alias("c").filter(F.col("doc_id") == 3)
+    d_ab = (
+        a.crossJoin(b.select(F.col("simhash").alias("sh2")))
+        .select(hamming_expr(F.col("simhash"), F.col("sh2")).alias("d"))
+        .first()["d"]
+    )
+    d_ac = (
+        a.crossJoin(c.select(F.col("simhash").alias("sh3")))
+        .select(hamming_expr(F.col("simhash"), F.col("sh3")).alias("d"))
+        .first()["d"]
+    )
+    assert d_ab == 0
+    assert d_ac > 10  # unrelated docs are far in hamming space
+
+
+def test_multimodal_batch_extraction(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    media = attach_binary_payload(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in extract_features_batched(media).collect()}
+    assert out[1]["n_bytes"] == 3
+    assert abs(out[1]["feat_mean"] - (97 + 98 + 99) / 3) < 1e-9
+    assert out[2]["n_bytes"] == 0 and out[2]["feat_mean"] == 0.0
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other"), (7, "Same  text ")],
+        ["doc_id", "text"],
+    )
+    kept = dedup_exact_keep_first(df, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # "Same  text " normalizes differently from "same text" (case kept)
+    assert ids == [2, 7, 9]
+
+
+def test_sample_by_key_is_key_consistent(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sampled = sample_by_key(li, ["l_orderkey"], fraction=0.3, seed=42)
+    # every sampled order keeps ALL its lineitems
+    full_counts = li.groupBy("l_orderkey").count().withColumnRenamed("count", "full")
+    samp_counts = sampled.groupBy("l_orderkey").count()
+    joined = samp_counts.join(full_counts, "l_orderkey")
+    assert joined.filter(F.col("count") != F.col("full")).count() == 0
+    frac = samp_counts.count() / full_counts.count()
+    assert 0.2 < frac < 0.4
