@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.functions.text import distinct_tokens_expr
+from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 
 
 def jaccard_pairs(
@@ -35,7 +36,7 @@ def jaccard_pairs(
     base_cols = [F.col(id_col).alias("doc"), distinct_tokens_expr(text_col).alias("toks")]
     if block_col:
         base_cols.append(F.col(block_col).alias("blk"))
-    toks = df.select(*base_cols)
+    toks = ensure_parallelism(df).select(*base_cols)
     counts = toks.select("doc", F.size("toks").cast("long").alias("n_tok"))
 
     posting = toks.select(

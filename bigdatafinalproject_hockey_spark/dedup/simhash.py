@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.functions.text import distinct_tokens_expr
+from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 
 N_BITS = 64
 
@@ -57,7 +58,11 @@ def simhash_expr(text_col: Column | str) -> Column:
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash_expr(text_col).alias("simhash"))
+    # The 64-slot vote aggregate is ~100× the scan cost per row — make
+    # sure it runs on every core even when the scan was one split.
+    return ensure_parallelism(df).select(
+        F.col(id_col), simhash_expr(text_col).alias("simhash")
+    )
 
 
 def hamming_expr(a: Column, b: Column) -> Column:

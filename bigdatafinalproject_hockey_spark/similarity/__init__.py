@@ -22,6 +22,7 @@ from bigdatafinalproject_hockey_spark.functions.vectors import (
     as_double_array,
     cosine_expr,
 )
+from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
 
 
@@ -45,7 +46,7 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_emb")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_emb")
     )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
@@ -72,6 +73,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b) above a
     similarity threshold — brute-force within-block form; use
     ann_lsh_near_pairs at corpus scale."""
+    df = ensure_parallelism(df)
     a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("e_a"))
     b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("e_b"))
     return (
@@ -100,7 +102,7 @@ def ann_lsh_near_pairs(
 
     Output: id_a, id_b, l2_dist.
     """
-    vecs = df.select(
+    vecs = ensure_parallelism(df).select(
         F.col(id_col).alias("vid"),
         array_to_vector(as_double_array(vec_col)).alias("features"),
     )
