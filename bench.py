@@ -32,9 +32,11 @@ HEADLINE = [
     "win_expanding_avg",    # flagship leakage-free window
     "win_sliding_avg",
     "pipeline_features",    # composed end-to-end reference flow
+    "join_asof",            # union + single-sort as-of (trades/quotes shape)
     "dedup_exact",
     "dedup_minhash_lsh",    # sub-quadratic near-dup (scale path)
     "sim_cosine_topk",
+    "sim_ann_ivf",          # coarse-quantized ANN (scale path)
     "text_quality_score",
 ]
 

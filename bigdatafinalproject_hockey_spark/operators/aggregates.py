@@ -69,3 +69,50 @@ def agg_count_filter(
             for name, pred in cells.items()
         ]
     )
+
+
+def agg_rollup(
+    df: DataFrame, keys: Sequence[str], measures: Mapping[str, Column]
+) -> DataFrame:
+    """Hierarchical subtotals: groupBy().rollup(keys) — (k1,k2), (k1),
+    and grand total in ONE pass. Catalyst expands the grouping sets
+    map-side, so this still shuffles once (vs one job per level if
+    composed by hand). Null key cells mark subtotal rows, as in ANSI
+    ROLLUP."""
+    return df.rollup(*keys).agg(*[m.alias(n) for n, m in measures.items()])
+
+
+def agg_cube(
+    df: DataFrame, keys: Sequence[str], measures: Mapping[str, Column]
+) -> DataFrame:
+    """All 2^k grouping-set combinations in one pass (ANSI CUBE)."""
+    return df.cube(*keys).agg(*[m.alias(n) for n, m in measures.items()])
+
+
+def agg_approx(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB substitutes for exact
+    count(DISTINCT) and sorted percentiles:
+
+    - ``approx_count_distinct``: HyperLogLog++, fixed ~kilobytes of
+      state per group vs an unbounded distinct hash set; merges
+      map-side, so the shuffle carries sketches, not values.
+    - ``percentile_approx``: Greenwald-Khanna sketch, bounded error
+      ``1/accuracy``, vs a full sort per group.
+
+    Sketch internals are engine-specific → rows-only driver check;
+    tests/test_modules.py bounds both errors against the exact answers.
+    """
+    qarr = F.array(*[F.lit(q) for q in quantiles])
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct"),
+        F.percentile_approx(quantile_col, qarr, accuracy).alias("approx_quantiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

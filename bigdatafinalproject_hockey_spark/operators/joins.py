@@ -104,3 +104,103 @@ def join_expr(
 ) -> DataFrame:
     """General boolean-expression join for non-same-named keys."""
     return left.join(right, cond, how)
+
+
+def join_range(
+    left: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Band (range) join: attach the band whose [lo, hi) interval
+    contains ``value_col``.
+
+    The band table is small by construction (it enumerates intervals),
+    so this is a broadcast nested-loop with a range predicate — each
+    fact row probes the in-memory band list; no shuffle of the fact
+    side. Never express this as a big⋈big theta join: with a large
+    right side, bucket both sides by a common interval grid first so
+    the join becomes equi on the bucket id.
+    """
+    b = F.broadcast(bands) if broadcast_bands else bands
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return left.join(b, cond, "inner")
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+) -> DataFrame:
+    """As-of join: for every left row, the single right row with the
+    greatest ``right_time`` <= ``left_time`` within the same key group
+    (inclusive, trades-⋈-quotes style); left rows with no prior right
+    row keep nulls (left-outer semantics).
+
+    Spark has no as-of join operator; the naive range-join + argmax is
+    quadratic in matches. This is the scalable formulation: UNION both
+    sides tagged, ONE shuffle on (key, time), then a running
+    last-non-null window carries each right row's payload forward to
+    the left rows that follow it. Cost = one sort-shuffle of
+    |left|+|right|, independent of match multiplicity.
+
+    The right side must be unique per (key, right_time) — pre-aggregate
+    it if not; at equal timestamps the right row sorts first so an
+    exactly-simultaneous row is visible (>= semantics, matching
+    DuckDB's ``ASOF JOIN ... ON l.t >= r.t``).
+
+    Output: all left columns + every non-key right column (nullable).
+    """
+    keys = list(on)
+    left_payload = [c for c in left.columns if c not in keys and c != left_time]
+    right_payload = [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    clash = ({right_time, *right_payload} & {left_time, *left_payload})
+    if clash:
+        raise ValueError(
+            f"join_asof: rename right-side columns {sorted(clash)} — they "
+            "collide with left-side names"
+        )
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c) for c in right_payload],
+        F.col(right_time).alias("_rt"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *keys,
+        "_t",
+        "_is_left",
+        *left_payload,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.last("_rt", ignorenulls=True).over(w).alias(right_time),
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *keys,
+        F.col("_t").alias(left_time),
+        *left_payload,
+        F.col(right_time),
+        *right_payload,
+    )

@@ -13,5 +13,6 @@ from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
 from bigdatafinalproject_hockey_spark.queries import advanced  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import core  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import extensions  # noqa: E402,F401
+from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,305 @@
+"""Scale-path queries: as-of/range joins, multi-level and sketch
+aggregates, IVF similarity search, stateful streaming, and the
+partitioned parquet sink.
+
+These go beyond the reference's own operator set (SURVEY.md §2) —
+they are the operators a 100 TB training-data pipeline needs that
+plain SQL shapes don't cover, each built on the same operator-library
+conventions (UDF-free where possible, fixed-point money sums,
+round-before-rank determinism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.functions.numeric import (
+    cents_expr,
+    fixed_point_sum,
+    fixed_point_sum_sql,
+)
+from bigdatafinalproject_hockey_spark.operators import (
+    aggregates as agg_ops,
+    joins as join_ops,
+)
+from bigdatafinalproject_hockey_spark.queries.base import register
+from bigdatafinalproject_hockey_spark.similarity import ivf_cosine_topk
+from bigdatafinalproject_hockey_spark.sources.parquet import (
+    scan_parquet,
+    sink_parquet,
+)
+from bigdatafinalproject_hockey_spark.streaming import (
+    read_events_stream,
+    run_stream_to_table,
+    stateful_user_totals,
+)
+
+TMP_DIR = "/root/repo/.tmp"
+
+# ---------------------------------------------------------------------------
+# joins beyond equi: as-of and range
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts,
+             {fixed_point_sum_sql("value")} AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.purchase_ts, p.purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click picks up the user's most recent purchase
+    at-or-before it (trades⋈quotes shape). Implemented as union + one
+    sort-shuffle + last-non-null carry-forward — linear in rows, never
+    quadratic in matches (operators.joins.join_asof); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(fixed_point_sum(F.col("value")).alias("purchase_value"))
+    )
+    return join_ops.join_asof(
+        clicks, purchases, on=["user_id"], left_time="ts", right_time="purchase_ts"
+    ).select("user_id", "ts", "event_id", "purchase_ts", "purchase_value")
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    WITH bands AS (
+      SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+      FROM range(0, 10) t(i)
+    )
+    SELECT band_id, lo, hi,
+           COUNT(*) AS n_orders,
+           {fixed_point_sum_sql("o_totalprice")} AS total_price
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id, lo, hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: orders binned into price intervals via a
+    broadcast interval table — the fact side never shuffles for the
+    join (operators.joins.join_range), then one grouped aggregate."""
+    orders = load_table(spark, "orders", sf_dir)
+    bands = spark.range(0, 10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    joined = join_ops.join_range(orders, bands, "o_totalprice")
+    return agg_ops.agg_group_multi(
+        joined,
+        ["band_id", "lo", "hi"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "total_price": fixed_point_sum(F.col("o_totalprice")),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-level + sketch aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — (flag, status), (flag), grand total in one
+    shuffle. l_quantity is integral-valued, so the double sum is exact
+    without fixed-point."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return agg_ops.agg_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"n_rows": F.count(F.lit(1)), "sum_qty": F.sum("l_quantity")},
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return agg_ops.agg_cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"n_rows": F.count(F.lit(1)), "sum_qty": F.sum("l_quantity")},
+    )
+
+
+@register("agg_approx")  # sketch internals are engine-specific → rows-only
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct counts + Greenwald-Khanna quantiles per
+    return flag — bounded-memory sketches whose error vs the exact
+    answers is asserted in tests/test_modules.py."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return agg_ops.agg_approx(
+        li,
+        keys=["l_returnflag"],
+        distinct_col="l_orderkey",
+        quantile_col="l_extendedprice",
+        quantiles=(0.5, 0.95),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search (deterministic centroids → fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, cent_id,
+             {_COS_SQL.format(a="emb", b="cemb")} AS cs
+      FROM e CROSS JOIN cent
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT e.vec_id AS query_id, emb AS qemb, a.cell
+      FROM e JOIN assign a ON e.vec_id = a.vec_id
+      WHERE e.vec_id < 20
+    ),
+    cand AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qemb", b="c.emb")} AS cosine
+      FROM q JOIN assign a ON q.cell = a.cell
+             JOIN e c ON c.vec_id = a.vec_id
+      WHERE c.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic coarse
+    centroids (every 50th vector), nearest-centroid cell assignment,
+    top-5 cosine within the query's cell (nprobe=1). Unlike seeded-hash
+    LSH, reproducible in any engine → full value-hash oracle check."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id")
+    return ivf_cosine_topk(emb, centroids, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stateful_totals",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {fixed_point_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals accumulated in keyed GroupState over the
+    replayed event stream; the finite replay's final update per key
+    equals the batch GROUP BY oracle (fixed-point cents both sides)."""
+    stream = read_events_stream(spark, sf_dir)
+    totals = stateful_user_totals(stream)
+    return run_stream_to_table(spark, totals, output_mode="update")
+
+
+# ---------------------------------------------------------------------------
+# partitioned parquet sink (pruning-ready layout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    WHERE year(o_orderdate) = 1998
+    """,
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + pruned read-back: orders land
+    partitioned by year, then a one-year filter reads ONLY that
+    directory (PartitionFilters in the plan — asserted in
+    tests/test_modules.py). The layout pattern for 100 TB event data:
+    partition by coarse time, prune at planning time."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(TMP_DIR, f"orders_by_year_{tag}")
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    sink_parquet(
+        orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "order_year"
+        ),
+        path,
+        partition_by=["order_year"],
+    )
+    return (
+        scan_parquet(spark, path)
+        .filter(F.col("order_year") == 1998)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("order_year").cast("int").alias("order_year"),
+        )
+    )

@@ -87,6 +87,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: assign every
+    vector to its nearest centroid, then search only within the
+    query's cell (nprobe=1).
+
+    This is the coarse-quantization scale path: with C centroids the
+    per-query work drops from |corpus| to ~|corpus|/C, and the cell
+    assignment is a broadcast map over one corpus scan. Centroids are
+    supplied by the caller (deterministic subset or a KMeans fit), so
+    the whole computation is engine-reproducible — unlike seeded-hash
+    LSH this variant IS oracle-checkable.
+
+    ``query_ids``: one column ``id_col`` selecting query vectors (must
+    exist in the corpus). Output: query_id, neighbor_id, cosine, rnk.
+    """
+    c = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb"))
+    c = ensure_parallelism(c)
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
+    )
+    # nearest centroid per vector: broadcast the (tiny) centroid set,
+    # rank rounded cosine with centroid-id tiebreak for determinism
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "emb",
+        "cent_id",
+        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    )
+    assign = (
+        topk_per_group(scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], 1)
+        .select("vid", F.col("cent_id").alias("cell"), "emb")
+    )
+    q = (
+        assign.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("vid"))), "vid"
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            "cell",
+        )
+    )
+    cand = q.join(assign, "cell").filter(F.col("vid") != F.col("query_id")).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("qemb"), F.col("emb")), round_decimals).alias(
+            "cosine"
+        ),
+    )
+    top = topk_per_group(
+        cand, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id")], k
+    )
+    return top.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def ann_lsh_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

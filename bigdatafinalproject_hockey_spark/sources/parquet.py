@@ -1,0 +1,49 @@
+"""Parquet sink/scan with the two physical layouts that matter at
+100 TB: hive-style partition directories (partition PRUNING — a
+filter on the partition key skips whole directories at planning time)
+and bucketed tables (co-located joins — two tables bucketed on the
+same key by the same bucket count join with ZERO shuffle).
+
+The reference has no parquet sink (it prints to stdout); these are
+the sinks its pipeline would need in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sink_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Write parquet, optionally hive-partitioned by low-cardinality
+    keys (date/season/year). Verify pruning with .explain() on a
+    filtered read-back: PartitionFilters must list the predicate."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def sink_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table: rows are hash-distributed
+    into ``n_buckets`` files per partition by ``bucket_by``. A join of
+    two tables bucketed on the same key with the same bucket count
+    needs no exchange on either side — the payoff is a shuffle-free
+    big⋈big join, the single biggest cost at 100 TB. Requires a
+    catalog (saveAsTable), not a bare path.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(table)

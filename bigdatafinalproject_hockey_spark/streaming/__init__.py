@@ -113,6 +113,51 @@ def run_stream_to_table(
     return spark.table(name)
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (event count, fixed-point value total), one
+    updated row per user per micro-batch.
+
+    This is the arbitrary-state path for logic session_window/agg can't
+    express (counters, custom accumulators, online models). State is
+    one (long, long) tuple per user — bounded, merge-free, and keyed so
+    Spark shards it across executors with the shuffle. At 100 TB pair
+    it with a state timeout so abandoned keys expire; the finite-replay
+    test path needs none.
+
+    Money discipline: cents are accumulated as int64 with half-up
+    rounding (matching functions.numeric.cents_expr and DuckDB ROUND),
+    so the streamed totals hash-match a batch GROUP BY oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v = pdf["value"].to_numpy(dtype="float64")
+            # half-away-from-zero on non-negative values == HALF_UP
+            cents += int(np.floor(v * 100.0 + 0.5).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", user_col: str = "user_id"
 ) -> DataFrame:

@@ -126,6 +126,130 @@ def test_dedup_keep_first_deterministic(spark):
     assert ids == [2, 7, 9]
 
 
+def test_agg_approx_error_bounds(spark, sf_dir):
+    """Sketch aggregates must land near the exact answers: HLL distinct
+    within its 5% rsd (generously 3x), GK quantiles within the rank
+    error implied by accuracy."""
+    from bigdatafinalproject_hockey_spark.operators.aggregates import agg_approx
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r
+        for r in agg_approx(
+            li, ["l_returnflag"], "l_orderkey", "l_extendedprice"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("qs"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap["approx_distinct"] - ex["nd"]) <= max(0.15 * ex["nd"], 5)
+        for got, want in zip(ap["approx_quantiles"], ex["qs"]):
+            assert abs(got - want) <= 0.05 * abs(want) + 1e-9
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    """A filter on the hive partition key must reach the scan as a
+    PartitionFilter (planning-time directory pruning), not a data
+    filter."""
+    from bigdatafinalproject_hockey_spark.sources.parquet import (
+        scan_parquet,
+        sink_parquet,
+    )
+
+    path = os.path.join(TMP, "prune_check")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    sink_parquet(orders, path, partition_by=["order_year"])
+    plan = (
+        scan_parquet(spark, path)
+        .filter(F.col("order_year") == 1998)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with ZERO exchanges — the co-located join
+    layout for repeated big⋈big joins."""
+    from bigdatafinalproject_hockey_spark.sources.parquet import sink_bucketed_table
+
+    import shutil
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/root/repo/spark-warehouse/{t}", ignore_errors=True)
+    sink_bucketed_table(orders, "b_orders", ["o_orderkey"], 4, sort_by=["o_orderkey"])
+    sink_bucketed_table(li, "b_lineitem", ["l_orderkey"], 4, sort_by=["l_orderkey"])
+    # force the sort-merge path: at test scale the planner would rather
+    # broadcast the small side (which ignores bucketing entirely)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == li.count()
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_join_asof_semantics(spark):
+    """Inclusive as-of matching, null for rows with no prior right row,
+    and the name-collision guard."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from bigdatafinalproject_hockey_spark.operators.joins import join_asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (2, t(3), "c")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0), (1, t(9), 200.0), (2, t(4), 300.0)],
+        ["k", "rts", "val"],
+    )
+    out = {
+        r["tag"]: r
+        for r in join_asof(left, right, ["k"], "ts", "rts").collect()
+    }
+    assert out["a"]["val"] == 100.0  # equal timestamp is visible (>=)
+    assert out["b"]["val"] == 200.0  # latest prior, not first
+    assert out["c"]["val"] is None  # right row is in the future → null
+    with _pytest.raises(ValueError, match="collide"):
+        join_asof(left, right.withColumnRenamed("val", "tag"), ["k"], "ts", "rts")
+
+
 def test_sample_by_key_is_key_consistent(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sampled = sample_by_key(li, ["l_orderkey"], fraction=0.3, seed=42)
