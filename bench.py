@@ -45,8 +45,17 @@ def main() -> None:
     spark = get_session(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # JVM/codegen/scan warmup so query timings reflect steady state
-    # rather than first-touch session costs.
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # rather than first-touch session costs: exercise the vectorized
+    # parquet reader, whole-stage codegen, a hash agg, and an exchange
+    # once, on a query that is NOT in the suite.
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_tax"), F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

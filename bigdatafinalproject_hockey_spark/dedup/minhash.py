@@ -68,7 +68,14 @@ def minhash_candidate_pairs(
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=vocab_size, binary=True
     )
-    vecs = tf.transform(shingled)
+    # Persist the signature vectors: the self-join references this
+    # lineage TWICE (plus the fit pass), and shingling is the most
+    # expensive narrow stage — without the persist it runs 3×. Sparse
+    # binary vectors are compact (~|shingles| ints/doc), so this is the
+    # right trade even at corpus scale; spills to disk if not.
+    from pyspark import StorageLevel
+
+    vecs = tf.transform(shingled).persist(StorageLevel.MEMORY_AND_DISK)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

@@ -106,6 +106,39 @@ def join_expr(
     return left.join(right, cond, how)
 
 
+def join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting — the manual fix for shuffle skew
+    when one key holds a disproportionate share of the LEFT side.
+
+    Each left row gets a deterministic pseudo-random salt in
+    [0, salt); the right side is replicated ``salt`` times so every
+    (key, salt) bucket can still match. A hot key's rows now spread
+    over ``salt`` shuffle partitions instead of one straggler task.
+    Cost: right side × salt — use only when right is the smaller
+    side and AQE's skew-join splitting (which handles the same
+    problem without replication) isn't available or isn't firing,
+    e.g. for a non-sort-merge plan or a skewed aggregation feeding
+    the join.
+
+    The salt derives from a hash of the whole left row (not rand()),
+    so retried tasks salt identically — required for exactly-once
+    results under speculative execution.
+    """
+    left_s = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    right_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)]))
+    )
+    return left_s.join(right_s, [*keys, "_salt"], how).drop("_salt")
+
+
 def join_range(
     left: DataFrame,
     bands: DataFrame,

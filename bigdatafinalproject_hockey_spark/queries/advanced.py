@@ -26,6 +26,7 @@ from bigdatafinalproject_hockey_spark.streaming import (
     read_events_stream,
     run_stream_to_table,
     sessionize,
+    sliding_agg,
     tumbling_agg,
 )
 
@@ -50,6 +51,37 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode). Epoch-aligned windows match the batch time_bucket oracle."""
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_agg(stream, window_duration="1 day", watermark_delay="1 hour")
+    return run_stream_to_table(spark, agg, output_mode="complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '12 hours', ts) AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours',
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 day every 12 h) streaming aggregate: every
+    event belongs to exactly duration/slide = 2 epoch-aligned windows;
+    the oracle expands each event into both window starts and groups."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_agg(
+        stream, window_duration="1 day", slide="12 hours", watermark_delay="1 hour"
+    )
     return run_stream_to_table(spark, agg, output_mode="complete")
 
 

@@ -91,6 +91,32 @@ def tumbling_agg(
     )
 
 
+def sliding_agg(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    slide: str = "12 hours",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate: each event lands in
+    duration/slide overlapping windows (here 2). Same shape as
+    tumbling_agg; Spark expands the window set per event before the
+    keyed state update."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def run_stream_to_table(
     spark: SparkSession,
     streaming_df: DataFrame,

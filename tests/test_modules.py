@@ -250,6 +250,77 @@ def test_join_asof_semantics(spark):
         join_asof(left, right.withColumnRenamed("val", "tag"), ["k"], "ts", "rts")
 
 
+def test_join_salted_matches_plain_join(spark):
+    """Salting must be semantics-preserving: same multiset of joined
+    rows as the plain equi-join, including duplicate left keys."""
+    from bigdatafinalproject_hockey_spark.operators.joins import join_salted
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", 0), ("miss", 1)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("unmatched", 9.9)], ["k", "w"]
+    )
+    salted = join_salted(left, right, ["k"], salt=8)
+    plain = left.join(right, ["k"])
+    assert salted.count() == plain.count() == 501
+    assert sorted(salted.columns) == sorted(plain.columns)
+    hot_vs = sorted(r["v"] for r in salted.filter(F.col("k") == "hot").collect())
+    assert hot_vs == list(range(500))
+
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize("kind", ["rf", "lr", "gbt", "mlp"])
+def test_ml_all_classifiers_train_and_beat_chance(spark, kind):
+    """All four reference model configs (SURVEY.md §2.14) must train,
+    predict, and separate an easy synthetic signal."""
+    import random
+
+    from bigdatafinalproject_hockey_spark.ml import evaluate_binary, train_pipeline
+
+    rng = random.Random(42)
+    rows = []
+    for _ in range(400):
+        x1, x2 = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        label = 1.0 if x1 + 0.5 * x2 + rng.gauss(0, 0.2) > 0 else 0.0
+        rows.append((label, x1, x2, rng.uniform(-1, 1)))
+    df = spark.createDataFrame(rows, ["label", "f1", "f2", "noise"])
+    train, test = df.randomSplit([0.75, 0.25], seed=42)
+    model = train_pipeline(train, ["f1", "f2", "noise"], kind)
+    m = evaluate_binary(model.transform(test))
+    assert m.n > 50
+    assert m.accuracy > 0.7, f"{kind}: accuracy {m.accuracy}"
+    assert m.auc is not None and m.auc > 0.75, f"{kind}: auc {m.auc}"
+
+
+def test_feature_importances_topk(spark):
+    """Tree-ensemble importances must rank the true signal above noise
+    (reference code/experiment.py:39-54 surface)."""
+    import random
+
+    from bigdatafinalproject_hockey_spark.ml import (
+        feature_importances_topk,
+        train_pipeline,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            1.0 if (x := rng.uniform(-1, 1)) > 0 else 0.0,
+            x,
+            rng.uniform(-1, 1),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["label", "signal", "noise"])
+    model = train_pipeline(df, ["signal", "noise"], "rf")
+    top = feature_importances_topk(model, ["signal", "noise"], k=2)
+    assert top[0][1] == "signal"
+
+
 def test_sample_by_key_is_key_consistent(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sampled = sample_by_key(li, ["l_orderkey"], fraction=0.3, seed=42)
