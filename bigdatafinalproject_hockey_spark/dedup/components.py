@@ -1,0 +1,99 @@
+"""Connected components over a near-duplicate pair graph — turns
+pairwise candidates (from jaccard/minhash/simhash/embedding dedup)
+into DEDUP GROUPS: every document gets the min doc id of its cluster
+as component id; keep one survivor per component.
+
+Algorithm: iterative min-label propagation. Each round every node
+takes the min of its own label and its neighbors' labels; converges
+in O(component diameter) rounds. Near-dup graphs are unions of small
+dense clusters (diameter ≈ 2-4), so a handful of rounds suffice; the
+loop stops as soon as a round changes nothing.
+
+Scale notes: each round is one join + one groupBy (two shuffles) over
+the edge list. Labels are persisted per round and the previous round
+unpersisted, so lineage doesn't snowball across iterations (without
+this, round N's plan contains all N-1 predecessors and planning time
+explodes). For web-scale graphs swap in the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — same primitive ops, fewer rounds on high-degree
+skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns one row per node appearing in ``edges``: (node,
+    component_id) where component_id is the minimum node id reachable.
+    Deterministic — oracle-checkable against a recursive-CTE closure.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).persist()
+    labels = (
+        und.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("label")
+        )
+    ).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(max_iter):
+        # min label among each node's neighbors this round
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("a").alias("nm_node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.nm_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Assign every document its dedup component: min doc id of its
+    near-dup cluster, or itself if unpaired. One survivor per
+    component = ``component_id == doc_id`` rows."""
+    comps = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col))
+        .join(comps, df[id_col] == comps.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component_id"), F.col(id_col)).alias("component_id"),
+        )
+    )

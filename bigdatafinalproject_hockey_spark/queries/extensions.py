@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.dedup.components import dedup_components
 from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_groups
 from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
 from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pairs
@@ -100,6 +101,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join, integer-count division (deterministic)."""
     docs = load_table(spark, "documents", sf_dir)
     return jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct({_SQL_TOKS.format(c="text")})) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) /
+            CAST(ca.n_tok + cb.n_tok - n_inter AS DOUBLE) >= 0.8
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: iterative min-label propagation
+    (connected components) over the exact-Jaccard pair graph; every doc
+    gets its cluster's min doc id, unpaired docs themselves. The oracle
+    is a recursive-CTE transitive closure — Spark's iterative
+    join+groupBy loop must reach the identical fixpoint."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+    return dedup_components(docs, pairs)
 
 
 @register("dedup_minhash_lsh")  # Spark-seeded hashes → rows-only check
@@ -287,6 +338,59 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling-hash variant lives in functions.text.rolling_hash_expr."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", md5_fingerprint_expr("text").alias("fp"))
+
+
+@register(
+    "grouped_zscore",
+    oracle="""
+    SELECT lang, doc_id, n_chars,
+           COALESCE(ROUND((n_chars - AVG(n_chars) OVER w) /
+                          NULLIF(STDDEV_SAMP(n_chars) OVER w, 0), 6), 0.0)
+               AS zscore
+    FROM documents
+    WINDOW w AS (PARTITION BY lang)
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language z-score of doc length,
+    each group processed as one Arrow-batched pandas frame. The oracle
+    is the pure-SQL window form — the pandas path must reproduce it
+    bit-for-round(6)."""
+    from bigdatafinalproject_hockey_spark.operators.grouped import grouped_zscore
+
+    docs = load_table(spark, "documents", sf_dir)
+    return grouped_zscore(docs, ["lang"], "n_chars", "doc_id")
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+               AS l2_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — all
+    JVM-side Catalyst expressions (size/filter/aggregate/array_max),
+    no Python in the row path."""
+    from bigdatafinalproject_hockey_spark.functions.vectors import as_double_array
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sq = as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -250,6 +250,38 @@ def test_join_asof_semantics(spark):
         join_asof(left, right.withColumnRenamed("val", "tag"), ["k"], "ts", "rts")
 
 
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must reach the same partition of nodes as a
+    driver-side union-find on a graph with a chain (slow-converging),
+    a triangle, and an isolated pair."""
+    from bigdatafinalproject_hockey_spark.dedup.components import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
 def test_join_salted_matches_plain_join(spark):
     """Salting must be semantics-preserving: same multiset of joined
     rows as the plain equi-join, including duplicate left keys."""
