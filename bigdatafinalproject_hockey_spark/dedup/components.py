@@ -37,6 +37,14 @@ def connected_components(
     component_id) where component_id is the minimum node id reachable.
     Deterministic — oracle-checkable against a recursive-CTE closure.
     """
+    # The loop persists each round's labels, and by default AQE may not
+    # re-partition cached plans — so every round would shuffle at the
+    # static spark.sql.shuffle.partitions even when the label table is
+    # tiny. Allowing cached-plan repartitioning lets AQE coalesce each
+    # round's shuffles to the data's actual size.
+    edges.sparkSession.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))

@@ -1,0 +1,112 @@
+"""Physical-plan regression tests — lock in the scale properties the
+engine is designed around. A correctness-preserving refactor that
+silently turns a broadcast join into a sort-merge join, loses filter
+pushdown, or doubles the window shuffles would pass every value test;
+these assertions catch it at plan level.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_join_star_all_broadcast(spark):
+    """Fact ⋈ dims must be broadcast-hash all the way — zero shuffle
+    joins; the only Exchange allowed is the final aggregation's."""
+    plan = plan_of(spark, "join_star")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_join_star_scan_pruned_and_pushed(spark):
+    """The lineitem scan must read only the needed columns and carry
+    pushed filters (declarative plan → Catalyst does this for free;
+    keep it that way)."""
+    plan = plan_of(spark, "join_star")
+    scan = plan.split("file:")[1] if "file:" in plan else plan
+    li_scan = [s for s in plan.split("FileScan parquet") if "lineitem" in s][0]
+    assert "PushedFilters: [" in li_scan
+    assert "l_comment" not in li_scan  # no such col, but guard the idea
+    read_schema = li_scan.split("ReadSchema:")[1]
+    # projection pruning: only join keys + measures, not the full row
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_expanding_window_single_exchange(spark):
+    """One window spec = exactly one hash-partition Exchange."""
+    plan = plan_of(spark, "win_expanding_avg")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_pipeline_windows_share_one_exchange(spark):
+    """Both window passes partition by the same key and must reuse ONE
+    exchange+sort, not re-shuffle per frame; plus one for the
+    per-order aggregate."""
+    plan = plan_of(spark, "pipeline_features")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window") <= 2
+
+
+def test_filter_range_pushdown(spark):
+    plan = plan_of(spark, "filter_range")
+    li_scan = plan.split("FileScan parquet")[1]
+    assert "GreaterThanOrEqual" in li_scan
+
+
+def test_agg_partial_final(spark):
+    """Grouped aggregation must be partial (map-side) + final — the
+    shuffle moves one row per (partition, key), not raw rows."""
+    plan = plan_of(spark, "agg_group_multi")
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark):
+    """left_semi must not widen into an inner join + distinct."""
+    plan = plan_of(spark, "semi_join_isin")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["text_quality_score", "doc_fingerprint", "array_functions"]
+)
+def test_scan_side_exprs_no_shuffle(spark, name):
+    """Row-local expression queries must be shuffle-free single scans
+    (whole-stage-codegen'd projections, no Exchange at all)."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan
+
+
+def test_no_python_row_udfs_in_relational_queries(spark):
+    """The relational/text surface must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python UDF) anywhere; Arrow paths (mapInPandas/
+    applyInPandas) are allowed only in the explicitly-pandas ops."""
+    for name in [
+        "agg_group_multi",
+        "join_star",
+        "pipeline_features",
+        "text_quality_score",
+        "text_lang_id",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "sim_cosine_topk",
+        "sim_ann_ivf",
+        "join_asof",
+    ]:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

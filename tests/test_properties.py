@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the custom operators must agree
+with brute-force reference implementations on arbitrary small inputs,
+not just on the fixture shapes. Few examples per property — each
+example pays a Spark job — but each example is adversarially chosen
+(duplicate keys, equal timestamps, empty sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatafinalproject_hockey_spark.dedup.components import connected_components
+from bigdatafinalproject_hockey_spark.operators.joins import join_asof
+from bigdatafinalproject_hockey_spark.operators.windows import win_sliding
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_keys = st.integers(min_value=0, max_value=3)
+_times = st.integers(min_value=0, max_value=20)
+
+
+@SLOW
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=12, unique=True),
+    right=st.lists(st.tuples(_keys, _times), min_size=0, max_size=12, unique=True),
+)
+def test_join_asof_matches_bruteforce(spark, left, right):
+    """For every left row: value of the right row with the greatest
+    rts <= ts in the same key, or null."""
+    lschema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("ts", T.IntegerType())]
+    )
+    ldf = spark.createDataFrame([(k, t) for k, t in left], lschema)
+    rrows = [(k, t, float(k * 100 + t)) for k, t in right]
+    rdf = spark.createDataFrame(
+        rrows,
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("rts", T.IntegerType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        ),
+    )
+    got = {
+        (r["k"], r["ts"]): r["val"]
+        for r in join_asof(ldf, rdf, ["k"], "ts", "rts").collect()
+    }
+    for k, t in left:
+        cands = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t)] == want, (k, t)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(_keys, st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    lookback=st.integers(min_value=1, max_value=4),
+)
+def test_sliding_window_matches_pandas(spark, rows, lookback):
+    """rowsBetween(-N, -1) == pandas shift(1).rolling(N, min_periods=1)
+    per key, ordered by the unique row id."""
+    data = [(k, i, float(v)) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "rid", "v"])
+    out = win_sliding(
+        df,
+        partition_by=["k"],
+        order_by=["rid"],
+        measures={"m": F.avg("v")},
+        lookback=lookback,
+    )
+    got = {r["rid"]: r["m"] for r in out.collect()}
+    pdf = pd.DataFrame(data, columns=["k", "rid", "v"]).sort_values(["k", "rid"])
+    want = (
+        pdf.groupby("k")["v"]
+        .apply(lambda s: s.shift(1).rolling(lookback, min_periods=1).mean())
+        .reset_index(level=0, drop=True)
+    )
+    for rid, w in zip(pdf["rid"], want):
+        g = got[rid]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert abs(g - w) < 1e-9
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_matches_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component_id"] for r in connected_components(df).collect()
+    }
+    assert got == want
