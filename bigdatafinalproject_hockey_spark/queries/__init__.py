@@ -11,6 +11,7 @@ from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
 
 # Importing the modules populates the registry.
 from bigdatafinalproject_hockey_spark.queries import advanced  # noqa: E402,F401
+from bigdatafinalproject_hockey_spark.queries import analytics  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import core  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import extensions  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401

@@ -1,0 +1,248 @@
+"""General-analytics surface widening: pivot, set ops beyond UNION,
+the full ranking family, date arithmetic, fuzzy string matching, and
+a stream-stream interval join.
+
+Everything here is stock Catalyst (one shuffle where the semantics
+require one, none where they don't) with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.functions.numeric import (
+    fixed_point_sum,
+    fixed_point_sum_sql,
+)
+from bigdatafinalproject_hockey_spark.queries.base import register
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"COALESCE(CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+               f"CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) / 100, 0.0)"
+               f" AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user value totals spread over event-type columns.
+    The pivot value list is EXPLICIT — with it Spark plans a single
+    aggregate pass; without it an extra distinct-scan job runs first
+    (never acceptable at 100 TB)."""
+    events = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(cents))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t).cast("double") / 100, F.lit(0.0)).alias(t)
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both a finished and an
+    open order."""
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with finished orders and no open
+    ones."""
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "win_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderkey) AS quartile,
+           CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank in ONE window pass
+    (same partitioning+ordering ⇒ one exchange+sort). ntile's window
+    orders by the unique key so tile assignment is deterministic."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_id = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w_id).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(date_diff('day', o_orderdate,
+                TIMESTAMP '2000-01-01 00:00:00') AS INTEGER) AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: trunc, parts, diff, interval add.
+    DuckDB dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday —
+    normalized here to DuckDB's convention."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "str_fuzzy_match",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey,
+           CAST(levenshtein(s.s_name, c.c_name) AS INTEGER) AS edit_dist
+    FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+    WHERE levenshtein(s.s_name, c.c_name) <= 12
+    """,
+)
+def q_str_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching, blocked by nation so the pair
+    space stays bounded (the blocking discipline of every fuzzy join
+    at scale); levenshtein is a built-in on both engines."""
+    sup = load_table(spark, "supplier", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    pairs = sup.join(cust, sup.s_nationkey == cust.c_nationkey)
+    dist = F.levenshtein(F.col("s_name"), F.col("c_name"))
+    return pairs.select(
+        "s_suppkey", "c_custkey", dist.cast("int").alias("edit_dist")
+    ).filter(F.col("edit_dist") <= 12)
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id,
+           COUNT(*) AS n_purchases,
+           {fixed_point_sum_sql("p.value")} AS purchased_value
+    FROM clicks c JOIN purch p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id, c.click_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchases within 30 min),
+    run as a REAL streaming query: both sides watermarked, the join
+    condition's time bound lets Spark expire join state — unbounded
+    state otherwise. Inner joins emit eagerly, so the finite replay
+    yields exactly the batch interval-join result (aggregated after
+    materialization)."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purch = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purch,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+    )
+    mat = run_stream_to_table(spark, joined, output_mode="append")
+    return mat.groupBy(
+        F.col("c_user").alias("user_id"), "click_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        fixed_point_sum(F.col("value")).alias("purchased_value"),
+    )

@@ -219,6 +219,8 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
 
 
 def test_join_asof_semantics(spark):
