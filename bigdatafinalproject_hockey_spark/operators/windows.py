@@ -67,11 +67,16 @@ def win_expanding(
     """
     w = ordered_window(partition_by, order_by)
     end = 0 if include_current else -1
-    cols = [df[c] for c in df.columns] + [
-        _framed(agg, w, Window.unboundedPreceding, end).alias(name)
-        for name, agg in measures.items()
-    ]
-    return df.select(*cols)
+    # "*" keeps every input column without re-resolving names — robust
+    # to raw-CSV columns containing dots/spaces (reference results file
+    # has "Market_Prob.", "American Odds", FIXTURES.md §A2)
+    return df.select(
+        "*",
+        *[
+            _framed(agg, w, Window.unboundedPreceding, end).alias(name)
+            for name, agg in measures.items()
+        ],
+    )
 
 
 def win_sliding(
@@ -89,10 +94,13 @@ def win_sliding(
     """
     w = ordered_window(partition_by, order_by)
     end = 0 if include_current else -1
-    cols = [df[c] for c in df.columns] + [
-        _framed(agg, w, -lookback, end).alias(name) for name, agg in measures.items()
-    ]
-    return df.select(*cols)
+    return df.select(
+        "*",
+        *[
+            _framed(agg, w, -lookback, end).alias(name)
+            for name, agg in measures.items()
+        ],
+    )
 
 
 def win_running_sum(

@@ -121,21 +121,38 @@ def run_stream_to_table(
     spark: SparkSession,
     streaming_df: DataFrame,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and
-    return the materialized result (finite-replay semantics)."""
+    return the materialized result (finite-replay semantics).
+
+    Stateful operators allocate one state store per shuffle partition
+    for the query's whole lifetime — on an untuned session (200
+    partitions) that is 200 state stores for kilobytes of state. The
+    partition count is pinned to the session's core count while the
+    query starts (it is baked into the query at start), then restored.
+    """
+    n = state_partitions or spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     return spark.table(name)
 
 

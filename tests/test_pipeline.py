@@ -157,6 +157,25 @@ def test_temporal_split_leakage_free(pipeline_out):
     assert train.count() + test.count() == pipeline_out["matchups"].count()
 
 
+def test_cli_on_reference_sample_csvs(spark):
+    """The CLI must run the reference's own checked-in sample CSVs end
+    to end — messy headers (spaces, dots), \\N sentinels, no team map
+    (regex fallback only)."""
+    import os
+
+    ev = "/root/reference/data/Sample_NHL_EventData.csv"
+    rs = "/root/reference/data/Sample_results.csv"
+    if not (os.path.exists(ev) and os.path.exists(rs)):
+        pytest.skip("reference sample data not present")
+    from bigdatafinalproject_hockey_spark.__main__ import main
+
+    summary = main(["--events", ev, "--results", rs, "--models", "lr"], spark=spark)
+    assert summary["game_team_rows"] > 0
+    assert summary["matchups"] * 2 <= summary["game_team_rows"] + 1
+    assert summary["train"] + summary["test"] == summary["matchups"]
+    assert "lr" in summary["models"]
+
+
 def test_window_frames_match_duckdb(pipeline_out):
     """The expanding/sliding frames must match an independent engine's
     computation on the identical joined intermediate (off-by-one traps
