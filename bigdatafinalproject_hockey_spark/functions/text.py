@@ -99,3 +99,18 @@ def rolling_hash_expr(col: Column | str, base: int = 31, mod: int = 1_000_000_00
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + F.ascii(x)) % mod,
     )
+
+
+# GPT-2-style pretokenizer, ASCII-restricted so the Java (Spark) and
+# RE2 (DuckDB) regex dialects agree: a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run. The real
+# BPE merge table then splits WITHIN these pretokens, so this count is
+# the standard fast upper-anchor for "how many tokens will the
+# tokenizer emit".
+BPE_PRETOKEN_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_pretoken_count_expr(col: Column | str) -> Column:
+    """Count of BPE-style pretokens (JVM-side regexp_extract_all)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0))

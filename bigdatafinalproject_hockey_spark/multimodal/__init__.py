@@ -49,6 +49,93 @@ def decode_stub(payload: bytes) -> dict:
     )
 
 
+try:  # real codec path if available; this container has none
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+FRAME_BYTES = 256  # fake video codec: fixed-size byte frames
+
+
+def sample_frames_batched(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over 'video' payloads via mapInPandas — the
+    1→N row-expansion batch shape (one input row yields one output
+    row per sampled frame). The codec is a deterministic fake (fixed
+    256-byte frames); a real decoder (pyav/ffmpeg) slots into
+    ``_frames`` unchanged.
+
+    Output: doc_id, frame_idx, frame_md5 — hashes instead of raw
+    frame bytes so downstream shuffles move 32 bytes, not frames.
+    """
+    import hashlib
+
+    out_schema = "doc_id long, frame_idx int, frame_md5 string"
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=out_schema)
+
+
+def resize_batched(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize via mapInPandas. With PIL present, decodes and
+    resizes; in this container the codec step is a deterministic fake
+    (byte stream cycled/truncated to width*height) so the plumbing —
+    binary-in/binary-out schema, batch iteration, constant output
+    dims — is exercised for real.
+
+    Output: doc_id, media binary (w*h bytes), width int, height int.
+    """
+    out_schema = "doc_id long, media binary, width int, height int"
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["media"]:
+                b = bytes(payload)
+                if HAVE_PIL:  # pragma: no cover — not in this container
+                    raise NotImplementedError(
+                        "wire PIL.Image.open(io.BytesIO(b)).resize(...) here"
+                    )
+                resized = (
+                    (b * (target // len(b) + 1))[:target] if b else bytes(target)
+                )
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": pd.Series(out, dtype="object"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=out_schema)
+
+
 def extract_features_batched(df: DataFrame) -> DataFrame:
     """Feature extraction over media payloads via mapInPandas — the
     Arrow-batched shape a real decoder plugs into. The feature here is

@@ -20,8 +20,10 @@ from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pai
 from bigdatafinalproject_hockey_spark.dedup.simhash import simhash_near_pairs
 from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
 from bigdatafinalproject_hockey_spark.functions.text import (
+    BPE_PRETOKEN_PATTERN,
     STOPWORDS,
     avg_token_len_expr,
+    bpe_pretoken_count_expr,
     digit_ratio_expr,
     md5_fingerprint_expr,
     stopword_ratio_expr,
@@ -254,6 +256,26 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PRETOKEN_PATTERN}')) AS BIGINT)
+               AS n_bpe_pretokens
+    FROM documents
+    """,
+)
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretoken count (GPT-2 pretokenizer shape, ASCII runs)
+    — the fast upper-anchor for tokenizer cost, computed JVM-side with
+    regexp_extract_all so it stays inside whole-stage codegen."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        bpe_pretoken_count_expr("text").cast("long").alias("n_bpe_pretokens"),
+    )
+
+
 _EN_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'value']"
 
 
@@ -413,6 +435,34 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = attach_binary_payload(docs, "text", "doc_id")
     return media.select("doc_id", "n_bytes", "content_md5")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 2))
+                 AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256))
+               AS frame_md5
+    FROM idx
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling via mapInPandas (every 2nd fixed-size
+    frame; 1→N batch expansion). The payload is ASCII text bytes, so
+    the oracle can frame/hash the same content with VARCHAR substring
+    — validating the Python batch plumbing byte-for-byte."""
+    from bigdatafinalproject_hockey_spark.multimodal import sample_frames_batched
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return sample_frames_batched(media, every_n=2)
 
 
 @register("multimodal_features")  # pandas-UDF fake decoder → rows-only check

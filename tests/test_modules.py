@@ -115,6 +115,22 @@ def test_multimodal_batch_extraction(spark):
     assert out[2]["n_bytes"] == 0 and out[2]["feat_mean"] == 0.0
 
 
+def test_multimodal_resize_shapes(spark):
+    """Binary-in/binary-out resize plumbing: constant output size,
+    deterministic content, empty payload handled."""
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        attach_binary_payload,
+        resize_batched,
+    )
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], ["doc_id", "text"])
+    media = attach_binary_payload(df, "text", "doc_id")
+    out = {r["doc_id"]: r for r in resize_batched(media, 4, 2).collect()}
+    assert bytes(out[1]["media"]) == b"abcdabcd"  # cycled to 4*2
+    assert bytes(out[2]["media"]) == bytes(8)  # zero-filled
+    assert out[1]["width"] == 4 and out[1]["height"] == 2
+
+
 def test_dedup_keep_first_deterministic(spark):
     df = spark.createDataFrame(
         [(5, "same text"), (2, "same text"), (9, "other"), (7, "Same  text ")],
