@@ -10,13 +10,18 @@ dense clusters (diameter ≈ 2-4), so a handful of rounds suffice; the
 loop stops as soon as a round changes nothing.
 
 Scale notes: each round is one join + one groupBy (two shuffles) over
-the edge list. Labels are persisted per round and the previous round
-unpersisted, so lineage doesn't snowball across iterations (without
-this, round N's plan contains all N-1 predecessors and planning time
-explodes). For web-scale graphs swap in the large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) — same primitive ops, fewer rounds on high-degree
-skew.
+the edge list. Each round's labels are localCheckpoint'ed — persist
+alone is NOT enough for iterative algorithms: caching reuses the
+computed rows but round N's LOGICAL plan still contains all N-1
+predecessors, so plan objects (and the explain strings AQE renders on
+every materialization) grow geometrically and a default-heap driver
+OOMs around round 8 — while computing nothing. Checkpointing
+truncates the lineage to the materialized result. On a cluster,
+localCheckpoint trades executor-loss recoverability for speed; swap
+in reliable checkpoint(dir) if that matters. For web-scale graphs
+swap in the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — same
+primitive ops, fewer rounds on high-degree skew.
 """
 
 from __future__ import annotations
@@ -46,15 +51,19 @@ def connected_components(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Eager localCheckpoint: materializes AND truncates lineage, so
+    # every round's plan is (checkpointed edges ⋈ checkpointed labels)
+    # regardless of how expensive the upstream pair-generation was and
+    # how many rounds have run. Old checkpoint RDDs are GC'd by the
+    # ContextCleaner when the previous round's frame goes unreferenced.
     und = fwd.unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         und.select("a").distinct().select(
             F.col("a").alias("node"), F.col("a").alias("label")
         )
-    ).persist()
-    labels.count()  # materialize before the loop
+    ).localCheckpoint()
     for _ in range(max_iter):
         # min label among each node's neighbors this round
         neighbor_min = (
@@ -71,18 +80,16 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.select("node", F.col("label").alias("new_label"))
             .join(labels, "node")
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    und.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))
 
 

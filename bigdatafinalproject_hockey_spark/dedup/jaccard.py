@@ -37,11 +37,21 @@ def jaccard_pairs(
     if block_col:
         base_cols.append(F.col(block_col).alias("blk"))
     toks = ensure_parallelism(df).select(*base_cols)
-    counts = toks.select("doc", F.size("toks").cast("long").alias("n_tok"))
+
+    # Carry |tokens| on every posting row instead of joining a counts
+    # table back in afterwards: n_tok is constant per doc, so the
+    # intersection groupBy can recover it with min() — two whole joins
+    # (and two extra tokenize passes) gone. Persist the posting list:
+    # the self-join scans it twice and tokenize+explode is the
+    # expensive narrow stage above it.
+    from pyspark import StorageLevel
 
     posting = toks.select(
-        "doc", *( ["blk"] if block_col else [] ), F.explode("toks").alias("token")
-    )
+        "doc",
+        F.size("toks").cast("long").alias("n_tok"),
+        *(["blk"] if block_col else []),
+        F.explode("toks").alias("token"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = posting.alias("a")
     b = posting.alias("b")
     cond = (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc"))
@@ -50,14 +60,14 @@ def jaccard_pairs(
     inter = (
         a.join(b, cond)
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.min("a.n_tok").alias("n_a"),
+            F.min("b.n_tok").alias("n_b"),
+        )
     )
-    ca = counts.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    cb = counts.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),

@@ -1,19 +1,37 @@
 """MinHash + LSH near-duplicate candidate pairs (sub-quadratic path).
 
-Shingle → hash token sets into a sparse vector → MinHashLSH banding →
-bucket self-join. Uses pyspark.ml.feature.MinHashLSH, whose
-approxSimilarityJoin only compares documents that collide in at least
-one LSH band — the 100 TB-scale alternative to exact Jaccard's
-inverted-index join (dedup.jaccard).
+Shingle → minhash signature → banded bucket self-join, entirely in
+built-in Catalyst expressions (xxhash64 / transform / array_min /
+posexplode) — no MLlib, no per-pair Python, no UDFs. Compared to
+``pyspark.ml.feature.MinHashLSH.approxSimilarityJoin`` this
 
-Hash functions are seeded, so results are deterministic for a given
-Spark version, but not reproducible in an external SQL engine →
-checked rows-only by the driver.
+- hashes each shingle STRING once, then derives the k minhash
+  functions by re-hashing the resulting long (long-hashing is ~10×
+  cheaper than re-hashing the string k times), and
+- scores candidate pairs by signature agreement (the classic MinHash
+  Jaccard estimator, an O(k) zip_with) instead of MLlib's exact
+  set-intersection UDF over sparse vectors, which is O(|shingles|)
+  per candidate pair and runs in Python-free but codegen-free scala
+  UDF land.
+
+At 100 TB the only shuffle is the band-bucket exchange, keyed on
+(band_idx, band_hash) — uniformly distributed by construction, so no
+skew handling is needed unless the corpus contains exact-duplicate
+clusters of pathological size (those are removed by dedup.exact
+upstream first).
+
+Hashes are Spark's xxhash64 (seeded, deterministic per Spark version)
+but not reproducible in an external SQL engine → the driver checks
+this query rows-only.
+
+Capability parity: sub-quadratic near-dup candidate generation for the
+training-data-pipeline tier (SURVEY.md §2.15a); the reference itself
+has no dedup (reference `code/experiment.py` is dedup-free).
 """
 
 from __future__ import annotations
 
-from pyspark.ml.feature import HashingTF, MinHashLSH
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,51 +61,174 @@ def shingles_expr(col, n: int = 3):
     return F.array_distinct(full)
 
 
+def shingle_hashes_from_token_hashes_expr(th_col, n: int = 3):
+    """Distinct 64-bit n-gram shingle hashes from an ``array<long>`` of
+    token hashes — WITHOUT ever materializing the n-gram strings.
+
+    An n-gram's hash is the hash-combine of its n token hashes
+    (zip_with over shifted copies, xxhash64 of two longs per step).
+    Versus hashing concat_ws'd shingle strings this allocates no
+    strings and re-touches no string bytes. Hash-tuple collisions
+    stand in for string equality (negligible at 64 bits).
+
+    Take the PRE-MATERIALIZED token-hash array (its own projection),
+    not a text column: this expression references its input ~2n times,
+    and inlining tokenize+hash here would put 2n copies of it into the
+    generated code — Janino compile time is part of query latency.
+    """
+    th = F.col(th_col) if isinstance(th_col, str) else th_col
+    if n <= 1:
+        return F.array_distinct(th)
+    acc = th
+    for k in range(1, n):
+        shifted = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.xxhash64(a, b))
+    full = F.when(
+        F.size(th) >= n, F.slice(acc, 1, F.size(th) - (n - 1))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(full)
+
+
+def minhash_signature_expr(hash_array_col, num_hashes: int = 32):
+    """Array of ``num_hashes`` minhash values from a PRE-HASHED shingle
+    array (``array<long>``).
+
+    The caller materializes the one-string-hash-per-shingle array in
+    its own projection; here each of the k hash functions is
+    h_k(x) = xxhash64(base_hash, k) — the standard one-base-hash
+    family. Long re-hashing stays in whole-stage codegen and avoids k
+    passes over the string bytes. (Taking the pre-hashed array as
+    input matters: inlining the string hash here would let each of the
+    k transforms re-hash the strings.)
+    """
+    # One aggregate whose k-loop is DATA (sequence(0, k-1)), not k
+    # unrolled array_min(transform(...)) expressions: element-wise
+    # running min of the k derived hashes. Equivalent values, but the
+    # expression tree is ~k× smaller — unrolled, plan construction
+    # alone (one Py4J round-trip per node) cost ~2 s of query latency,
+    # and the generated code grew with k.
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    max_long = F.lit((1 << 63) - 1).cast("bigint")
+    return F.aggregate(
+        hash_array_col if not isinstance(hash_array_col, str) else F.col(hash_array_col),
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            # NB: single-parameter lambdas only — PySpark reads a
+            # two-parameter transform-lambda as (element, index), so a
+            # `lambda h, k=k:` default-arg capture would silently bind
+            # k to the index column instead.
+            F.transform(ks, lambda k: F.xxhash64(h, k)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_n: int = 1,
-    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
     max_jaccard_distance: float = 0.3,
-    vocab_size: int = 1 << 18,
 ) -> DataFrame:
-    """Candidate near-dup pairs with estimated Jaccard distance <= cutoff.
+    """Candidate near-dup pairs with ESTIMATED Jaccard distance <= cutoff.
 
-    Output: doc_a, doc_b, jaccard_dist. Pairs are deduped (doc_a < doc_b).
+    Output: doc_a, doc_b, jaccard_dist (1 - signature-agreement rate).
+    Pairs are deduped (doc_a < doc_b). Two docs are candidates iff all
+    ``num_hashes/num_bands`` minhashes of at least one band agree —
+    the (1/b)^(1/r) S-curve. Defaults (b=16, r=2) put the curve's
+    midpoint at sim = (1/16)^(1/2) = 0.25, i.e. ~99% collision
+    probability at sim 0.5 — matched to the dedup cutoffs this engine
+    uses. Raise rows-per-band for a sharper/stricter curve.
     """
-    # Shingling + banding + the bucket join are far more expensive per
-    # row than the scan; widen a narrow scan layout first (a 3× win at
-    # bench scale, where the corpus arrives as one parquet split).
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), shingles_expr(F.col(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    # HashingTF, not CountVectorizer: stateless feature hashing needs no
-    # vocabulary fit (no extra pass, no driver-side vocab) — at corpus
-    # scale a CountVectorizer vocab would not fit the driver at all.
-    tf = HashingTF(
-        inputCol="sh", outputCol="features", numFeatures=vocab_size, binary=True
-    )
-    # Persist the signature vectors: the self-join references this
-    # lineage TWICE (plus the fit pass), and shingling is the most
-    # expensive narrow stage — without the persist it runs 3×. Sparse
-    # binary vectors are compact (~|shingles| ints/doc), so this is the
-    # right trade even at corpus scale; spills to disk if not.
-    from pyspark import StorageLevel
+    assert num_hashes % num_bands == 0, "bands must evenly divide hashes"
+    rows_per_band = num_hashes // num_bands
 
-    vecs = tf.transform(shingled).persist(StorageLevel.MEMORY_AND_DISK)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    # Shingling + signatures are far more expensive per row than the
+    # scan; widen a narrow scan layout first (a 3× win at bench scale,
+    # where the corpus arrives as one parquet split). NO Filter node
+    # anywhere in this pre-exchange pipeline: a deterministic filter on
+    # a derived column gets predicate-pushed below the exchange with
+    # the full shingle expression substituted in — the whole tokenize/
+    # shingle pass would then run once more, single-threaded, on the
+    # scan side. Empty docs are instead dropped by the posexplode of an
+    # empty band array below.
+    # Layered projections — tokens, token hashes, shingle hashes,
+    # signature — each alias used several times by the next layer.
+    # Catalyst's CollapseProject keeps non-cheap aliases with multiple
+    # uses as separate projections, so each layer appears ONCE in the
+    # generated code (both evaluated once via codegen subexpression
+    # reuse AND compiled once — a single inlined mega-expression made
+    # Janino compilation dominate cold-query latency).
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("tk")
     )
-    lsh_model = lsh.fit(vecs)
-    pairs = lsh_model.approxSimilarityJoin(
-        vecs, vecs, max_jaccard_distance, distCol="jaccard_dist"
+    th = toks.select("doc", F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
+    hashed = th.select(
+        "doc", shingle_hashes_from_token_hashes_expr("th", shingle_n).alias("hs")
+    )
+    sig = hashed.select(
+        "doc",
+        F.size("hs").alias("n_sh"),
+        minhash_signature_expr(F.col("hs"), num_hashes).alias("sig"),
+    )
+
+    # Band hash = hash of the band's signature slice (+ band index so
+    # identical slices in different bands don't collide cross-band).
+    # Built as one transform over sequence(0, b-1), not b unrolled
+    # exprs — same plan-size rationale as the signature above.
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band)), b
+        ),
+    )
+    # Persist the exploded bucket table: the self-join scans it twice,
+    # and everything upstream (shingle + k×hash) is the expensive
+    # narrow stage. ~(1 + num_hashes + num_bands)×8 bytes per doc —
+    # compact; spills to disk if not. Shingle-less docs emit an empty
+    # band array → zero exploded rows (the filter, without a Filter).
+    # Repartition BY THE JOIN KEYS before persisting: the cached
+    # table's hash partitioning is visible to the planner, so the
+    # self-join below runs co-partitioned with ZERO further exchanges
+    # — at corpus scale the band-bucket exchange happens once here,
+    # not once per join side.
+    exploded = (
+        sig.select(
+            "doc",
+            "sig",
+            F.posexplode(
+                F.when(F.col("n_sh") > 0, band_hashes).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+        .repartition("band_idx", "band_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
     )
     return (
-        pairs.select(
-            F.col("datasetA.doc").alias("doc_a"),
-            F.col("datasetB.doc").alias("doc_b"),
-            F.col("jaccard_dist"),
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(
+                F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_dist"),
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair colliding in several bands appears once per collision;
+        # the distance is a pure function of the pair, so plain
+        # dropDuplicates (not a groupBy) is enough.
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )

@@ -80,8 +80,14 @@ def simhash_near_pairs(
     exact hamming filter afterwards. At 100 TB use all 4 rotated bands
     to avoid missing pairs that differ in the chosen band.
     """
+    from pyspark import StorageLevel
+
     fps = simhash_fingerprints(df, text_col, id_col)
-    banded = fps.withColumn("band", F.shiftrightunsigned("simhash", 48))
+    # 16 bytes/doc; the self-join scans this twice and the 64-slot vote
+    # aggregate above it is by far the most expensive stage — persist.
+    banded = fps.withColumn(
+        "band", F.shiftrightunsigned("simhash", 48)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

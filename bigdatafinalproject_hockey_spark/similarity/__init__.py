@@ -123,9 +123,16 @@ def ivf_cosine_topk(
         "cent_id",
         F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
     )
+    from pyspark import StorageLevel
+
+    # Referenced twice below (query lookup + per-cell candidates); the
+    # centroid crossJoin + ranking above it is the expensive pass —
+    # persist the compact (vid, cell, emb) assignment instead of
+    # running it twice.
     assign = (
         topk_per_group(scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], 1)
         .select("vid", F.col("cent_id").alias("cell"), "emb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q = (
         assign.join(
