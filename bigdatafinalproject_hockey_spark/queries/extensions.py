@@ -232,6 +232,63 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_near_pairs(emb, bucket_length=1.0, max_l2=1.2)
 
 
+@register(
+    "sim_knn_classify",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    s AS (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label,
+             ROUND(list_dot_product(qemb, c.emb) /
+                   (sqrt(list_dot_product(qemb, qemb)) *
+                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id <> query_id
+    ),
+    top5 AS (
+      SELECT query_id, neighbor_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM top5 GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS INTEGER) AS pred_label,
+           CAST(votes AS BIGINT) AS votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS vrnk
+      FROM votes
+    ) WHERE vrnk = 1
+    """,
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification as a dataflow: exact top-5 cosine neighbors
+    per query vector, then majority vote over neighbor labels (ties →
+    smaller label). The label lookup joins back against the corpus;
+    the tiny vote table is ranked per query. Rounded-then-ranked
+    scores keep neighbor sets engine-stable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    top = brute_force_cosine_topk(emb, queries, k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        top.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pred = win_ops.topk_per_group(
+        votes, ["query_id"], [F.col("votes").desc(), F.col("label")], 1
+    )
+    return pred.select(
+        "query_id",
+        F.col("label").cast("int").alias("pred_label"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -253,6 +310,76 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count_expr("text").cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM tk GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS dup_token_ratio,
+           ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_token_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher/C4-style filters):
+    duplicate-token mass and most-frequent-token share. One explode +
+    two hash aggregations — partial aggregation absorbs the token
+    fan-out map-side, so the shuffle carries (doc, token) counts, not
+    tokens. Token-less docs drop out (no rows from explode)."""
+    from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = (
+        docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        round6(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt").cast("double")
+        ).alias("dup_token_ratio"),
+        round6(F.max("cnt") / F.sum("cnt").cast("double")).alias("top_token_ratio"),
+    )
+
+
+@register(
+    "agg_quantile_report",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_agg_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution report per language — the corpus-stats
+    pass a training pipeline runs before choosing filter thresholds.
+    Spark's exact percentile and DuckDB's quantile_cont use the same
+    (n-1)*p linear interpolation, so values hash-match; at 100 TB
+    swap in approx_percentile and accept the sketch bound."""
+    docs = load_table(spark, "documents", sf_dir)
+    pctl = F.expr("percentile(CAST(n_chars AS DOUBLE), array(0.5D, 0.9D, 0.99D))")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        round6(pctl[0]).alias("p50_chars"),
+        round6(pctl[1]).alias("p90_chars"),
+        round6(pctl[2]).alias("p99_chars"),
     )
 
 
