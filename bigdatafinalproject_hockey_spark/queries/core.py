@@ -545,8 +545,14 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier condition, grouped revenue. Dim tables are explicitly
     broadcast — at 100 TB the lineitem side never shuffles for them."""
     li = load_table(spark, "lineitem", sf_dir)
+    # Range predicate, not year(col) == 1996: a function wrapped around
+    # the column is evaluated post-scan, while a plain range comparison
+    # reaches the parquet reader (PushedFilters) and prunes whole row
+    # groups by min/max stats — the difference between scanning one
+    # year and scanning everything at 100 TB.
     orders = load_table(spark, "orders", sf_dir).filter(
-        F.year("o_orderdate") == 1996
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     cust = load_table(spark, "customer", sf_dir)
     supp = load_table(spark, "supplier", sf_dir)

@@ -67,6 +67,26 @@ def test_filter_range_pushdown(spark):
     assert "GreaterThanOrEqual" in li_scan
 
 
+def test_join_star_orders_filter_pushed(spark):
+    """The one-year orders filter must be a RANGE predicate that
+    reaches the parquet reader (row-group pruning) — wrapping the
+    column in year() would demote it to a post-scan filter."""
+    plan = plan_of(spark, "join_star")
+    o_scan = [s for s in plan.split("FileScan parquet") if "orders" in s][0]
+    assert "GreaterThanOrEqual(o_orderdate" in o_scan
+    assert "LessThan(o_orderdate" in o_scan
+
+
+def test_minhash_self_join_copartitioned(spark):
+    """The band-bucket self-join must consume the cached bucket table's
+    hash partitioning directly: no Exchange between the in-memory scans
+    and the join (the one band-key exchange happens before the cache)."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    top = plan.split("InMemoryRelation")[0]
+    # above the cache boundary: only the dropDuplicates exchange
+    assert top.count("Exchange hashpartitioning") <= 1
+
+
 def test_agg_partial_final(spark):
     """Grouped aggregation must be partial (map-side) + final — the
     shuffle moves one row per (partition, key), not raw rows."""
