@@ -905,6 +905,58 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.select("o_orderkey", "order_year")
 
 
+@register(
+    "split_hash",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+              + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+                 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible-at-scale alternative to seeded randomSplit: membership
+    is a pure function of the key, so it is stable across engines,
+    Spark versions, partitionings, and reruns, and a late-arriving doc
+    doesn't reshuffle anyone else's split. Built on md5 + ascii
+    arithmetic (not xxhash64) precisely so any engine can reproduce
+    it."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register("sample_stratified")  # Spark-seeded Bernoulli draws → rows-only check
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling with explicit fractions (sampleBy): the
+    balanced-mix primitive — downsample dominant languages, keep rare
+    ones whole. Seeded, deterministic within Spark; per-row Bernoulli
+    draws are engine-specific, hence rows-only."""
+    docs = load_table(spark, "documents", sf_dir)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (1.0 if i % 2 else 0.25) for i, lang in enumerate(sorted(langs))}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # §2.11 scalar function coverage (json on props)
 # ---------------------------------------------------------------------------
