@@ -27,6 +27,7 @@ from bigdatafinalproject_hockey_spark.streaming import (
     run_stream_to_table,
     sessionize,
     sliding_agg,
+    stream_dedup,
     tumbling_agg,
 )
 
@@ -83,6 +84,23 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, window_duration="1 day", slide="12 hours", watermark_delay="1 hour"
     )
     return run_stream_to_table(spark, agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup as a REAL streaming query: the source is
+    self-unioned so every event arrives twice; watermarked
+    dropDuplicates emits each exactly once (append mode). Surviving
+    copies are byte-identical, so the output value-matches the plain
+    batch table regardless of which copy won."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream_dedup(stream, watermark_delay="1 hour")
+    return run_stream_to_table(spark, deduped, output_mode="append")
 
 
 @register(

@@ -156,6 +156,27 @@ def run_stream_to_table(
     return spark.table(name)
 
 
+def stream_dedup(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming deduplication — the incremental-ingest dedup a
+    training pipeline runs at the door: exactly-once semantics over an
+    at-least-once source. Duplicates are injected by self-unioning the
+    source (two scans of the same replay), so every event arrives
+    twice and must be emitted once.
+
+    The dedup key includes the event-time column ON PURPOSE: with the
+    watermark that lets Spark EVICT state older than the watermark —
+    keyed on event_id alone the state store grows forever. Exact
+    duplicate copies share the timestamp, so including ts loses no
+    dedup power for at-least-once replays.
+    """
+    dup = events.unionByName(events)
+    return (
+        dup.withWatermark("ts", watermark_delay)
+        .dropDuplicates(["event_id", "ts"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (event count, fixed-point value total), one
