@@ -381,3 +381,58 @@ def test_sample_by_key_is_key_consistent(spark, sf_dir):
     assert joined.filter(F.col("count") != F.col("full")).count() == 0
     frac = samp_counts.count() / full_counts.count()
     assert 0.2 < frac < 0.4
+
+
+def test_minhash_signature_slots_are_independent(spark):
+    """Regression guard for the transform-lambda arity trap: a
+    two-parameter lambda is read as (element, index), which once bound
+    the per-slot hash seed to the array index and silently collapsed
+    all k minhash functions into one (every signature slot identical —
+    LSH degraded to a single hash table). Distinct slots must disagree
+    somewhere on a multi-shingle doc."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_signature_expr,
+        shingle_hashes_from_token_hashes_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog and runs away fast",)],
+        ["text"],
+    )
+    toks = df.select(F.split(F.lower("text"), " ").alias("tk"))
+    th = toks.select(F.transform("tk", lambda t: F.xxhash64(t)).alias("th"))
+    hs = th.select(shingle_hashes_from_token_hashes_expr("th", 3).alias("hs"))
+    sig = hs.select(minhash_signature_expr(F.col("hs"), 16).alias("sig")).collect()[0][
+        "sig"
+    ]
+    assert len(sig) == 16
+    assert len(set(sig)) > 1, "all minhash slots identical — seed not varying"
+
+
+def test_minhash_recall_on_synthetic_near_dups(spark):
+    """Planted near-duplicates (small token edits) must be recovered;
+    unrelated docs must not pair. End-to-end guard on the banding
+    S-curve + signature estimator."""
+    from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pairs
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    rows = [
+        (1, base),
+        (2, base.replace("echo", "exx")),          # near-dup of 1
+        (3, base.replace("tango", "tzz")),         # near-dup of 1
+        (4, "one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+        (5, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            df, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
