@@ -490,6 +490,98 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_document_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_SQL_TOKS.format(c="text")} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, x)))
+                    AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_r,
+             CASE WHEN len(toks) > 0 THEN
+               1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS dup_r,
+             md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM t
+    ),
+    kept AS (
+      SELECT * FROM m
+      WHERE n_tokens >= 20 AND stop_r >= 0.05 AND dup_r <= 0.65
+    ),
+    surv AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(stop_r, 6) AS stopword_ratio,
+           ROUND(dup_r, 6) AS dup_token_ratio,
+           CASE WHEN (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                      + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+                     % 100 < 90
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM surv
+    """,
+)
+def q_pipeline_document_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation flow a pretraining pipeline runs,
+    composed from this engine's operators in ONE dataflow: tokenize →
+    language/quality scoring (stopword ratio, within-doc duplicate-
+    token mass) → threshold filter → exact-dedup survivors (min doc_id
+    per normalized-text fingerprint) → deterministic hash split.
+
+    Scale shape: everything before the survivor window is a row-local
+    projection on the scan (no shuffle); the only exchange is the
+    fingerprint window — at 100 TB that is one shuffle keyed by a
+    uniformly-distributed md5, no skew. Filters run BEFORE the
+    shuffle, so rejected docs never move."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window
+
+    from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+
+    t = docs.select("doc_id", "lang", "text", tokens_expr(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS["en"]))
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0)).alias("stop_r"),
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_r"),
+        md5_fingerprint_expr("text").alias("fp"),
+    )
+    kept = m.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stop_r") >= 0.05) & (F.col("dup_r") <= 0.65)
+    )
+    surv = kept.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))) % 100
+    return surv.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        round6(F.col("stop_r")).alias("stopword_ratio"),
+        round6(F.col("dup_r")).alias("dup_token_ratio"),
+        F.when(bucket < 90, "train").otherwise("heldout").alias("split"),
+    )
+
+
+@register(
     "grouped_zscore",
     oracle="""
     SELECT lang, doc_id, n_chars,
