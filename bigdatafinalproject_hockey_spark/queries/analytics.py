@@ -124,6 +124,41 @@ def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_range_interval",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS trailing_7d_value
+    FROM events
+    """,
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user trailing-7-day value sum. The
+    frame is bounded by the ORDER-KEY VALUE (an interval on ts), not a
+    row count — the reference only uses ROWS frames (SURVEY §2.7), so
+    this covers the value-bounded family. RANGE includes peers, so
+    same-timestamp rows get identical sums regardless of physical
+    order; the summed measure rides int64 cents for cross-engine
+    bit-determinism."""
+    events = load_table(spark, "events", sf_dir)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.expr(
+                "sum(cast(round(value * 100) as bigint)) over ("
+                "partition by user_id order by ts "
+                "range between interval 7 day preceding and current row)"
+            ).cast("double")
+            / 100.0
+        ).alias("trailing_7d_value"),
+    )
+
+
+@register(
     "date_functions",
     oracle="""
     SELECT o_orderkey,
