@@ -684,6 +684,34 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_batched(media, every_n=2)
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           32 AS width, 16 AS height,
+           md5(substring(repeat(text, CAST(512 / length(text) AS INTEGER) + 1),
+                         1, 512)) AS resized_md5
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize batch plumbing via mapInPandas (binary in → fixed
+    w*h binary out; deterministic cycle/truncate standing in for the
+    codec). Hashing the resized payload makes the Python batch path
+    byte-checkable against a VARCHAR repeat/substring oracle — empty
+    payloads are exercised by unit tests instead, keeping the oracle
+    on printable bytes."""
+    from bigdatafinalproject_hockey_spark.multimodal import resize_batched
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    out = resize_batched(media, width=32, height=16)
+    return out.select(
+        "doc_id", "width", "height", F.md5("media").alias("resized_md5")
+    )
+
+
 @register("multimodal_features")  # pandas-UDF fake decoder → rows-only check
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
