@@ -124,6 +124,35 @@ def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of agg_pivot): four measure
+    columns melt to (key, measure, value) rows. Spark's built-in
+    unpivot expands rows scan-side with no shuffle — the long form is
+    what per-measure aggregation/plotting pipelines consume. Values
+    pass through untouched, so the UNION-ALL oracle matches exactly."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
     "win_range_interval",
     oracle="""
     SELECT event_id, user_id, ts,
