@@ -124,3 +124,39 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["component_id"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_shared=st.integers(min_value=0, max_value=30),
+    n_only_a=st.integers(min_value=1, max_value=30),
+    n_only_b=st.integers(min_value=1, max_value=30),
+)
+def test_minhash_estimator_tracks_exact_jaccard(spark, n_shared, n_only_a, n_only_b):
+    """The signature-agreement Jaccard estimate must track the exact
+    token-set Jaccard within the k=32 sampling bound (sigma ~ 0.09;
+    0.35 is ~4 sigma, flake-free). Guards against hash functions that
+    are secretly correlated or constant."""
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_signature_expr,
+    )
+
+    a_toks = [f"s{i}" for i in range(n_shared)] + [f"a{i}" for i in range(n_only_a)]
+    b_toks = [f"s{i}" for i in range(n_shared)] + [f"b{i}" for i in range(n_only_b)]
+    exact = n_shared / (n_shared + n_only_a + n_only_b)
+    df = spark.createDataFrame([(1, a_toks), (2, b_toks)], ["doc", "tk"])
+    th = df.select(
+        "doc", F.transform("tk", lambda t: F.xxhash64(t)).alias("th")
+    )
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in th.select(
+            "doc", minhash_signature_expr(F.col("th"), 32).alias("sig")
+        ).collect()
+    }
+    est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 32.0
+    assert abs(est - exact) <= 0.35
