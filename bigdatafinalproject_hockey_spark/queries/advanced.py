@@ -141,6 +141,25 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + explicit-schema JSONL scan: the pretraining-corpus
+    interchange format (one document object per line). Values must
+    round-trip losslessly against the parquet original — exercises
+    JSON escaping of arbitrary text payloads and null handling."""
+    from bigdatafinalproject_hockey_spark.sources.jsonl import scan_jsonl, sink_jsonl
+
+    path = os.path.join(TMP_DIR, "jsonl_roundtrip_documents")
+    df = load_table(spark, "documents", sf_dir)
+    sink_jsonl(df, path)
+    return scan_jsonl(spark, path, SCHEMAS["documents"])
+
+
+@register(
     "scan_csv_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -164,6 +164,35 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube are
+    sugar for: exactly the listed grouping combinations, still one
+    shuffle (rows are expanded per set map-side, then a single hash
+    aggregate). Here: per-flag and per-status marginals WITHOUT the
+    pair-level or grand-total rows."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               SUM(l_quantity) AS sum_qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        li=li,
+    )
+
+
 @register("agg_approx")  # sketch internals are engine-specific → rows-only
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct counts + Greenwald-Khanna quantiles per
