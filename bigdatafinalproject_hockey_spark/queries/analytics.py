@@ -124,6 +124,31 @@ def q_win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props payload into a real
+    map<string,int> column, then map_keys / element_at / size — the
+    typed-map path for semi-structured columns (vs string-side
+    get_json_object in json_extract)."""
+    events = load_table(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.map_keys(m)[0].alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
     "reshape_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
