@@ -384,6 +384,48 @@ def q_agg_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_tokens",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk GROUP BY token
+    )
+    SELECT token, tf, df FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk
+      FROM stats
+    ) WHERE rnk <= 50
+    """,
+)
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by term frequency with
+    document frequency — the heavy-hitters pass behind vocabulary
+    building and stopword discovery. Exact counts via one explode +
+    partial-agg shuffle; ties break on the token so ranking is
+    engine-stable. At 100 TB swap the exact count for a count-min /
+    freqItems sketch and keep the same contract."""
+    from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    stats = tk.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    # global top-k via orderBy+limit, NOT a global window: Catalyst
+    # plans TakeOrderedAndProject (per-partition heaps + driver merge
+    # of k rows), no single-partition shuffle.
+    return stats.orderBy(F.col("tf").desc(), "token").limit(50).select(
+        "token", "tf", "df"
+    )
+
+
+@register(
     "text_bpe_token_count",
     oracle=f"""
     SELECT doc_id,
