@@ -13,6 +13,7 @@ from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
 from bigdatafinalproject_hockey_spark.queries import advanced  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import analytics  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import core  # noqa: E402,F401
+from bigdatafinalproject_hockey_spark.queries import curation  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import extensions  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 

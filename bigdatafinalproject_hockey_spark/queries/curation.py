@@ -1,0 +1,473 @@
+"""Corpus-curation queries, round 2 of the training-data surface:
+unigram-LM quality scoring, benchmark-contamination checking, TF-IDF
+keyword extraction, segment-level dedup, PII scrubbing, grouped
+correlation stats, a streaming session-window aggregate, and an ORC
+round-trip.
+
+Like queries/extensions.py these go beyond the reference's own
+operators (SURVEY.md §2.15a); every query here is DuckDB
+oracle-checked. All token handling shares functions.text.tokens_expr
+so Spark and the oracle tokenize identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
+from bigdatafinalproject_hockey_spark.dedup.minhash import shingles_expr
+from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
+from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
+from bigdatafinalproject_hockey_spark.queries.base import register
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+TMP_DIR = "/root/repo/.tmp"
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model quality score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    v AS (SELECT token, COUNT(*) AS tf FROM tk GROUP BY token),
+    tot AS (SELECT SUM(tf) AS corpus_n FROM v),
+    vw AS (
+      SELECT token, log10(tf / CAST(corpus_n AS DOUBLE)) AS logp
+      FROM v CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM tk JOIN vw USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus unigram LM (the KenLM-perplexity stand-in of
+    CCNet-style quality filters): pass 1 builds the vocabulary with
+    corpus-wide token frequencies, pass 2 scores each document by its
+    mean log10 unigram probability. The vocabulary is tiny relative to
+    the corpus (heavy-tailed), so it broadcasts — the scoring join is
+    map-side, and the only shuffles are the two hash aggregations.
+    Token-less documents drop out (no tokens to score)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("corpus_n"))
+    vw = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log10(F.col("tf") / F.col("corpus_n").cast("double")).alias("logp"),
+    )
+    return tk.join(F.broadcast(vw), "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        round6(F.avg("logp")).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination check
+# ---------------------------------------------------------------------------
+
+_SQL_3GRAMS = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len({t})-1), "
+    "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2]))) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, {_SQL_3GRAMS.format(t="toks")} AS grams FROM t),
+    bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id < 10),
+    ev AS (SELECT doc_id, len(grams) AS n_grams, grams FROM sh WHERE doc_id >= 10),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM ev),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hit
+      FROM ex JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT ev.doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CASE WHEN n_grams > 0
+                 THEN COALESCE(n_hit, 0) / CAST(n_grams AS DOUBLE)
+                 ELSE 0.0 END, 6) AS contamination_ratio
+    FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: docs with doc_id < 10 stand in
+    for a held-out eval set; every other document reports how many of
+    its distinct word 3-grams appear anywhere in the benchmark set —
+    the n-gram-overlap decontamination pass run before pretraining.
+    The benchmark gram set is small by construction, so it broadcasts
+    and the scan side never shuffles its exploded grams — the only
+    wide exchange is the per-doc hit count."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("grams")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.size("grams").alias("n_grams"), "grams"
+    )
+    hits = (
+        ev.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        ev.drop("grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            round6(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf,
+             ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN ndocs
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword/topic-extraction
+    pass of a curation pipeline. Document frequencies come from the
+    already-aggregated (doc, token) counts (no second explode), the
+    tiny df table broadcasts back onto them, and the per-doc top-k is
+    one row_number window. Scores are rounded before ranking with a
+    token tiebreaker so the selected rows are engine-stable."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    tf = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            round6(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    top = topk_per_group(
+        scored, ["doc_id"], [F.col("score").desc(), F.col("token")], 3
+    )
+    return top.select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                      "score", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# segment-level dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_segments",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks)/20.0) AS BIGINT))) AS seg_idx
+      FROM t
+    ),
+    seg AS (
+      SELECT doc_id, seg_idx,
+             md5(array_to_string(toks[seg_idx*20+1 : seg_idx*20+20], ' ')) AS fp
+      FROM idx
+    ),
+    r AS (
+      SELECT doc_id, seg_idx,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (CCNet/RefinedWeb-style) dedup: each document is
+    chunked into consecutive 20-token segments, segments are
+    fingerprinted, and only the corpus-wide FIRST occurrence of each
+    fingerprint survives (order: doc_id, position). Reports per-doc
+    segment and survivor counts. The chunking is pure array math on
+    the scan (no shuffle); the global first-occurrence pass is one
+    window keyed by the uniformly-distributed fingerprint — the same
+    single-shuffle shape as exact doc-level dedup, just at segment
+    granularity."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_expr(F.col("text"))
+    nseg = F.ceil(F.size(toks) / F.lit(20)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 20 + 1, 20))),
+    )
+    seg = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "fp")
+    )
+    r = seg.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id", "seg_idx")),
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_kept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Shared Java/RE2 regexes (ASCII \b semantics identical in both).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+# Deterministic PII injection (same expression both engines) — the
+# synthetic corpus has no real PII, so the scrubber is exercised on
+# planted markers with known counts.
+_SQL_PII_TEXT = (
+    "text || ' contact user' || doc_id || '@example.com or call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789'"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_SQL_PII_TEXT} AS pii_text FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(pii_text, '{_SSN_RE}')) AS n_ssns,
+             len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_SSN_RE}', '<SSN>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ssns AS BIGINT) AS n_ssns,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, SSNs, phone numbers) — the privacy
+    scrub every training-data pipeline runs before release. PII
+    markers are planted deterministically (the synthetic corpus has
+    none), then counted and replaced with typed placeholder tags via
+    JVM-side regexp_replace — whole-stage codegen, no Python in the
+    row path. The scrubbed payload is md5'd so redaction output is
+    byte-checked cross-engine, not just counted."""
+    docs = load_table(spark, "documents", sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    p = docs.select("doc_id", pii_text.alias("pii_text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
+            _SSN_RE,
+            "<SSN>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return p.select(
+        "doc_id",
+        F.regexp_count(F.col("pii_text"), F.lit(_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("pii_text"), F.lit(_SSN_RE)).cast("long").alias(
+            "n_ssns"
+        ),
+        F.regexp_count(F.col("pii_text"), F.lit(_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped correlation stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group second-moment statistics (stddev, Pearson
+    correlation) — the feature-screening pass before model training.
+    All four aggregates ride ONE partial+final hash aggregation
+    (Spark's corr/stddev use mergeable moment accumulators, so the
+    map-side combine works at any scale); outputs are bounded
+    magnitudes (ratios, means) so round(6) is merge-order-safe."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        round6(F.avg("l_quantity")).alias("avg_qty"),
+        round6(F.stddev_samp("l_quantity")).alias("std_qty"),
+        round6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a REAL Structured Streaming query:
+    watermarked session_window (30-min gap) over the file replay,
+    complete-mode memory sink. Unlike fixed windows the session state
+    MERGES as events arrive (sessions extend and coalesce); the final
+    result must still equal the batch gaps-and-islands oracle — the
+    same oracle as the batch sessionize_events, proving batch/stream
+    parity of the engine's sessionization semantics."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+        session_agg,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = session_agg(stream, gap="30 minutes", watermark_delay="1 hour")
+    return run_stream_to_table(spark, sess, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + explicit-schema ORC scan round-trip — the second
+    columnar interchange format after parquet (both support predicate
+    pushdown + column pruning in Spark's vectorized readers). Values
+    must survive losslessly against the parquet original."""
+    from bigdatafinalproject_hockey_spark.sources.orc import scan_orc, sink_orc
+
+    path = os.path.join(TMP_DIR, "orc_roundtrip_documents")
+    df = load_table(spark, "documents", sf_dir)
+    sink_orc(df, path)
+    return scan_orc(spark, path, SCHEMAS["documents"])

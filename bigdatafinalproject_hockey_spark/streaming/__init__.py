@@ -222,6 +222,37 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """STREAMING gap-based sessionization: watermarked session_window
+    over a streaming frame. Session state merges as events arrive —
+    two open sessions for a user coalesce when a bridging event lands
+    — and the watermark lets Spark finalize + evict sessions whose
+    close precedes it, keeping state bounded on unbounded streams.
+    Same output shape as the batch ``sessionize``."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col(user_col),
+            "first_ts",
+            "last_ts",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", user_col: str = "user_id"
 ) -> DataFrame:
