@@ -111,6 +111,55 @@ def test_scan_side_exprs_no_shuffle(spark, name):
     assert "Exchange" not in plan
 
 
+def test_unigram_logprob_vocab_broadcast(spark):
+    """The vocabulary→scoring join must be broadcast (the vocab table
+    is tiny vs the token stream) — a sort-merge here would shuffle
+    every token of the corpus."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_df_table_broadcast(spark):
+    """Document-frequency and corpus-size tables broadcast onto the
+    (doc, token) counts; no shuffle join anywhere."""
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_bench_broadcast(spark):
+    """The benchmark gram set must broadcast; the evaluated corpus's
+    exploded grams must never be the build/shuffle side."""
+    plan = plan_of(spark, "text_contamination")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_segments_two_exchanges(spark):
+    """Segment chunking is scan-local array math; the only wide stages
+    are the first-occurrence window (keyed by fingerprint) and the
+    per-doc rollup — exactly two exchanges."""
+    plan = plan_of(spark, "dedup_segments")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_pii_scrub_shuffle_free(spark):
+    """PII redaction is a pure row-local projection — no Exchange, no
+    Python in the row path (regexp_replace stays in codegen)."""
+    plan = plan_of(spark, "text_pii_scrub")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corr_stats_partial_final(spark):
+    """Moment-based aggregates (corr/stddev) must combine map-side:
+    partial + final HashAggregate around a single exchange."""
+    plan = plan_of(spark, "agg_corr_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_no_python_row_udfs_in_relational_queries(spark):
     """The relational/text surface must stay JVM-side: no BatchEvalPython
     (row-at-a-time Python UDF) anywhere; Arrow paths (mapInPandas/
