@@ -450,6 +450,112 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-mixture sampling
+# ---------------------------------------------------------------------------
+
+# Per-language token quotas (the "data mixing weights" of a
+# pretraining run, scaled to a fixed token budget). Unknown → 0.
+_MIX_QUOTAS = {"en": 6000, "de": 2000, "es": 2000, "fr": 2000, "zh": 1500}
+
+_SQL_QUOTA = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_QUOTAS.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKS.format(c="text")}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c
+    WHERE cum_tokens <= {_SQL_QUOTA}
+    """,
+)
+def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: allocate a per-language token quota
+    (the data-mixing weights of a pretraining run) and fill each
+    quota deterministically — docs ordered by md5(doc_id) (a seedless
+    engine-reproducible shuffle), running token count per language,
+    keep while under quota. One window shuffle keyed by language;
+    the quota lookup is a literal map expression (the reference's
+    map_literal_lookup pattern, code/experiment.py:272-274). At
+    100 TB the md5 ordering also rebalances skewed languages across
+    the sort — no hot partition beyond the language key itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    quota = F.create_map(
+        *[F.lit(x) for kv in _MIX_QUOTAS.items() for x in kv]
+    )[F.col("lang")]
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.filter(
+        F.col("cum_tokens") <= F.coalesce(quota, F.lit(0))
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental upsert (foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest with exactly-once TABLE semantics: the
+    events replay arrives TWICE (two files → two micro-batches);
+    foreachBatch dedups within the batch and anti-joins against the
+    parquet sink before appending, so the second pass inserts zero
+    rows. This is the idempotent-upsert pattern for continuously
+    landing training data into a lake table without a transactional
+    format. The read-back must equal the plain batch table."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        foreach_batch_upsert,
+        read_events_stream_replayed,
+    )
+
+    stream = read_events_stream_replayed(spark, sf_dir, copies=2)
+    return foreach_batch_upsert(
+        spark,
+        stream.select("event_id", "ts", "user_id", "event_type", "value"),
+        sink_path=os.path.join(TMP_DIR, "upsert_sink_events"),
+        key_cols=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORC round-trip
 # ---------------------------------------------------------------------------
 

@@ -222,6 +222,77 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def read_events_stream_replayed(
+    spark: SparkSession, sf_dir: str, copies: int = 2
+) -> DataFrame:
+    """Events file-stream where the SAME table arrives ``copies``
+    times as separate files — with maxFilesPerTrigger=1 each copy is
+    its own micro-batch, modeling an at-least-once source that
+    re-delivers whole partitions (a rewound kafka offset, a re-run
+    ingest job)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    stage = f"/root/repo/.tmp/stream_replay{copies}_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(copies):
+        link = os.path.join(stage, f"events_{i}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def foreach_batch_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    sink_path: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Exactly-once upsert into a plain parquet table via foreachBatch:
+    per micro-batch, drop in-batch duplicate keys, anti-join against
+    what the sink already holds, append only the novel rows. Returns
+    the final read-back.
+
+    This is the non-transactional idempotent-ingest pattern — at
+    production scale the same foreachBatch body targets a table format
+    with real MERGE (Delta/Iceberg) and the anti-join becomes a keyed
+    merge; the dataflow shape is identical. The sink read inside the
+    batch is cheap while the table is small; for big tables keep a
+    bloom-filter/key-index sidecar instead of re-scanning the sink.
+    """
+    import shutil
+
+    shutil.rmtree(sink_path, ignore_errors=True)
+    checkpoint = sink_path + "_ckpt"
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    schema = stream_df.schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.dropDuplicates(key_cols)
+        if os.path.isdir(sink_path) and any(
+            f.endswith(".parquet") for f in os.listdir(sink_path)
+        ):
+            existing = spark.read.schema(schema).parquet(sink_path).select(key_cols)
+            b = b.join(existing, key_cols, "left_anti")
+        b.write.mode("append").parquet(sink_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(schema).parquet(sink_path)
+
+
 def session_agg(
     events: DataFrame,
     gap: str = "30 minutes",
