@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_ivf",          # coarse-quantized ANN (scale path)
     "text_quality_score",
+    "dedup_segments",       # segment-level dedup (curation path)
+    "pipeline_document_curation",  # composed corpus-curation flow
 ]
 
 

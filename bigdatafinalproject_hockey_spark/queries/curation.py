@@ -262,8 +262,13 @@ def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens_expr(F.col("text"))
     nseg = F.ceil(F.size(toks) / F.lit(20)).cast("int")
+    # Guard nseg=0: sequence(0, -1) is DESCENDING in Spark ([0, -1]),
+    # which would fabricate two segments for a token-less doc.
+    idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     segs = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
+        idx,
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 20 + 1, 20))),
     )
     seg = docs.select(

@@ -1,0 +1,146 @@
+"""Edge-case unit tests for the curation operators — the corners the
+sf0.01 oracle parity can't reach: empty/short documents, quota-zero
+languages, scrub idempotence, replay-count invariance of the upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_dedup_segments_short_and_empty_docs(spark, monkeypatch):
+    """Docs shorter than one segment form a single (partial) segment;
+    token-less docs emit no segments at all; identical short docs
+    dedup to one survivor."""
+    from bigdatafinalproject_hockey_spark.queries import curation
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta", "en", "s", 10),
+            (2, "alpha beta", "en", "s", 10),  # exact dup of 1
+            (3, "", "en", "s", 0),  # token-less
+            (4, "gamma", "en", "s", 5),
+        ],
+    )
+    monkeypatch.setattr(curation, "load_table", lambda spark, name, sf_dir: df)
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"])
+        for r in QUERIES["dedup_segments"](spark, "ignored").collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)  # fingerprint already seen at doc 1
+    assert 3 not in out  # no tokens → no segments → no row
+    assert out[4] == (1, 1)
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text must change nothing (placeholder
+    tags contain no scrubbable patterns) — the property that makes the
+    redaction pass safe to re-run over partially-processed data."""
+    from bigdatafinalproject_hockey_spark.queries.curation import (
+        _EMAIL_RE,
+        _PHONE_RE,
+        _SSN_RE,
+    )
+
+    df = spark.createDataFrame(
+        [("a user7@example.com b 555-0042 c 123-45-6789 d",)], "t string"
+    )
+
+    def scrub(col):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"), _SSN_RE, "<SSN>"
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        )
+
+    row = df.select(
+        scrub(F.col("t")).alias("once"), scrub(scrub(F.col("t"))).alias("twice")
+    ).first()
+    assert row["once"] == "a <EMAIL> b <PHONE> c <SSN> d"
+    assert row["once"] == row["twice"]
+
+
+def test_training_mix_quota_semantics(spark, monkeypatch):
+    """Quota fill must (a) never exceed the language quota, (b) take
+    docs in md5(doc_id) order, (c) drop languages with no quota
+    entirely."""
+    from bigdatafinalproject_hockey_spark.queries import curation
+
+    # 4 en docs of 3 tokens each; quota en=6000 admits all. A fake
+    # lang 'xx' has no quota and must vanish.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s", 5),
+            (2, "d e f", "en", "s", 5),
+            (3, "g h i", "xx", "s", 5),
+        ],
+    )
+    monkeypatch.setattr(curation, "load_table", lambda spark, name, sf_dir: df)
+    rows = QUERIES["pipeline_training_mix"](spark, "ignored").collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en"}
+    by_doc = {r["doc_id"]: r["cum_tokens"] for r in rows}
+    assert set(by_doc) == {1, 2}
+    assert max(by_doc.values()) == 6  # running sum over both docs
+
+
+def test_training_mix_quota_is_binding(spark, monkeypatch):
+    """With a corpus bigger than the quota, the kept token mass must
+    sit within one document of the quota boundary (keep-while-under
+    semantics: the first doc crossing the line is dropped)."""
+    from bigdatafinalproject_hockey_spark.queries import curation
+
+    df = _docs(
+        spark,
+        [(i, "tok " * 100, "en", "s", 400) for i in range(100)],  # 100 docs × 100 toks
+    )
+    monkeypatch.setattr(curation, "load_table", lambda spark, name, sf_dir: df)
+    rows = QUERIES["pipeline_training_mix"](spark, "ignored").collect()
+    total = sum(r["n_tokens"] for r in rows)
+    quota = curation._MIX_QUOTAS["en"]
+    assert total <= quota
+    assert total > quota - 100  # within one doc of the boundary
+
+
+def test_foreach_batch_upsert_replay_invariant(spark):
+    """3× replay must land the same table as 2× replay: the anti-join
+    makes re-delivery a no-op regardless of how often the source
+    rewinds."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        foreach_batch_upsert,
+        read_events_stream_replayed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    out = {}
+    for copies in (2, 3):
+        s = read_events_stream_replayed(spark, sf, copies=copies).select(cols)
+        t = foreach_batch_upsert(
+            spark,
+            s,
+            sink_path=f"/root/repo/.tmp/upsert_replay{copies}",
+            key_cols=["event_id"],
+        )
+        out[copies] = t.count()
+    assert out[2] == out[3]
+    # exact row count equals the base table (each event exactly once)
+    import duckdb
+
+    base = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert out[2] == base
