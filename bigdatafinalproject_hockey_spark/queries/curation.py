@@ -566,6 +566,28 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_parquet_compacted",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_sink_parquet_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction job: the documents table is first
+    scattered across 64 tiny files (simulating streaming-ingest
+    debris), then rewritten into target-sized files chosen from the
+    input's actual compressed byte size — the standing maintenance
+    pass of any lake table. Values must survive the two rewrites
+    untouched; the file-count collapse is asserted in unit tests."""
+    from bigdatafinalproject_hockey_spark.sources.parquet import compact_parquet
+
+    src = os.path.join(TMP_DIR, "compact_src_documents")
+    dst = os.path.join(TMP_DIR, "compact_dst_documents")
+    docs = load_table(spark, "documents", sf_dir)
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    return compact_parquet(spark, src, dst, target_file_bytes=128 * 1024 * 1024)
+
+
+@register(
     "scan_orc_roundtrip",
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents

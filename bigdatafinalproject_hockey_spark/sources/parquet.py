@@ -47,3 +47,29 @@ def sink_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-files compaction: rewrite a parquet directory into files
+    sized near ``target_file_bytes`` and return the compacted
+    read-back.
+
+    Streaming ingest (per-trigger appends) and over-parallel writes
+    leave thousands of KB-sized files; every later scan then pays one
+    task + one open per file and loses row-group-sized IO. Compaction
+    is the standing maintenance job of any lake table. File count is
+    chosen from the ACTUAL byte size of the input (Spark's own
+    relation sizing), not row counts — compressed bytes are what IO
+    cost tracks. repartition (round-robin shuffle) balances output
+    sizes regardless of input skew.
+    """
+    src = spark.read.parquet(src_path)
+    total_bytes = src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int((int(total_bytes) + target_file_bytes - 1) // target_file_bytes))
+    src.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return spark.read.parquet(dst_path)

@@ -160,6 +160,31 @@ def test_corr_stats_partial_final(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_document_curation_single_shuffle(spark):
+    """The composed curation flow (score → filter → dedup-survivor →
+    hash split) must run on exactly ONE exchange — the fingerprint
+    window; scoring and filtering stay on the scan side of it."""
+    plan = plan_of(spark, "pipeline_document_curation")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_tokens_uses_topk_not_global_sort(spark):
+    """Global top-50 must plan TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows) — never a single-partition total
+    sort of the whole vocabulary."""
+    plan = plan_of(spark, "text_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_training_mix_single_shuffle(spark):
+    """Quota fill = one window exchange keyed by language; the quota
+    lookup is a folded literal map, not a join."""
+    plan = plan_of(spark, "pipeline_training_mix")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
 def test_no_python_row_udfs_in_relational_queries(spark):
     """The relational/text surface must stay JVM-side: no BatchEvalPython
     (row-at-a-time Python UDF) anywhere; Arrow paths (mapInPandas/
