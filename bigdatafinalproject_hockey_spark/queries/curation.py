@@ -78,6 +78,76 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BIGRAMS = (
+    "CASE WHEN len({t}) >= 2 THEN "
+    "list_transform(range(1, len({t})), "
+    "i -> concat_ws(' ', {t}[i], {t}[i+1])) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    inst AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS.format(t="toks")}) AS bigram FROM t
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM inst GROUP BY bigram),
+    hist AS (
+      SELECT split_part(bigram, ' ', 1) AS w, SUM(c_bg) AS c_hist
+      FROM bgc GROUP BY 1
+    ),
+    lp AS (
+      SELECT bigram, log10(c_bg / CAST(c_hist AS DOUBLE)) AS logp
+      FROM bgc JOIN hist ON split_part(bigram, ' ', 1) = w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM inst JOIN lp USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM document score — one order up from
+    text_unigram_logprob: P(w_i | w_(i-1)) = c(bigram) / c(history),
+    histories counted over bigram starts so the model is properly
+    normalized. Doc score = mean log10 conditional probability over
+    its bigram instances. Same scale shape as the unigram pass: the
+    bigram/history model tables are corpus-level-small, broadcast
+    onto the instance stream; shuffles only for the model-building
+    aggregations. Docs with <2 tokens drop out."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    bgs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = docs.select("doc_id", F.explode(bgs).alias("bigram"))
+    bgc = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    hist = bgc.groupBy(
+        F.substring_index("bigram", " ", 1).alias("w")
+    ).agg(F.sum("c_bg").alias("c_hist"))
+    lp = bgc.join(
+        F.broadcast(hist), F.substring_index("bigram", " ", 1) == F.col("w")
+    ).select(
+        "bigram",
+        F.log10(F.col("c_bg") / F.col("c_hist").cast("double")).alias("logp"),
+    )
+    return inst.join(F.broadcast(lp), "bigram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        round6(F.avg("logp")).alias("avg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark contamination check
 # ---------------------------------------------------------------------------
