@@ -525,6 +525,68 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ordered funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, view_ts, click_ts, purchase_ts
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, the first view, the first click
+    AFTER that view, and the first purchase AFTER that click (strict
+    event-order funnel, not mere co-occurrence). Three conditional-min
+    aggregations chained by user-keyed joins — every stage keeps the
+    same user_id partitioning, so Catalyst reuses one exchange layout
+    instead of re-shuffling per stage; no window needed."""
+    events = load_table(spark, "events", sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-mixture sampling
 # ---------------------------------------------------------------------------
 
