@@ -335,3 +335,117 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         fixed_point_sum(F.col("value")).alias("purchased_value"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit full-partition frame —
+    the session-anchor features (entry value, exit value, second
+    touch) of user journey analysis. The explicit frame matters:
+    Spark's DEFAULT window frame ends at the current row, which makes
+    last_value a silent identity — a classic correctness trap this
+    query pins down. One exchange + one sort, values pass through
+    untouched (bit-exact cross-engine)."""
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, {fixed_point_sum_sql("value")} AS click_total
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, {fixed_point_sum_sql("value")} AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(click_total, 0.0) AS click_total,
+           COALESCE(purchase_total, 0.0) AS purchase_total
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: per-user click vs purchase totals,
+    keeping users present on either side with coalesced keys and
+    zero-defaulted measures — the ledger-reconciliation join shape.
+    Both inputs aggregate on the join key first, so the outer join
+    consumes two co-partitioned streams (no re-shuffle beyond the
+    aggs); money rides int64 fixed-point."""
+    events = load_table(spark, "events", sf_dir)
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(fixed_point_sum(F.col("value")).alias("click_total"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(fixed_point_sum(F.col("value")).alias("purchase_total"))
+    )
+    return (
+        c.alias("c")
+        .join(
+            p.alias("p"),
+            F.col("c.user_id") == F.col("p.user_id"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.coalesce("click_total", F.lit(0.0)).alias("click_total"),
+            F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+        )
+    )
+
+
+@register(
+    "agg_windowed_distinct",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: exact COUNT(DISTINCT) per epoch-aligned
+    tumbling window. Catalyst expands the distinct into a two-level
+    aggregate (partial per (window, user) then per window), so the
+    shuffle carries deduplicated pairs, not raw events; at 100 TB
+    swap in approx_count_distinct (agg_approx) and keep the shape."""
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_users", "n_events"
+        )
+    )
