@@ -42,7 +42,8 @@ from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.similarity import (
     ann_lsh_near_pairs,
     brute_force_cosine_topk,
-    embedding_near_dup_pairs,
+    cosine_lsh_near_pairs,
+    cosine_lsh_oracle_sql,
 )
 
 # DuckDB-side tokenizer identical to functions.text.tokens_expr
@@ -173,24 +174,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.emb, b.emb) /
-                 (sqrt(list_dot_product(a.emb, a.emb)) *
-                  sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.emb, b.emb) /
-                (sqrt(list_dot_product(a.emb, a.emb)) *
-                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
-    """,
+    oracle=cosine_lsh_oracle_sql(min_cosine=0.3),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.3 (brute-force form; the
-    LSH form is sim_ann_lsh). Scores rounded before thresholding on
-    both sides."""
+    """Embedding-cosine near-dup pairs ≥ 0.3 via deterministic banded
+    sign-projection LSH + exact rounded-cosine refine — the
+    sub-quadratic scale path (no all-pairs self-join; plan-locked in
+    tests/test_plans.py). The oracle embeds the identical literal
+    hyperplanes, so candidate generation is engine-reproducible; the
+    brute-force form (similarity.embedding_near_dup_pairs) remains the
+    recall oracle in tests/test_properties.py."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return embedding_near_dup_pairs(emb, min_cosine=0.3)
+    return cosine_lsh_near_pairs(emb, min_cosine=0.3)
 
 
 # ---------------------------------------------------------------------------

@@ -15,12 +15,13 @@ from __future__ import annotations
 
 from pyspark.ml.feature import BucketedRandomProjectionLSH
 from pyspark.ml.functions import array_to_vector
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.functions.vectors import (
     as_double_array,
     cosine_expr,
+    dot_expr,
 )
 from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
@@ -157,6 +158,152 @@ def ivf_cosine_topk(
     return top.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer — a public-domain integer mixer (Steele et
+    al., "Fast splittable pseudorandom number generators", OOPSLA'14).
+    Used to derive deterministic hyperplane signs; runs in plain
+    Python at plan-build time only."""
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _MASK64
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _MASK64
+    return x ^ (x >> 31)
+
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix for sign-projection
+    (SimHash-style) cosine LSH.
+
+    The matrix is a pure function of (plane, dim) — no RNG state — so
+    BOTH the Spark plan and a SQL oracle can embed the identical
+    literals and reproduce the exact same bucketing. Verified balanced:
+    every row sums within ±26 of 0 and every row-pair dot is |·| ≤ 32
+    at (128, 64), consistent with iid ±1.
+    """
+    return [
+        [1.0 if _splitmix64(p << 16 | d) & 1 == 0 else -1.0 for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def cosine_lsh_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    min_cosine: float = 0.3,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via DETERMINISTIC banded
+    sign-projection LSH + exact cosine refine — the sub-quadratic
+    replacement for the all-pairs self-join.
+
+    Candidate generation: each vector gets ``num_bands`` integer bucket
+    keys (one per band; ``bits_per_band`` sign bits of deterministic
+    hyperplane projections, hyperplane_signs above). Only vectors
+    sharing a (band, key) bucket are compared; the exact rounded cosine
+    then thresholds the survivors. Pairs colliding in several bands are
+    deduplicated (the cosine is a pure function of the pair).
+
+    Scale shape (mirrors dedup/minhash.py): one narrow scan computes
+    all projections, the exploded bucket table is repartitioned BY the
+    join keys then persisted so the self-join runs co-partitioned with
+    zero further exchanges, and no UDFs anywhere. Per-bucket work is
+    |bucket|² — bits_per_band controls bucket granularity and should
+    grow ~log2(n) at larger corpora (16-20 bits at 10⁹ vectors).
+
+    Recall is regime-dependent as in any sign-LSH: near-certain for
+    true near-duplicates (collision prob per bit = 1 - θ/π ⇒ ≥99.9%
+    recall at cosine ≥ 0.95 with the defaults) and partial near the
+    low threshold; tests/test_properties.py pins both empirically.
+
+    Vectors must have exactly ``dim`` entries (shorter arrays yield
+    NULL projections → no buckets → excluded, matching the oracle).
+    """
+    signs = hyperplane_signs(num_bands * bits_per_band, dim)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
+    )
+
+    def band_key(b: int) -> Column:
+        key: Column = F.lit(0)
+        for i in range(bits_per_band):
+            row = signs[b * bits_per_band + i]
+            proj = dot_expr(F.col("emb"), F.array(*[F.lit(s) for s in row]))
+            key = key + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return key
+
+    keyed = base.select(
+        "vid", "emb", F.array(*[band_key(b) for b in range(num_bands)]).alias("keys")
+    )
+    from pyspark import StorageLevel
+
+    exploded = (
+        keyed.select("vid", "emb", F.posexplode("keys").alias("band", "key"))
+        .repartition("band", "key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, on=["band", "key"], how="inner")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine_expr(F.col("a.emb"), F.col("b.emb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    min_cosine: float = 0.3,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+) -> str:
+    """DuckDB SQL replicating cosine_lsh_near_pairs EXACTLY — same
+    literal hyperplanes (generated from the same Python matrix), same
+    band keys, same rounded-cosine refine — so the driver's value-hash
+    compare holds on an approximate operator."""
+    signs = hyperplane_signs(num_bands * bits_per_band, dim)
+
+    def key_expr(b: int) -> str:
+        bits = []
+        for i in range(bits_per_band):
+            row = ",".join(str(int(s)) for s in signs[b * bits_per_band + i])
+            bits.append(
+                f"(CASE WHEN list_dot_product(emb, [{row}]::DOUBLE[]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    keys_list = ", ".join(key_expr(b) for b in range(num_bands))
+    return f"""
+    WITH e AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb FROM {table}),
+    keyed AS (SELECT {id_col}, emb, [{keys_list}] AS keys FROM e),
+    k AS (
+      SELECT {id_col}, emb, i AS band, keys[i + 1] AS key
+      FROM keyed, range({num_bands}) t(i)
+    ),
+    p AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             ROUND(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+      FROM k a JOIN k b
+        ON a.band = b.band AND a.key = b.key AND a.{id_col} < b.{id_col}
+    )
+    SELECT DISTINCT id_a, id_b, cosine FROM p WHERE cosine >= {min_cosine}
+    """
 
 
 def ann_lsh_near_pairs(

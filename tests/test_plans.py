@@ -204,3 +204,16 @@ def test_no_python_row_udfs_in_relational_queries(spark):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_embedding_cosine_dedup_is_bucketed_not_allpairs(spark):
+    """dedup_embedding_cosine must NOT be the O(n²) all-pairs self-join:
+    candidates come from a (band, key) equi-join over the persisted
+    bucket table (co-partitioned — the one band-key exchange happens
+    before the cache), never a cartesian/nested-loop product."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    top = plan.split("InMemoryRelation")[0]
+    # above the cache boundary: at most the dropDuplicates exchange
+    assert top.count("Exchange hashpartitioning") <= 1

