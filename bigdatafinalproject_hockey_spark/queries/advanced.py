@@ -17,6 +17,7 @@ from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
 from bigdatafinalproject_hockey_spark.ml import (
     baselines,
     evaluate_binary,
+    feature_importances_topk,
     train_pipeline,
 )
 from bigdatafinalproject_hockey_spark.operators.sampling import split_temporal
@@ -177,13 +178,14 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_csv(spark, path, SCHEMAS["customer"])
 
 
-@register("ml_train_eval")  # model internals → rows-only check
-def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end ML surface: features from the star schema, temporal
-    split, logistic regression (reference config shape, fewer iters at
-    test scale), SINGLE-PASS confusion-matrix evaluation + baselines
-    (vs the reference's six jobs, SURVEY.md §3.3). Returns one metrics
-    row."""
+def _ml_train_eval(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Shared body for the four classifier queries: features from the
+    star schema, temporal split, train with the reference's
+    hyperparameters (ml.classifier / ml.mlp_classifier,
+    reference code/experiment.py:697-785), SINGLE-PASS confusion-matrix
+    evaluation + baselines (vs the reference's six jobs, SURVEY.md
+    §3.3). Tree ensembles also report their top feature importance
+    (reference code/experiment.py:39-54). Returns one metrics row."""
     orders = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     per_order = li.groupBy("l_orderkey").agg(
@@ -200,11 +202,12 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train, test = split_temporal(data, "order_year")
     feats = ["f_qty", "f_disc", "f_price", "f_lines"]
-    model = train_pipeline(train, feats, "lr")
+    model = train_pipeline(train, feats, kind)
     preds = model.transform(test).cache()
     m = evaluate_binary(preds)
     base = baselines(test)
     row = {
+        "model": kind,
         "n_test": float(m.n),
         "accuracy": m.accuracy,
         "precision": m.precision,
@@ -214,4 +217,44 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline_majority": base["majority"],
         "baseline_weighted": base["weighted_random"],
     }
-    return spark.createDataFrame([row])
+    if kind in ("rf", "gbt"):
+        imp, name = feature_importances_topk(model, feats, k=1)[0]
+        row["top_feature"] = name
+        row["top_feature_importance"] = float(imp)
+    else:
+        row["top_feature"] = None
+        row["top_feature_importance"] = None
+    schema = (
+        "model string, n_test double, accuracy double, precision double, "
+        "recall double, f1 double, auc double, baseline_majority double, "
+        "baseline_weighted double, top_feature string, "
+        "top_feature_importance double"
+    )
+    return spark.createDataFrame([row], schema=schema)
+
+
+@register("ml_train_eval")  # model internals → rows-only check
+def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (reference code/experiment.py:743-758)."""
+    return _ml_train_eval(spark, sf_dir, "lr")
+
+
+@register("ml_train_eval_rf")  # model internals → rows-only check
+def q_ml_train_eval_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random forest, numTrees=200 maxDepth=10 seed=42 (reference
+    code/experiment.py:697-710), with top feature importance."""
+    return _ml_train_eval(spark, sf_dir, "rf")
+
+
+@register("ml_train_eval_gbt")  # model internals → rows-only check
+def q_ml_train_eval_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted trees, maxIter=100 maxDepth=8 (reference
+    code/experiment.py:711-742), with top feature importance."""
+    return _ml_train_eval(spark, sf_dir, "gbt")
+
+
+@register("ml_train_eval_mlp")  # model internals → rows-only check
+def q_ml_train_eval_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilayer perceptron, layers [n, 64, 32, 2] (reference
+    code/experiment.py:767-785)."""
+    return _ml_train_eval(spark, sf_dir, "mlp")
