@@ -46,10 +46,25 @@ def connected_components(
     # re-partition cached plans — so every round would shuffle at the
     # static spark.sql.shuffle.partitions even when the label table is
     # tiny. Allowing cached-plan repartitioning lets AQE coalesce each
-    # round's shuffles to the data's actual size.
-    edges.sparkSession.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-    )
+    # round's shuffles to the data's actual size. Restored to its prior
+    # value after the loop — a shared session's other plans must not
+    # inherit it.
+    conf = edges.sparkSession.conf
+    conf_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prior = conf.get(conf_key, None)
+    conf.set(conf_key, "true")
+    try:
+        return _propagate_min_labels(edges, src, dst, max_iter)
+    finally:
+        if prior is None:
+            conf.unset(conf_key)
+        else:
+            conf.set(conf_key, prior)
+
+
+def _propagate_min_labels(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Eager localCheckpoint: materializes AND truncates lineage, so
     # every round's plan is (checkpointed edges ⋈ checkpointed labels)
@@ -64,6 +79,7 @@ def connected_components(
             F.col("a").alias("node"), F.col("a").alias("label")
         )
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         # min label among each node's neighbors this round
         neighbor_min = (
@@ -90,6 +106,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        # Exhausted max_iter before the fixed point: some component has
+        # diameter > max_iter and its labels are NOT final — silent
+        # wrong survivors downstream. Fail loudly; callers that accept
+        # partial convergence can raise max_iter instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing) — a component has "
+            f"diameter > {max_iter}; raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component_id"))
 
 

@@ -49,14 +49,6 @@ def decode_stub(payload: bytes) -> dict:
     )
 
 
-try:  # real codec path if available; this container has none
-    from PIL import Image  # noqa: F401
-
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
-
-
 FRAME_BYTES = 256  # fake video codec: fixed-size byte frames
 
 
@@ -100,11 +92,13 @@ def sample_frames_batched(df: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def resize_batched(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize via mapInPandas. With PIL present, decodes and
-    resizes; in this container the codec step is a deterministic fake
-    (byte stream cycled/truncated to width*height) so the plumbing —
-    binary-in/binary-out schema, batch iteration, constant output
-    dims — is exercised for real.
+    """Image resize via mapInPandas. The codec step is UNCONDITIONALLY
+    the deterministic fake (byte stream cycled/truncated to
+    width*height) — the fixture payloads are text bytes, not decodable
+    images, so a real decoder must come with real media and slots in at
+    the marked line (PIL.Image.open(io.BytesIO(b)).resize((w, h))).
+    Gating on library presence alone (the old HAVE_PIL branch) was
+    wrong: installing PIL must not change results on fake payloads.
 
     Output: doc_id, media binary (w*h bytes), width int, height int.
     """
@@ -116,10 +110,7 @@ def resize_batched(df: DataFrame, width: int = 32, height: int = 32) -> DataFram
             out = []
             for payload in pdf["media"]:
                 b = bytes(payload)
-                if HAVE_PIL:  # pragma: no cover — not in this container
-                    raise NotImplementedError(
-                        "wire PIL.Image.open(io.BytesIO(b)).resize(...) here"
-                    )
+                # real-codec swap point: decode+resize b here
                 resized = (
                     (b * (target // len(b) + 1))[:target] if b else bytes(target)
                 )

@@ -129,7 +129,17 @@ def join_salted(
     The salt derives from a hash of the whole left row (not rand()),
     so retried tasks salt identically — required for exactly-once
     results under speculative execution.
+
+    Only LEFT-preserving joins are allowed: the right side is
+    replicated ``salt``×, so right/full (and right_semi/right_anti)
+    would emit every unmatched right row once per replica.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"join_salted: how={how!r} is not semantics-preserving under "
+            f"right-side replication; use one of {sorted(allowed)}"
+        )
     left_s = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     )
@@ -222,18 +232,28 @@ def join_asof(
         .orderBy(F.col("_t"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the most recent right row as ONE struct, not column-by-
+    # column: independent last(col, ignorenulls=True) per payload
+    # column would stitch values from DIFFERENT right rows whenever
+    # the most recent row holds a NULL payload — true ASOF semantics
+    # (DuckDB ASOF JOIN) return the single most recent row including
+    # its NULLs. The struct is non-null exactly on right rows, so one
+    # last(ignorenulls) takes the whole row atomically.
+    rrow = F.when(
+        F.col("_is_left") == 0,
+        F.struct(F.col("_rt"), *[F.col(c) for c in right_payload]),
+    )
     carried = l_tagged.unionByName(r_tagged).select(
         *keys,
         "_t",
         "_is_left",
         *left_payload,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
-        F.last("_rt", ignorenulls=True).over(w).alias(right_time),
+        F.last(rrow, ignorenulls=True).over(w).alias("_rrow"),
     )
     return carried.filter(F.col("_is_left") == 1).select(
         *keys,
         F.col("_t").alias(left_time),
         *left_payload,
-        F.col(right_time),
-        *right_payload,
+        F.col("_rrow._rt").alias(right_time),
+        *[F.col(f"_rrow.{c}").alias(c) for c in right_payload],
     )

@@ -701,6 +701,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT), 2))
                  AS frame_idx
       FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     )
     SELECT doc_id,
            CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -711,12 +712,17 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling via mapInPandas (every 2nd fixed-size
-    frame; 1→N batch expansion). The payload is ASCII text bytes, so
-    the oracle can frame/hash the same content with VARCHAR substring
-    — validating the Python batch plumbing byte-for-byte."""
+    frame; 1→N batch expansion). The Python path frames UTF-8 BYTES
+    while the oracle's VARCHAR substring counts CHARACTERS, so both
+    sides filter to ASCII payloads (bytes == chars) — an explicit
+    contract instead of a latent divergence; this DuckDB has no blob
+    substring/md5 to frame true bytes. A no-op on the fixtures
+    (asserted ASCII-only in tests/test_modules.py)."""
     from bigdatafinalproject_hockey_spark.multimodal import sample_frames_batched
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.octet_length("text") == F.length("text")
+    )
     media = attach_binary_payload(docs, "text", "doc_id")
     return sample_frames_batched(media, every_n=2)
 
@@ -730,18 +736,23 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          1, 512)) AS resized_md5
     FROM documents
     WHERE length(text) > 0
+      AND octet_length(encode(text)) = length(text)
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-resize batch plumbing via mapInPandas (binary in → fixed
     w*h binary out; deterministic cycle/truncate standing in for the
     codec). Hashing the resized payload makes the Python batch path
-    byte-checkable against a VARCHAR repeat/substring oracle — empty
-    payloads are exercised by unit tests instead, keeping the oracle
-    on printable bytes."""
+    byte-checkable against a VARCHAR repeat/substring oracle; both
+    sides filter to non-empty ASCII payloads (bytes == chars — the
+    Python path cycles BYTES, the oracle repeats CHARACTERS; see
+    multimodal_frame_sample). Empty payloads are exercised by unit
+    tests instead."""
     from bigdatafinalproject_hockey_spark.multimodal import resize_batched
 
-    docs = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    docs = load_table(spark, "documents", sf_dir).filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
     media = attach_binary_payload(docs, "text", "doc_id")
     out = resize_batched(media, width=32, height=16)
     return out.select(

@@ -202,8 +202,14 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             n += len(pdf)
             v = pdf["value"].to_numpy(dtype="float64")
-            # half-away-from-zero on non-negative values == HALF_UP
-            cents += int(np.floor(v * 100.0 + 0.5).sum())
+            # half-away-from-zero (sign-aware), matching cents_expr and
+            # DuckDB ROUND for negative values too: floor(|v|+0.5) on
+            # the magnitude, then restore the sign. Plain
+            # floor(v*100+0.5) is half-up toward +inf and disagrees at
+            # e.g. -1.005 (-100 vs -101 cents).
+            cents += int(
+                np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v).sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {

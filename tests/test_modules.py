@@ -436,3 +436,90 @@ def test_minhash_recall_on_synthetic_near_dups(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_join_asof_takes_most_recent_row_atomically(spark):
+    """ASOF must return the single most recent right row INCLUDING its
+    NULLs (DuckDB ASOF semantics) — never stitch a NULL payload cell
+    from an older right row (per-column last(ignorenulls) bug)."""
+    import datetime as dt
+
+    from bigdatafinalproject_hockey_spark.operators.joins import join_asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, t(10), "b")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, t(5), 100.0, "old"), (1, t(9), None, "new")],
+        "k int, rts timestamp, val double, src string",
+    )
+    row = join_asof(left, right, ["k"], "ts", "rts").collect()[0]
+    assert row["src"] == "new"
+    assert row["val"] is None  # the most recent row's NULL, not 100.0
+
+
+def test_join_salted_rejects_right_preserving_joins(spark):
+    """Right-side replication breaks right/full semantics — must raise."""
+    from bigdatafinalproject_hockey_spark.operators.joins import join_salted
+
+    left = spark.createDataFrame([("a", 1)], ["k", "v"])
+    right = spark.createDataFrame([("a", 2.0)], ["k", "w"])
+    for how in ("right", "full", "outer", "right_outer"):
+        with _pt.raises(ValueError, match="semantics-preserving"):
+            join_salted(left, right, ["k"], salt=4, how=how)
+    assert join_salted(left, right, ["k"], salt=4, how="left").count() == 1
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component with diameter > max_iter must fail loudly, not
+    return silently-wrong labels; the AQE cached-plan conf must be
+    restored either way."""
+    from bigdatafinalproject_hockey_spark.dedup.components import (
+        connected_components,
+    )
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prior = spark.conf.get(key, None)
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    assert spark.conf.get(key, None) == prior
+    # and a sufficient max_iter still converges to one component
+    out = connected_components(df, max_iter=10).collect()
+    assert {r["component_id"] for r in out} == {0}
+    assert spark.conf.get(key, None) == prior
+
+
+def test_stateful_cents_rounding_matches_cents_expr_on_negatives(spark):
+    """The streaming state accumulator's numpy rounding must agree with
+    cents_expr / DuckDB ROUND (half away from zero) for NEGATIVE values
+    too: -1.005 → -101 cents, not -100."""
+    import numpy as np
+
+    from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr
+
+    vals = [-1.005, -2.5, -0.005, -0.004, 3.5, 1.005, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    spark_cents = [
+        r["c"] for r in df.select(cents_expr(F.col("value")).alias("c")).collect()
+    ]
+    v = np.array(vals, dtype="float64")
+    np_cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v).astype("int64")
+    assert spark_cents == list(np_cents)
+
+
+def test_document_fixtures_are_ascii():
+    """The multimodal oracles compare byte-framing (Python) against
+    character-framing (DuckDB VARCHAR); both sides filter to ASCII
+    rows, and this pins that the filter is currently a NO-OP — if a
+    future fixture adds non-ASCII documents, this fails visibly
+    instead of silently shrinking the compared row set."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('/root/testdata/sf{sf}/documents.parquet') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} non-ASCII documents"
