@@ -14,11 +14,16 @@ posexplode) — no MLlib, no per-pair Python, no UDFs. Compared to
   per candidate pair and runs in Python-free but codegen-free scala
   UDF land.
 
-At 100 TB the only shuffle is the band-bucket exchange, keyed on
-(band_idx, band_hash) — uniformly distributed by construction, so no
-skew handling is needed unless the corpus contains exact-duplicate
-clusters of pathological size (those are removed by dedup.exact
-upstream first).
+At 100 TB the shuffles are the fingerprint exchange (exact-dup
+collapse, below) and the band-bucket exchange, both keyed on uniform
+hashes. Exact-duplicate clusters are the pathological skew case for
+banded LSH — n identical docs share every band hash, putting an
+n²-pair bucket in one task. minhash_candidate_pairs therefore
+COLLAPSES token-identical docs first (64-bit fingerprint of the
+sorted shingle-hash set): copies link to their representative via
+star edges (n-1 rows, jaccard_dist 0) and only representatives enter
+the banded self-join. The emitted pair set is reduced but its
+transitive closure — what dedup components consume — is identical.
 
 Hashes are Spark's xxhash64 (seeded, deterministic per Spark version)
 but not reproducible in an external SQL engine → the driver checks
@@ -142,6 +147,18 @@ def minhash_candidate_pairs(
     midpoint at sim = (1/16)^(1/2) = 0.25, i.e. ~99% collision
     probability at sim 0.5 — matched to the dedup cutoffs this engine
     uses. Raise rows-per-band for a sharper/stricter curve.
+
+    Skew hardening: token-identical docs (equal sorted shingle-hash
+    sets, 64-bit fingerprint) are collapsed BEFORE banding — each
+    exact cluster emits star edges (min-id representative → copy,
+    jaccard_dist 0.0) and only its representative enters the banded
+    self-join, so a 10⁴-copy cluster costs 10⁴-1 output rows instead
+    of a single ~5×10⁷-pair straggler bucket
+    (tests/test_properties.py pins the timing). The pair set is
+    REDUCED relative to all-pairs — copies reach their near-dups
+    transitively through their representative — with an identical
+    transitive closure, which is what dedup_components consumes.
+    Empty docs (no shingles) still never pair.
     """
     assert num_hashes % num_bands == 0, "bands must evenly divide hashes"
     rows_per_band = num_hashes // num_bands
@@ -173,7 +190,34 @@ def minhash_candidate_pairs(
         "doc",
         F.size("hs").alias("n_sh"),
         minhash_signature_expr(F.col("hs"), num_hashes).alias("sig"),
+        # content fingerprint: equal distinct-shingle SETS ⇒ equal
+        # fingerprint (sorted before hashing); 64-bit collisions are
+        # the same risk class as the shingle hashing itself.
+        F.xxhash64(F.array_sort("hs")).alias("fp"),
     )
+
+    # Exact-dup collapse: one fingerprint-keyed exchange over the
+    # COMPACT (doc, n_sh, sig, fp) rows — the heavy shingle arrays
+    # never shuffle. Persisted because both the star-edge branch and
+    # the representative branch read it; min-over-window (not a
+    # groupBy+join) keeps it one shuffle.
+    from pyspark.sql.window import Window
+
+    tagged = (
+        sig.withColumn("rep", F.min("doc").over(Window.partitionBy("fp")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Star edges for exact clusters; empty docs (n_sh=0) share a
+    # fingerprint but are NOT duplicates of each other — excluded, as
+    # they are from banding.
+    exact_edges = tagged.filter(
+        (F.col("n_sh") > 0) & (F.col("doc") != F.col("rep"))
+    ).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(0.0).alias("jaccard_dist"),
+    )
+    sig = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
 
     # Band hash = hash of the band's signature slice (+ band index so
     # identical slices in different bands don't collide cross-band).
@@ -216,7 +260,7 @@ def minhash_candidate_pairs(
             lambda m: m,
         )
     )
-    return (
+    near_pairs = (
         a.join(b, on=["band_idx", "band_hash"], how="inner")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(
@@ -232,3 +276,4 @@ def minhash_candidate_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
+    return near_pairs.unionByName(exact_edges)

@@ -202,3 +202,38 @@ def test_cosine_lsh_recall_on_planted_near_dups(spark):
     # found pairs are genuine (same rounded cosine as brute force)
     for pair, cos in found.items():
         assert pair in exact and abs(cos - exact[pair]) < 1e-9
+
+
+def test_minhash_survives_pathological_exact_dup_cluster(spark):
+    """A 10⁴-copy exact-duplicate cluster must NOT form a quadratic
+    band bucket (~5×10⁷ pairs in one task): the fingerprint collapse
+    emits exactly n-1 star edges at distance 0 and bands only the
+    representative. Wall-clock bound keeps a regression visible —
+    pre-fix this shape runs for minutes; post-fix, seconds."""
+    import time
+
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_candidate_pairs,
+    )
+
+    n_copies = 10_000
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(n_copies)]
+    # plus a near-dup pair of distinct docs to prove the LSH path still runs
+    rows += [(20_000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (20_001, "alpha beta gamma delta epsilon zeta eta theta kappa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    t0 = time.time()
+    pairs = minhash_candidate_pairs(
+        df, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+    ).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"straggler bucket suspected: {elapsed:.0f}s"
+
+    star = [(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard_dist"] == 0.0]
+    assert sorted(star) == [(0, i) for i in range(1, n_copies)]
+    near = {(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard_dist"] > 0.0}
+    assert (20_000, 20_001) in near
+    # reduced pair set: n-1 star edges + the near pair, nothing quadratic
+    assert len(pairs) < n_copies + 10
