@@ -73,33 +73,70 @@ def hamming_expr(a: Column, b: Column) -> Column:
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup candidate pairs by simhash hamming distance.
+    """Near-dup pairs by simhash hamming distance — EXACTLY complete
+    within the radius.
 
-    Candidate generation blocks on the high 16 bits of the fingerprint
-    (a 4-band LSH over the simhash) so the self-join is not quadratic;
-    exact hamming filter afterwards. At 100 TB use all 4 rotated bands
-    to avoid missing pairs that differ in the chosen band.
+    Candidate generation uses pigeonhole banding (Manku, Jain &
+    Sarma, "Detecting near-duplicates for web crawling", WWW'07): the
+    64 fingerprint bits split into ``max_hamming + 1`` contiguous
+    blocks, so any pair within ``max_hamming`` flips agrees EXACTLY on
+    at least one block and must collide in its bucket — candidate
+    recall is 1.0 by construction, not probabilistically. The exact
+    hamming filter then trims the candidates. (The previous form
+    blocked on one fixed 16-bit band and silently missed most pairs
+    whose flips touched it — caught by the recall property test.)
+
+    Scale: block width = 64/(k+1) bits caps bucket selectivity; for
+    large k the buckets coarsen toward all-pairs (the semantics do
+    too). Same co-partitioned persist pattern as dedup/minhash.py:
+    the one bucket-key exchange happens before the cache and the
+    self-join consumes its partitioning.
     """
     from pyspark import StorageLevel
 
+    assert 0 <= max_hamming < 32, "pigeonhole banding needs blocks >= 2 bits"
+    n_bands = max_hamming + 1
+    width = N_BITS // n_bands
+    # distribute the remainder: the first (64 mod n_bands) blocks get
+    # one extra bit; offsets cover all 64 bits exactly once
+    widths = [width + (1 if i < N_BITS % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+
     fps = simhash_fingerprints(df, text_col, id_col)
-    # 16 bytes/doc; the self-join scans this twice and the 64-slot vote
-    # aggregate above it is by far the most expensive stage — persist.
-    banded = fps.withColumn(
-        "band", F.shiftrightunsigned("simhash", 48)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # band value = the block's bits (band index rides posexplode);
+    # 8 + 16×n_bands bytes/doc; the self-join scans this twice and the
+    # 64-slot vote aggregate above it is by far the most expensive
+    # stage — repartition by the join keys, then persist (co-located
+    # self-join, zero further exchanges).
+    blocks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = (
+        fps.select(
+            F.col(id_col),
+            "simhash",
+            F.posexplode(blocks).alias("band_idx", "band_val"),
+        )
+        .repartition("band_idx", "band_val")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, on=["band_idx", "band_val"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             hamming_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # a pair may collide in several clean blocks; hamming is a pure
+        # function of the pair
+        .dropDuplicates(["doc_a", "doc_b"])
     )

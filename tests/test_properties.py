@@ -237,3 +237,85 @@ def test_minhash_survives_pathological_exact_dup_cluster(spark):
     assert (20_000, 20_001) in near
     # reduced pair set: n-1 star edges + the near pair, nothing quadratic
     assert len(pairs) < n_copies + 10
+
+
+def test_simhash_recall_vs_exact_jaccard_on_planted_near_dups(spark):
+    """SimHash must behave like a similarity sketch, quantitatively:
+    on a corpus with planted near-dups (one token changed out of ~25),
+    the hamming-8 pair set must recover most pairs whose exact token
+    Jaccard >= 0.8, and stay far from exhaustive (no all-pairs
+    degeneration on unrelated docs)."""
+    import random
+
+    from bigdatafinalproject_hockey_spark.dedup.simhash import simhash_near_pairs
+
+    rng = random.Random(11)
+    vocab = [f"tok{j}" for j in range(400)]
+    rows, truth = [], set()
+    for i in range(40):
+        toks = rng.sample(vocab, 25)
+        rows.append((i, " ".join(toks)))
+        if i % 2 == 0:  # plant a near-dup: replace one token
+            near = list(toks)
+            near[0] = f"novel{i}"
+            rows.append((1000 + i, " ".join(near)))
+            truth.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # exact Jaccard >= 0.8 pairs (brute force over token sets)
+    sets = {i: set(t.split()) for i, t in rows}
+    ids = sorted(sets)
+    exact = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.8
+    }
+    assert truth <= exact  # the plants really are >= 0.8 Jaccard
+
+    from bigdatafinalproject_hockey_spark.dedup.simhash import (
+        simhash_fingerprints,
+    )
+
+    found = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    }
+    # 1) pigeonhole banding is EXACTLY complete within the radius:
+    #    found == all pairs with true hamming <= 8 (brute force)
+    fp = {r["doc_id"]: r["simhash"] for r in
+          simhash_fingerprints(df, "text", "doc_id").collect()}
+    within = {
+        (a, b): bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+    }
+    within = {p: h for p, h in within.items() if h <= 8}
+    assert found == within
+    # 2) hamming-8 tracks high Jaccard well enough to be a useful
+    #    near-dup sketch on planted one-token edits
+    recall = len(set(found) & exact) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} true pairs"
+    # 3) not degenerate: far fewer pairs than the 60*59/2 all-pairs set
+    assert len(found) < 0.2 * (len(ids) * (len(ids) - 1) / 2)
+
+
+def test_sample_stratified_per_stratum_tolerance(spark):
+    """sampleBy must hit each stratum's requested fraction within
+    binomial noise (4 sigma) — pins both the grouping (no cross-stratum
+    leakage) and the rate, not just 'it runs'."""
+    import math
+
+    rows = [(i, "big" if i % 4 else "small") for i in range(8000)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+    fractions = {"big": 0.25, "small": 1.0}
+    out = df.sampleBy("lang", fractions, seed=42).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    totals = {"big": 6000, "small": 2000}
+    for lang, frac in fractions.items():
+        n, want = totals[lang], totals[lang] * frac
+        sigma = math.sqrt(n * frac * (1 - frac))
+        assert abs(got.get(lang, 0) - want) <= 4 * sigma + 1, (
+            f"{lang}: got {got.get(lang, 0)}, want ~{want}"
+        )
+    assert got["small"] == 2000  # fraction 1.0 keeps the stratum whole
