@@ -40,7 +40,49 @@ HEADLINE = [
     "text_quality_score",
     "dedup_segments",       # segment-level dedup (curation path)
     "pipeline_document_curation",  # composed corpus-curation flow
+    "text_top_tokens",      # global top-k over an exploded token stream
 ]
+
+# Curation-tier queries re-run against a 10×-amplified documents
+# corpus (~sf1 for this tier; true sf1 parquet isn't provisioned, so
+# the bench derives it from the sf corpus — each copy appends a
+# distinct tag token, making copies NEAR-duplicates, the hard case
+# for the dedup tier). Shuffle behavior that fixed job overhead hides
+# at sf0.1 shows up here.
+X10 = ["pipeline_document_curation", "dedup_minhash_lsh", "text_top_tokens"]
+
+
+def ensure_docs_x10(spark, sf_dir: str) -> str:
+    """Materialize the 10× documents corpus under .tmp (once)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp", f"bench_x10_{tag}"
+    )
+    target = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copies = [
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
+                *[
+                    F.concat_ws(" ", F.col(c), F.lit(f"rep{k}")).alias(c)
+                    if c == "text"
+                    else F.col(c)
+                    for c in docs.columns
+                    if c != "doc_id"
+                ],
+            )
+            for k in range(10)
+        ]
+        reduce(DataFrame.unionByName, copies).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(target)
+    return out_dir
 
 
 def main() -> None:
@@ -82,12 +124,31 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.3f}s", file=sys.stderr)
+    # curation tier at 10× documents: per-query wall + the 10×/1×
+    # scaling ratio (sub-quadratic ops should stay well under 10×
+    # after subtracting fixed job overhead; quadratic ones explode)
+    x10_dir = ensure_docs_x10(spark, SF_DIR)
+    spark.catalog.clearCache()
+    docs_x10: dict[str, dict] = {}
+    for name in X10:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, x10_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        docs_x10[name] = {
+            "sec_1x": timings[name],
+            "sec_10x": round(dt, 3),
+            "ratio": round(dt / timings[name], 2) if timings[name] else None,
+        }
+        print(f"  [x10] {name}: {dt:.3f}s", file=sys.stderr)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_x10": docs_x10,
     }
     print(json.dumps(out))
     spark.stop()
