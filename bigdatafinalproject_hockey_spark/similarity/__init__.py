@@ -96,17 +96,21 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_decimals: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: assign every
-    vector to its nearest centroid, then search only within the
-    query's cell (nprobe=1).
+    vector to its nearest centroid, then search within the query's
+    ``nprobe`` nearest cells.
 
     This is the coarse-quantization scale path: with C centroids the
-    per-query work drops from |corpus| to ~|corpus|/C, and the cell
-    assignment is a broadcast map over one corpus scan. Centroids are
-    supplied by the caller (deterministic subset or a KMeans fit), so
-    the whole computation is engine-reproducible — unlike seeded-hash
-    LSH this variant IS oracle-checkable.
+    per-query work drops from |corpus| to ~nprobe×|corpus|/C, and the
+    cell assignment is a broadcast map over one corpus scan. Centroids
+    are supplied by the caller (deterministic subset or a KMeans fit),
+    so the whole computation is engine-reproducible — unlike
+    seeded-hash LSH this variant IS oracle-checkable. Raising
+    ``nprobe`` trades linearly more candidate scoring for recall
+    (recovers neighbors that fall just across a Voronoi boundary);
+    tests/test_modules.py pins the recall improvement.
 
     ``query_ids``: one column ``id_col`` selecting query vectors (must
     exist in the corpus). Output: query_id, neighbor_id, cosine, rnk.
@@ -135,15 +139,28 @@ def ivf_cosine_topk(
         .select("vid", F.col("cent_id").alias("cell"), "emb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    q = (
-        assign.join(
-            F.broadcast(query_ids.select(F.col(id_col).alias("vid"))), "vid"
-        )
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("emb").alias("qemb"),
-            "cell",
-        )
+    # Query-side probe list: re-rank the (tiny, broadcast) centroid set
+    # per query vector and take the nprobe nearest cells. For nprobe=1
+    # this reproduces the stored assignment exactly (same ordering,
+    # same tiebreak), so the oracle-checked registered query is
+    # unchanged; for nprobe>1 each query also searches runner-up cells.
+    # Corpus vectors keep their single home cell — cells stay disjoint,
+    # so no candidate is scored twice.
+    q_vecs = assign.join(
+        F.broadcast(query_ids.select(F.col(id_col).alias("vid"))), "vid"
+    ).select("vid", "emb")
+    q_scored = q_vecs.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "emb",
+        "cent_id",
+        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    )
+    q = topk_per_group(
+        q_scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], nprobe
+    ).select(
+        F.col("vid").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("cent_id").alias("cell"),
     )
     cand = q.join(assign, "cell").filter(F.col("vid") != F.col("query_id")).select(
         "query_id",

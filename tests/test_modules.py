@@ -523,3 +523,38 @@ def test_document_fixtures_are_ascii():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} non-ASCII documents"
+
+
+def test_ivf_multiprobe_improves_recall(spark):
+    """nprobe>1 must recover neighbors that sit just across a Voronoi
+    cell boundary: recall@5 vs brute force is strictly monotone
+    non-decreasing in nprobe on the fixture embeddings, and nprobe=2
+    must beat nprobe=1 on random-ish vectors (cell-edge losses are
+    common there)."""
+    from bigdatafinalproject_hockey_spark.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(
+                emb, centroids, queries.select("vec_id"), k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r2 > r1, f"nprobe=2 recall {r2:.2f} not above nprobe=1 {r1:.2f}"
+    assert r4 >= 0.5
