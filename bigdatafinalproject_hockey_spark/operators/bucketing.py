@@ -1,0 +1,65 @@
+"""Bucketed-table layout: pre-shuffle once, join forever shuffle-free.
+
+The reference joins its per-team aggregates to the game fact with a
+plain equi-join every run (reference code/experiment.py:502-541) —
+on a cluster each run pays the full both-sides shuffle again. Spark's
+bucketed tables amortize that cost: ``bucketBy(n, key)`` hash-splits
+the data into ``n`` stable buckets AT WRITE TIME, recorded in the
+catalog, so every later join or aggregation on the bucket key reads
+co-located partitions and skips the Exchange entirely.
+
+At 100 TB this is the difference between shuffling the fact table on
+every query (network-bound, the dominant cost) and shuffling it once
+at ingest. The write itself repartitions by the bucket expression so
+each bucket lands in ONE file per table (no small-file fan-out:
+without it, every write task emits a file per bucket it touches,
+giving tasks × buckets files).
+
+Bucket hashing uses the same Murmur3 ``hashpartitioning`` family as
+shuffle exchanges, which is what lets the planner prove
+co-partitioning and elide the Exchange on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sort-within-bucket)
+    parquet table at ``path``, replacing any previous version.
+
+    ``repartition(num_buckets, *bucket_cols)`` aligns write tasks with
+    bucket assignment (both use Murmur3 hash partitioning), so each
+    bucket is exactly one file — bucket b is written wholly by the
+    task holding hash-partition b.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def join_cobucketed(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two tables bucketed on the join key with equal bucket
+    counts. The planner reads each bucket pair co-located — no
+    Exchange on either side (locked in tests/test_plans.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)

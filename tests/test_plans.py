@@ -217,3 +217,21 @@ def test_embedding_cosine_dedup_is_bucketed_not_allpairs(spark):
     top = plan.split("InMemoryRelation")[0]
     # above the cache boundary: at most the dropDuplicates exchange
     assert top.count("Exchange hashpartitioning") <= 1
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Co-bucketed fact ⋈ fact must read bucket pairs co-located:
+    zero Exchange below the join (the only hashpartitioning Exchange
+    allowed is the final aggregation's), and both scans flagged
+    Bucketed. Broadcast is disabled so the lock proves bucketing, not
+    a small-table fallback."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # agg only
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount" in plan
