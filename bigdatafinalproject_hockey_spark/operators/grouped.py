@@ -17,6 +17,7 @@ the applyInPandas plumbing against a window-function oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def grouped_zscore(
@@ -52,4 +53,61 @@ def grouped_zscore(
         df.select(*group_cols, id_col, value_col)
         .groupBy(*group_cols)
         .applyInPandas(z, schema=out_fields)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_cols: list[str],
+    order_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-capacity
+    training sequences — the batch-construction step of an LLM data
+    pipeline (concatenate docs up to ``capacity`` tokens, start a new
+    sequence on overflow).
+
+    Semantics (deterministic, per shard): walk docs in ``order_col``
+    order keeping a running fill; a doc joins the current sequence iff
+    ``fill + n_tokens <= capacity``, else it opens the next one. A doc
+    larger than ``capacity`` occupies a sequence alone (truncation is
+    the caller's policy, not this operator's). Output adds ``seq_id``
+    (0-based per shard) and ``seq_fill`` (running fill after the doc).
+
+    The fold is inherently sequential WITHIN a shard — no window
+    function expresses a capacity-reset running sum — but shards are
+    independent, so at 100 TB parallelism comes from sharding (e.g.
+    ``doc_id % k`` with k sized so a shard's metadata fits one Arrow
+    batch); each group moves only (keys, order, count) columns, never
+    text. Implemented as applyInPandas with a numpy loop over the
+    token-count vector: per-row Python cost on metadata-width rows
+    only.
+    """
+    import numpy as np
+
+    narrow = df.select(*shard_cols, order_col, tokens_col)
+    out_fields = ", ".join(
+        [f"{c} {t}" for c, t in narrow.dtypes] + ["seq_id bigint", "seq_fill bigint"]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[tokens_col].to_numpy()
+        seq_ids = np.zeros(len(toks), dtype="int64")
+        fills = np.zeros(len(toks), dtype="int64")
+        fill, sid = 0, 0
+        for i, t in enumerate(toks):
+            if i > 0 and fill + t > capacity:
+                sid += 1
+                fill = 0
+            fill += int(t)
+            seq_ids[i] = sid
+            fills[i] = fill
+        pdf["seq_id"] = seq_ids
+        pdf["seq_fill"] = fills
+        return pdf
+
+    return narrow.groupBy(*[F.col(c) for c in shard_cols]).applyInPandas(
+        pack, schema=out_fields
     )

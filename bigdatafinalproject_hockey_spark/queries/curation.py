@@ -21,6 +21,7 @@ from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
 from bigdatafinalproject_hockey_spark.dedup.minhash import shingles_expr
 from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
 from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+from bigdatafinalproject_hockey_spark.operators.grouped import pack_sequences
 from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
 from bigdatafinalproject_hockey_spark.queries.base import register
 
@@ -736,3 +737,63 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     sink_orc(df, path)
     return scan_orc(spark, path, SCHEMAS["documents"])
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: documents → fixed-capacity training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len({_SQL_TOKS.format(c="text")}) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS seq_id, n_tokens AS seq_fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.doc_id, d.lang, d.shard, d.n_tokens, d.rn,
+             CASE WHEN p.seq_fill + d.n_tokens <= {_PACK_CAPACITY}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.seq_fill + d.n_tokens <= {_PACK_CAPACITY}
+                  THEN p.seq_fill + d.n_tokens ELSE d.n_tokens END
+      FROM docs d
+      JOIN packed p
+        ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT lang, shard, doc_id, n_tokens, seq_id, seq_fill FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-construction step of LLM training
+    data prep: greedily concatenate docs (in doc_id order) into
+    sequences of ≤ 256 tokens, per (lang, doc_id % 8) shard
+    (operators.grouped.pack_sequences). The capacity-reset running sum
+    is inherently sequential per shard, so parallelism = shard count;
+    only metadata columns (ids + token counts) enter the grouped-map,
+    never the text. The oracle replays the same fold as a DuckDB
+    recursive CTE."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs,
+        shard_cols=["lang", "shard"],
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        capacity=_PACK_CAPACITY,
+    )

@@ -162,3 +162,35 @@ def test_foreach_batch_upsert_replay_invariant(spark):
         f"SELECT COUNT(*) FROM '{sf}/events.parquet'"
     ).fetchone()[0]
     assert out[2] == base
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must (a) keep every doc exactly once, (b) never fill a
+    multi-doc sequence past capacity, (c) number sequences contiguously
+    from 0 per shard, and (d) be unsplittable-greedy: consecutive
+    sequences can't be merged (fill + next doc's first token count
+    overflows)."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    pdf = QUERIES["pack_sequences"](spark, sf).toPandas()
+    import duckdb
+
+    n_docs = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert len(pdf) == n_docs
+    assert pdf["doc_id"].is_unique
+
+    cap = 256
+    g = pdf.groupby(["lang", "shard", "seq_id"])["n_tokens"]
+    sums, counts = g.sum(), g.count()
+    # multi-doc sequences respect capacity; oversized docs sit alone
+    assert (sums[counts > 1] <= cap).all()
+    for (_, _), grp in pdf.groupby(["lang", "shard"]):
+        ids = sorted(grp["seq_id"].unique())
+        assert ids == list(range(len(ids)))
+        # greedy: first doc of seq k+1 would not have fit in seq k
+        grp = grp.sort_values("doc_id")
+        fill_end = grp.groupby("seq_id")["seq_fill"].last()
+        first_tok = grp.groupby("seq_id")["n_tokens"].first()
+        for k in range(len(ids) - 1):
+            assert fill_end[k] + first_tok[k + 1] > cap
