@@ -31,11 +31,12 @@ def write_bucketed(
     table: str,
     bucket_cols: list[str],
     num_buckets: int,
-    path: str,
+    path: str | None = None,
     sort_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sort-within-bucket)
-    parquet table at ``path``, replacing any previous version.
+    parquet table — external at ``path`` if given, else managed —
+    replacing any previous version.
 
     ``repartition(num_buckets, *bucket_cols)`` aligns write tasks with
     bucket assignment (both use Murmur3 hash partitioning), so each
@@ -48,9 +49,10 @@ def write_bucketed(
         df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
         .format("parquet")
-        .option("path", path)
         .bucketBy(num_buckets, *bucket_cols)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)

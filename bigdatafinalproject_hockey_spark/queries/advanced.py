@@ -258,3 +258,35 @@ def q_ml_train_eval_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilayer perceptron, layers [n, 64, 32, 2] (reference
     code/experiment.py:767-785)."""
     return _ml_train_eval(spark, sf_dir, "mlp")
+
+
+@register(
+    "scan_chunked",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_scan_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-parallel scan (reference scan_chunked: bounded-memory
+    chunked CSV reads, code/create_subsample.py:54-70). Spark's native
+    form is split-based scanning — ``spark.sql.files.maxPartitionBytes``
+    bounds per-task input, so no task ever holds the whole file
+    (tests/test_modules.py::test_scan_chunked_splits locks that the
+    split count scales and values are chunk-invariant). On top,
+    ``ensure_parallelism`` re-chunks a compact scan across all cores
+    before the aggregate. The aggregate is associative, so the result
+    is independent of the chunking — which is exactly what the oracle
+    checks."""
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_returnflag", "l_quantity")
+    chunked = ensure_parallelism(li)
+    return chunked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

@@ -797,3 +797,39 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col="n_tokens",
         capacity=_PACK_CAPACITY,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (domain balancing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cap_per_source",
+    oracle="""
+    SELECT source, doc_id, lang, n_chars, rnk FROM (
+      SELECT source, doc_id, lang, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    ) WHERE rnk <= 40
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) cap — the anti-domination step of corpus
+    curation: keep at most N docs per source, preferring longer ones
+    (deterministic doc_id tiebreak). One windowed shuffle on the
+    source key (operators.windows.topk_per_group); at 100 TB a skewed
+    mega-domain is the straggler risk, and AQE skew-split plus the cap
+    itself (each task emits ≤ N rows per key) bound it."""
+    docs = load_table(spark, "documents", sf_dir)
+    return topk_per_group(
+        docs.select("source", "doc_id", "lang", "n_chars"),
+        partition_by=["source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        k=40,
+        rank_col="rnk",
+    ).select(
+        "source", "doc_id", "lang", "n_chars", F.col("rnk").cast("long").alias("rnk")
+    )

@@ -41,12 +41,12 @@ def sink_bucketed_table(
     two tables bucketed on the same key with the same bucket count
     needs no exchange on either side — the payoff is a shuffle-free
     big⋈big join, the single biggest cost at 100 TB. Requires a
-    catalog (saveAsTable), not a bare path.
+    catalog (saveAsTable), not a bare path. Thin managed-table wrapper
+    over operators.bucketing.write_bucketed (single implementation).
     """
-    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
-    if sort_by:
-        w = w.sortBy(*sort_by)
-    w.format("parquet").saveAsTable(table)
+    from bigdatafinalproject_hockey_spark.operators.bucketing import write_bucketed
+
+    write_bucketed(df, table, bucket_by, n_buckets, sort_cols=sort_by)
 
 
 def compact_parquet(

@@ -558,3 +558,22 @@ def test_ivf_multiprobe_improves_recall(spark):
     assert r1 <= r2 <= r4
     assert r2 > r1, f"nprobe=2 recall {r2:.2f} not above nprobe=1 {r1:.2f}"
     assert r4 >= 0.5
+
+
+def test_scan_chunked_splits(spark):
+    """maxPartitionBytes must bound per-task input: shrinking it from
+    the default to 64 KiB multiplies scan partitions, and the
+    associative aggregate is bit-identical across chunkings."""
+    path = "/root/testdata/sf0.01/lineitem.parquet"
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    base = spark.read.parquet(path)
+    n_default = base.rdd.getNumPartitions()
+    expect = base.groupBy("l_returnflag").count().collect()
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        chunked = spark.read.parquet(path)
+        assert chunked.rdd.getNumPartitions() > max(n_default, 4)
+        got = chunked.groupBy("l_returnflag").count().collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
