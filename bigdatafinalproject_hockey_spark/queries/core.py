@@ -36,175 +36,118 @@ from bigdatafinalproject_hockey_spark.queries.base import register
 
 
 @register(
-    "rename_col",
+    "clean_types",
     oracle="""
-    SELECT c_custkey AS cust_key, c_name AS cust_name, c_mktsegment AS segment
-    FROM customer
-    """,
-)
-def q_rename_col(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column rename incl. projection (reference code/experiment.py:286-288)."""
-    df = load_table(spark, "customer", sf_dir)
-    df = scalar_ops.rename_cols(
-        df, {"c_custkey": "cust_key", "c_name": "cust_name", "c_mktsegment": "segment"}
-    )
-    return df.select("cust_key", "cust_name", "segment")
-
-
-@register(
-    "cast_types",
-    oracle="""
-    SELECT l_orderkey,
-           l_linenumber,
-           CAST(l_quantity AS INTEGER) AS qty_int,
-           CAST(l_linenumber AS BIGINT) AS line_long,
-           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_trunc
-    FROM lineitem
-    """,
-)
-def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int/long/double casts (reference code/experiment.py:290-297, 328-338).
-    Note: Spark double→long cast truncates toward zero; the oracle
-    spells FLOOR explicitly (values are positive so they agree)."""
-    df = load_table(spark, "lineitem", sf_dir)
-    df = df.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").alias("qty_int"),
-        F.col("l_linenumber").alias("line_long"),
-        F.col("l_extendedprice").alias("price_trunc"),
-    )
-    return scalar_ops.cast_types(
-        df, {"qty_int": "int", "line_long": "long", "price_trunc": "long"}
-    )
-
-
-@register(
-    "parse_date",
-    oracle="""
-    SELECT o_orderkey,
+    SELECT o_orderkey AS order_key,
+           o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_trunc,
            strftime(o_orderdate, '%-m/%-d/%Y') AS raw_date,
            CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE)
                AS order_date
     FROM orders
     """,
 )
-def q_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String → date with single-digit M/d/yyyy pattern — the
-    reference's date format (code/experiment.py:298, e.g. '1/25/2011').
-    Round-trips through a formatted string to prove the parse."""
+def q_clean_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-clean ETL stage — the composite of the reference's intake
+    steps, merged per VERDICT.md round-1 item 5 (was three registry
+    entries: rename_col / cast_types / parse_date, all driver-green in
+    CORRECTNESS_r01.json): parse the M/d/yyyy date string
+    (code/experiment.py:298), rename to engine-friendly names
+    (code/experiment.py:286-288), and pin numeric types
+    (code/experiment.py:290-297). Spark double→long cast truncates
+    toward zero; the oracle spells FLOOR (values positive, so equal).
+    All three remain individually exercised at the operator level
+    (operators/scalar.py; tests/test_modules.py)."""
     df = load_table(spark, "orders", sf_dir).select(
-        "o_orderkey", F.date_format("o_orderdate", "M/d/yyyy").alias("raw_date")
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "M/d/yyyy").alias("raw_date"),
     )
-    return scalar_ops.parse_date(df, "raw_date", "M/d/yyyy", out="order_date")
-
-
-@register(
-    "filter_range",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity
-    FROM lineitem
-    WHERE l_quantity >= 30 AND l_orderkey >= 1000
-    """,
-)
-def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive >= filters (reference code/experiment.py:301-302, 341-342).
-    Both predicates reach the parquet scan as PushedFilters."""
-    df = load_table(spark, "lineitem", sf_dir)
-    df = scalar_ops.filter_range(df, {"l_quantity": 30.0, "l_orderkey": 1000})
-    return df.select("l_orderkey", "l_linenumber", "l_quantity")
-
-
-@register(
-    "filter_eq",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equality filter (reference code/experiment.py:502-503, 566-567)."""
-    df = load_table(spark, "orders", sf_dir)
-    return scalar_ops.filter_eq(df, "o_orderstatus", "F").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    df = scalar_ops.parse_date(df, "raw_date", "M/d/yyyy", out="order_date")
+    df = scalar_ops.rename_cols(
+        df,
+        {
+            "o_orderkey": "order_key",
+            "o_orderstatus": "status",
+            "o_totalprice": "price_trunc",
+        },
     )
+    df = scalar_ops.cast_types(df, {"price_trunc": "long"})
+    return df.select("order_key", "status", "price_trunc", "raw_date", "order_date")
 
 
 @register(
-    "filter_notnull",
+    "filter_clean",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           NULLIF(l_returnflag, 'R') AS flag_or_null
+           NULLIF(l_returnflag, 'R') AS maybe_flag,
+           NULLIF(l_linestatus, 'O') AS maybe_status,
+           l_quantity, l_extendedprice
     FROM lineitem
     WHERE NULLIF(l_returnflag, 'R') IS NOT NULL
+      AND NULLIF(l_linestatus, 'O') IS NOT NULL
+      AND l_quantity >= 25 AND l_orderkey >= 1000
+      AND NULLIF(l_returnflag, 'R') = 'A'
+      AND l_extendedprice >= 10000 AND l_quantity <= 45
     """,
 )
-def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-key row drop (reference code/experiment.py:401-402). The
-    synthetic tables are null-free, so nulls are derived via NULLIF
-    first — same shape as the reference's join-key guard."""
+def q_filter_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-filter ETL stage — composite of the reference's filter
+    shapes, merged per VERDICT.md round-1 item 5 (was five registry
+    entries: filter_notnull / drop_nulls_any / filter_range /
+    filter_eq / filter_compound, all driver-green in
+    CORRECTNESS_r01.json): NULL-key drop (code/experiment.py:401-402,
+    555), conjunctive >= bounds (301-302), equality
+    (502-503), and a compound predicate (645-656), applied in
+    sequence. Source-column predicates still reach the parquet scan as
+    PushedFilters (locked in tests/test_plans.py); the NULLIF-derived
+    columns are evaluated scan-side. Each op stays individually
+    exercised in operators/scalar.py + tests/test_modules.py."""
     df = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey",
         "l_linenumber",
-        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag_or_null"),
+        F.nullif(F.col("l_returnflag"), F.lit("R")).alias("maybe_flag"),
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("maybe_status"),
+        "l_quantity",
+        "l_extendedprice",
     )
-    return scalar_ops.filter_notnull(df, ["flag_or_null"])
+    df = scalar_ops.filter_notnull(df, ["maybe_flag"])
+    df = scalar_ops.drop_nulls_any(df)
+    df = scalar_ops.filter_range(df, {"l_quantity": 25.0, "l_orderkey": 1000})
+    df = scalar_ops.filter_eq(df, "maybe_flag", "A")
+    return scalar_ops.filter_compound(
+        df, F.col("l_extendedprice") >= 10000, F.col("l_quantity") <= 45
+    )
 
 
 @register(
-    "drop_nulls_any",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           NULLIF(l_returnflag, 'A') AS maybe_flag,
-           NULLIF(l_linestatus, 'F') AS maybe_status
-    FROM lineitem
-    WHERE NULLIF(l_returnflag, 'A') IS NOT NULL
-      AND NULLIF(l_linestatus, 'F') IS NOT NULL
-    """,
-)
-def q_drop_nulls_any(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dropna(how='any') (reference code/experiment.py:555)."""
-    df = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.nullif(F.col("l_returnflag"), F.lit("A")).alias("maybe_flag"),
-        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("maybe_status"),
-    )
-    return scalar_ops.drop_nulls_any(df)
-
-
-@register(
-    "filter_compound",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
-    FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 25
-    """,
-)
-def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive boolean predicate (reference code/experiment.py:645-656)."""
-    df = load_table(spark, "lineitem", sf_dir)
-    df = scalar_ops.filter_compound(
-        df, F.col("l_returnflag") == "A", F.col("l_quantity") >= 25
-    )
-    return df.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
-
-
-@register(
-    "project_alias",
+    "derive_features",
     oracle="""
     SELECT l_orderkey AS order_key,
            l_partkey AS part_key,
            l_quantity AS qty,
            l_extendedprice AS base_price,
-           l_extendedprice * (1 - l_discount) AS disc_price
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_extendedprice - l_quantity AS price_qty_diff,
+           CASE WHEN l_quantity >= 30 THEN 1.0 ELSE 0.0 END AS label,
+           COALESCE(NULLIF(l_returnflag, 'R'), 'UNKNOWN') AS flag_filled
     FROM lineitem
     """,
 )
-def q_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide aliased re-projection (reference code/experiment.py:381-397).
-    Per-row double arithmetic is bit-deterministic — no rounding needed."""
+def q_derive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-derivation ETL stage — composite of the reference's
+    feature steps, merged per VERDICT.md round-1 item 5 (was four
+    registry entries: project_alias / derive_arith / case_when /
+    fill_default, all driver-green in CORRECTNESS_r01.json): wide
+    aliased re-projection (code/experiment.py:381-397), derived
+    arithmetic (544-552), label binarization (628-633), and
+    literal-default fill (476-494) in one shuffle-free projection
+    chain. Per-row double arithmetic is bit-deterministic — no
+    rounding needed."""
     df = load_table(spark, "lineitem", sf_dir)
-    return scalar_ops.project_alias(
+    df = scalar_ops.project_alias(
         df,
         {
             "order_key": "l_orderkey",
@@ -212,78 +155,26 @@ def q_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty": "l_quantity",
             "base_price": "l_extendedprice",
             "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "flag_filled": F.nullif(F.col("l_returnflag"), F.lit("R")),
+            "l_discount": "l_discount",
+            "l_tax": "l_tax",
         },
-    )
-
-
-@register(
-    "derive_arith",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS revenue,
-           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
-           l_extendedprice - l_quantity AS price_qty_diff
-    FROM lineitem
-    """,
-)
-def q_derive_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived arithmetic columns (the reference's differential
-    features, code/experiment.py:544-552)."""
-    df = load_table(spark, "lineitem", sf_dir).select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
-        "l_tax", "l_quantity",
     )
     df = scalar_ops.derive_arith(
         df,
         {
-            "revenue": F.col("l_extendedprice") * (1 - F.col("l_discount")),
-            "charge": F.col("l_extendedprice")
+            "charge": F.col("base_price")
             * (1 - F.col("l_discount"))
             * (1 + F.col("l_tax")),
-            "price_qty_diff": F.col("l_extendedprice") - F.col("l_quantity"),
+            "price_qty_diff": F.col("base_price") - F.col("qty"),
         },
     )
+    df = scalar_ops.case_when(df, "label", F.col("qty") >= 30, 1.0, 0.0)
+    df = scalar_ops.fill_default(df, {"flag_filled": "UNKNOWN"})
     return df.select(
-        "l_orderkey", "l_linenumber", "revenue", "charge", "price_qty_diff"
+        "order_key", "part_key", "qty", "base_price", "disc_price",
+        "charge", "price_qty_diff", "label", "flag_filled",
     )
-
-
-@register(
-    "case_when",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
-    FROM orders
-    """,
-)
-def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label binarization (reference code/experiment.py:628-633)."""
-    df = load_table(spark, "orders", sf_dir)
-    df = scalar_ops.case_when(df, "label", F.col("o_orderstatus") == "F", 1.0, 0.0)
-    return df.select("o_orderkey", "label")
-
-
-@register(
-    "fill_default",
-    oracle="""
-    SELECT event_id,
-           COALESCE(NULLIF(event_type, 'error'), 'UNKNOWN') AS type_filled,
-           COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, -1.0)
-               AS value_filled
-    FROM events
-    """,
-)
-def q_fill_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column literal defaults via coalesce
-    (reference code/experiment.py:476-494)."""
-    df = load_table(spark, "events", sf_dir).select(
-        "event_id",
-        F.nullif(F.col("event_type"), F.lit("error")).alias("type_filled"),
-        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
-        .otherwise(F.col("value"))
-        .alias("value_filled"),
-    )
-    return scalar_ops.fill_default(df, {"type_filled": "UNKNOWN", "value_filled": -1.0})
 
 
 # ---------------------------------------------------------------------------
@@ -292,37 +183,30 @@ def q_fill_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "str_normalize_ws",
+    "str_clean",
     oracle="""
     SELECT doc_id,
-           trim(regexp_replace('  ' || text || '   ', '\\s+', ' ', 'g')) AS norm_text
+           trim(regexp_replace('  ' || text || '   ', '\\s+', ' ', 'g'))
+               AS norm_text,
+           regexp_replace(upper(lang), '[^A-Z]', '', 'g') AS lang_code
     FROM documents
     """,
 )
-def q_str_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace collapse + trim (reference code/experiment.py:305-307).
-    Padding is injected so the op provably changes something."""
+def q_str_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-clean ETL stage — composite of the reference's two
+    string ops, merged per VERDICT.md round-1 item 5 (was
+    str_normalize_ws + str_strip_charset, both driver-green in
+    CORRECTNESS_r01.json): whitespace collapse + trim
+    (code/experiment.py:305-307; padding injected so the op provably
+    changes something) and uppercase + strip non-[A-Z]
+    (code/experiment.py:311-316), in one scan-side projection."""
     df = load_table(spark, "documents", sf_dir).select(
-        "doc_id", F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("norm_text")
+        "doc_id",
+        F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("norm_text"),
+        F.col("lang").alias("lang_code"),
     )
-    return string_ops.str_normalize_ws(df, "norm_text")
-
-
-@register(
-    "str_strip_charset",
-    oracle="""
-    SELECT c_custkey,
-           regexp_replace(upper(c_name), '[^A-Z]', '', 'g') AS name_code
-    FROM customer
-    """,
-)
-def q_str_strip_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uppercase + strip non-[A-Z] — the reference's fallback team-code
-    rule (code/experiment.py:311-316)."""
-    df = load_table(spark, "customer", sf_dir).select(
-        "c_custkey", F.col("c_name").alias("name_code")
-    )
-    return string_ops.str_strip_charset(df, "name_code")
+    df = string_ops.str_normalize_ws(df, "norm_text")
+    return string_ops.str_strip_charset(df, "lang_code")
 
 
 REGION_CODES = {
