@@ -41,6 +41,9 @@ HEADLINE = [
     "dedup_segments",       # segment-level dedup (curation path)
     "pipeline_document_curation",  # composed corpus-curation flow
     "text_top_tokens",      # global top-k over an exploded token stream
+    # new in round 2 (no round-1 comparison point):
+    "join_bucketed",        # co-bucketed ingest + shuffle-free join
+    "pack_sequences",       # greedy training-sequence packing per shard
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
