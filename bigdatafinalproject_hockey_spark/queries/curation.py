@@ -18,9 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
+from bigdatafinalproject_hockey_spark.dedup.exact import dedup_incremental
 from bigdatafinalproject_hockey_spark.dedup.minhash import shingles_expr
 from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
-from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+from bigdatafinalproject_hockey_spark.functions.text import (
+    md5_fingerprint_expr,
+    tokens_expr,
+)
 from bigdatafinalproject_hockey_spark.operators.grouped import pack_sequences
 from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
 from bigdatafinalproject_hockey_spark.queries.base import register
@@ -833,3 +837,65 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", "doc_id", "lang", "n_chars", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-incremental dedup against a fingerprint store
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH base AS (SELECT * FROM documents WHERE doc_id < 250),
+    fresh AS (SELECT * FROM documents WHERE doc_id >= 250),
+    delta AS (
+      SELECT doc_id, text, lang, source, n_chars FROM fresh
+      UNION ALL
+      SELECT doc_id + 1000, text, lang, source, n_chars FROM base
+      UNION ALL
+      SELECT doc_id + 2000, text, lang, source, n_chars FROM fresh
+      WHERE doc_id < 300
+    ),
+    fp AS (
+      SELECT doc_id, lang, source, n_chars,
+             {_FP_SQL.format(c="text")} AS fp
+      FROM delta
+    ),
+    store AS (SELECT DISTINCT {_FP_SQL.format(c="text")} AS fp FROM base),
+    novel AS (
+      SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM store)
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM novel GROUP BY fp)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM delta d JOIN keep USING (doc_id)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup (dedup.exact.dedup_incremental)
+    — each ingest batch dedups against the append-only fingerprint
+    store of prior snapshots instead of re-deduplicating the corpus.
+    The batch here is synthesized from the fixtures: fresh docs
+    (doc_id >= 250) + re-crawls of the base snapshot (same text, new
+    ids) + intra-batch repeats; survivors must be exactly the fresh
+    originals. Only (fp, id) pairs shuffle — never text — and at
+    100 TB the store side is bucketed on fp so repeated ingests skip
+    its shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = docs.filter(F.col("doc_id") < 250).select(cols)
+    fresh = docs.filter(F.col("doc_id") >= 250).select(cols)
+
+    def reid(df: DataFrame, offset: int) -> DataFrame:
+        return df.select(
+            (F.col("doc_id") + offset).alias("doc_id"), *cols[1:]
+        )
+
+    delta = fresh.unionByName(reid(base, 1000)).unionByName(
+        reid(fresh.filter(F.col("doc_id") < 300), 2000)
+    )
+    store = base.select(md5_fingerprint_expr("text").alias("fp"))
+    survivors = dedup_incremental(delta, store, "text", "doc_id")
+    return survivors.select("doc_id", "lang", "source", "n_chars")

@@ -194,3 +194,17 @@ def test_pack_sequences_invariants(spark):
         first_tok = grp.groupby("seq_id")["n_tokens"].first()
         for k in range(len(ids) - 1):
             assert fill_end[k] + first_tok[k + 1] > cap
+
+
+def test_dedup_incremental_survivors_are_fresh_originals(spark):
+    """Re-crawled base docs and intra-batch repeats must all be
+    dropped; survivors are exactly the fresh originals (250..499)."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    ids = sorted(
+        r.doc_id
+        for r in QUERIES["dedup_incremental"](spark, "/root/testdata/sf0.01")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == list(range(250, 500))
