@@ -899,3 +899,189 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = base.select(md5_fingerprint_expr("text").alias("fp"))
     survivors = dedup_incremental(delta, store, "text", "doc_id")
     return survivors.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# corpus drift: per-source token-distribution divergence
+# ---------------------------------------------------------------------------
+
+_DRIFT_VOCAB = 2000
+
+
+@register(
+    "corpus_drift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    call AS (SELECT token, COUNT(*) AS c_all FROM tk GROUP BY token),
+    vocab AS (
+      SELECT token, c_all FROM call ORDER BY c_all DESC, token
+      LIMIT {_DRIFT_VOCAB}
+    ),
+    csrc AS (
+      SELECT source, token, COUNT(*) AS c_s FROM tk
+      WHERE token IN (SELECT token FROM vocab) GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+      SELECT s.source, v.token, v.c_all, COALESCE(c.c_s, 0) AS c_s
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN csrc c ON c.source = s.source AND c.token = v.token
+    ),
+    tot AS (
+      SELECT source, SUM(c_s) AS n_s, SUM(c_all - c_s) AS n_r
+      FROM grid GROUP BY source
+    ),
+    terms AS (
+      SELECT g.source,
+             CAST(g.c_s AS DOUBLE) / t.n_s AS p,
+             CAST(g.c_all - g.c_s AS DOUBLE) / t.n_r AS q
+      FROM grid g JOIN tot t USING (source)
+    ),
+    fp AS (
+      SELECT source,
+             CAST(ROUND((
+               CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0 END +
+               CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0 END
+             ) * 1e9) AS BIGINT) AS t_fp
+      FROM terms
+    )
+    SELECT f.source,
+           CAST(t.n_s AS BIGINT) AS n_tokens,
+           ROUND(SUM(t_fp) / 2e9, 6) AS js_divergence
+    FROM fp f JOIN tot t USING (source)
+    GROUP BY f.source, t.n_s
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data drift monitor: Jensen-Shannon divergence between
+    each source's token distribution and the rest of the corpus,
+    renormalized over the global top-2000 vocabulary (the standard cap
+    that bounds the source×vocab grid — at 100 TB the grid is
+    sources × V, independent of corpus size, and every join side
+    below it is broadcastable). Per-token JS terms are summed
+    FIXED-POINT (×1e9 → bigint) so the reduction is associative and
+    bit-identical across engines and partitionings — same convention
+    as the engine's money sums (functions.numeric.fixed_point_sum).
+    JS is symmetric and bounded [0, ln 2]; a source whose language
+    mix shifts shows up as a rising divergence without any labeling.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    c_all = tk.groupBy("token").agg(F.count(F.lit(1)).alias("c_all"))
+    vocab = c_all.orderBy(F.desc("c_all"), F.asc("token")).limit(_DRIFT_VOCAB)
+    c_src = (
+        tk.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    srcs = docs.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(c_src, ["source", "token"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
+    )
+    tot = grid.groupBy("source").agg(
+        F.sum("c_s").alias("n_s"),
+        F.sum(F.col("c_all") - F.col("c_s")).alias("n_r"),
+    )
+    terms = grid.join(F.broadcast(tot), "source").select(
+        "source",
+        (F.col("c_s").cast("double") / F.col("n_s")).alias("p"),
+        ((F.col("c_all") - F.col("c_s")).cast("double") / F.col("n_r")).alias("q"),
+    )
+    term = F.when(
+        F.col("p") > 0, F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("q") > 0, F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    ).otherwise(F.lit(0.0))
+    fp = terms.select(
+        "source", F.round(term * 1e9).cast("long").alias("t_fp")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(F.sum("t_fp").alias("s_fp"))
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.round(F.col("s_fp") / 2e9, 6).alias("js_divergence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# overlapping chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64   # tokens per chunk
+_CHUNK_S = 48   # stride (overlap = W - S = 16)
+
+
+@register(
+    "chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks,
+             len({_SQL_TOKS.format(c="text")}) AS n
+      FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, toks,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE ((n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}) + 1
+             END AS n_chunks
+      FROM base
+    ),
+    g AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM nc
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(len(toks[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}])
+                AS BIGINT) AS chunk_len,
+           array_to_string(
+             toks[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}], ' '
+           ) AS chunk_text
+    FROM g
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG /
+    context-window prep op: 64-token chunks at stride 48 (16-token
+    overlap), last chunk ragged, token-less docs yield one empty
+    chunk. Pure Catalyst (tokens → sequence → explode → slice):
+    shuffle-free scan-side expansion (locked in tests/test_plans.py),
+    so at 100 TB it streams — no state, no exchange, output ~n/S
+    rows per doc."""
+    W, S = _CHUNK_W, _CHUNK_S
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        tokens_expr(F.col("text")).alias("toks"),
+        F.size(tokens_expr(F.col("text"))).alias("n"),
+    )
+    nc = base.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= W, F.lit(1)).otherwise(
+            F.floor((F.col("n") - W + S - 1) / F.lit(S)) + 1
+        ),
+    )
+    g = nc.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias("i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("i") * S + 1, W)
+    return g.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        (F.col("i") * S).cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -107,7 +107,7 @@ def test_semi_join_stays_semi(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["text_quality_score", "doc_fingerprint", "array_functions"]
+    "name", ["text_quality_score", "doc_fingerprint", "array_functions", "chunk_overlap"]
 )
 def test_scan_side_exprs_no_shuffle(spark, name):
     """Row-local expression queries must be shuffle-free single scans
