@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -118,6 +121,73 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(SCHEMAS)
 
 
+def _footer_schema(path: str) -> "pa.Schema":
+    """Arrow schema from the parquet footer — no data read, no Spark
+    job. Handles both a single file and a directory of part files."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = os.path.join(path, parts[0])
+    return pq.read_schema(path)
+
+
+def events_ts_encoding(path: str) -> str:
+    """How ``events.ts`` is physically encoded in the parquet footer.
+
+    The driver's testdata generator has shipped two encodings so far
+    (nanos-as-int64 in round 1, timestamp[us] in round 2); the loader
+    branches on the footer instead of hard-coding either. Returns one
+    of ``"nanos"`` (int64 raw nanos or timestamp[ns]), ``"timestamp"``
+    (us/ms-precision timestamp, tz-naive or UTC).
+    """
+    t = _footer_schema(path).field("ts").type
+    if pa.types.is_integer(t):
+        return "nanos"
+    if pa.types.is_timestamp(t):
+        return "nanos" if t.unit == "ns" else "timestamp"
+    raise TypeError(f"unsupported events.ts parquet type: {t}")
+
+
+def verify_contract(name: str, path: str) -> None:
+    """Testdata-contract guard: the footer schema must match
+    ``SCHEMAS[name]`` column-for-column, with an explicit allowance
+    for the known events.ts encoding variants. A future silent
+    encoding drift fails here, loudly, instead of deep inside 20
+    queries (VERDICT r2 item 6)."""
+    footer = _footer_schema(path)
+    expect = SCHEMAS[name]
+    got_names = list(footer.names)
+    want_names = [f.name for f in expect.fields]
+    if got_names != want_names:
+        raise ValueError(
+            f"testdata contract broken for {name!r}: columns {got_names} "
+            f"!= expected {want_names}"
+        )
+    for field in expect.fields:
+        a = footer.field(field.name).type
+        s = field.dataType
+        ok = (
+            (isinstance(s, T.LongType) and pa.types.is_int64(a))
+            or (isinstance(s, T.IntegerType) and pa.types.is_integer(a))
+            or (isinstance(s, T.DoubleType) and pa.types.is_float64(a))
+            or (isinstance(s, T.StringType) and (pa.types.is_string(a) or pa.types.is_large_string(a)))
+            or (isinstance(s, T.TimestampType)
+                and (pa.types.is_timestamp(a)
+                     # round-1 encoding: raw int64 nanos
+                     or (name == "events" and field.name == "ts" and pa.types.is_int64(a))))
+            or (isinstance(s, T.ArrayType) and (pa.types.is_list(a) or pa.types.is_large_list(a)))
+            or (isinstance(s, T.BinaryType) and (pa.types.is_binary(a) or pa.types.is_large_binary(a)))
+        )
+        if not ok:
+            raise ValueError(
+                f"testdata contract broken for {name}.{field.name}: "
+                f"parquet type {a} incompatible with expected {s.simpleString()}"
+            )
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one synthetic table as a DataFrame.
 
@@ -133,14 +203,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # does); pin the session timezone so timestamp formatting/compare
     # is stable regardless of host TZ.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects natively; read the raw int64 nanos and truncate to
-        # micros (exactly what DuckDB's reader does).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # events.ts encoding drifts across testdata generations —
+        # branch on the footer (round 1: int64 nanos; round 2+:
+        # timestamp[us]). Match DuckDB's reader in both cases.
+        if events_ts_encoding(path) == "nanos":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # tz-naive micros: same wall-clock values DuckDB reads;
+            # cast to session-TZ (UTC) timestamp so downstream window
+            # / watermark ops and the oracle agree on instants.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -1,0 +1,88 @@
+"""Testdata-contract guard (VERDICT r2 item 6).
+
+Round 2 broke silently when the driver's testdata generator changed
+events.ts from int64-nanos to timestamp[us]: 17 batch queries crashed
+and 6 streaming queries computed timestamps 1000x too small. These
+tests make any future encoding/schema drift fail in ONE targeted
+place instead of deep inside two dozen queries.
+"""
+
+import datetime
+
+import pytest
+
+from bigdatafinalproject_hockey_spark.catalog import (
+    SCHEMAS,
+    events_ts_encoding,
+    load_table,
+    verify_contract,
+)
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(SCHEMAS))
+def test_footer_contract(name, sf_dir):
+    """Every table's parquet footer matches the pinned catalog schema
+    (with the documented events.ts encoding allowance)."""
+    verify_contract(name, f"{sf_dir}/{name}.parquet")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(SCHEMAS))
+def test_load_matches_catalog_schema(spark, name, sf_dir):
+    """load_table yields exactly SCHEMAS[name]'s column names and
+    logical types at every sf — i.e. the normalization (ts decode)
+    lands on the catalog type, whatever the on-disk encoding."""
+    df = load_table(spark, name, sf_dir)
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in SCHEMAS[name].fields]
+    # tz-naive parquet timestamps read as TIMESTAMP_NTZ; the catalog
+    # deliberately does NOT cast them (a withColumn cast would defeat
+    # predicate pushdown on the scan) — queries treat NTZ wall-clock
+    # values as UTC, which is exactly DuckDB's reading. Only events.ts
+    # is normalized (its decode already breaks pushdown by necessity).
+    got = [(n, "timestamp" if t == "timestamp_ntz" else t) for n, t in got]
+    assert got == want
+
+
+def test_events_ts_values_match_duckdb(spark):
+    """The decoded event times equal DuckDB's reading of the same file
+    (the oracle side of every events query) — catches a wrong-scale
+    decode (the silent 1000x streaming bug) not just a wrong dtype."""
+    duckdb = pytest.importorskip("duckdb")
+    path = "/root/testdata/sf0.001/events.parquet"
+    lo, hi = duckdb.sql(
+        f"select min(ts), max(ts) from read_parquet('{path}')"
+    ).fetchone()
+    row = load_table(spark, "events", "/root/testdata/sf0.001").agg(
+        {"ts": "min"}
+    ).collect()[0]
+    row_max = load_table(spark, "events", "/root/testdata/sf0.001").agg(
+        {"ts": "max"}
+    ).collect()[0]
+    assert row[0] == lo and row_max[0] == hi
+    # sanity: plausible wall-clock range, not 1970-epoch-adjacent
+    assert row[0] > datetime.datetime(2000, 1, 1)
+
+
+def test_events_encoding_detected():
+    for sf_dir in SF_DIRS:
+        enc = events_ts_encoding(f"{sf_dir}/events.parquet")
+        assert enc in ("nanos", "timestamp")
+
+
+def test_streaming_schema_follows_footer(spark):
+    """The stream source schema derives from the footer, mirroring the
+    batch loader — a pinned LongType schema against micros data is the
+    exact shape of the round-2 silent corruption."""
+    from bigdatafinalproject_hockey_spark.streaming import _events_stream_source
+
+    schema, _ = _events_stream_source(spark, "/root/testdata/sf0.001")
+    enc = events_ts_encoding("/root/testdata/sf0.001/events.parquet")
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"]
+    if enc == "nanos":
+        assert ts_type == "bigint"
+    else:
+        assert ts_type == "timestamp_ntz"
