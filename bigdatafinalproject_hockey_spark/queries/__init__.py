@@ -16,13 +16,15 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-2 window: the 56 queries that were driver-unverified in round 1
-(VERDICT.md §"What's missing" item 1) — all of ``curation.py`` /
-``extensions.py`` / ``scale.py`` plus the tail of ``core.py`` — with
-oracle-backed entries first so the window maximises hash-checked rows;
-``dedup_minhash_lsh`` (rows-only by design, the flagship dedup op)
-takes the final slot. Queries already green in CORRECTNESS_r01.json
-sort last.
+Round-3 window (VERDICT r2 items 4-5): (a) the oracle-backed entries
+that have never had a driver row — every round-2 addition plus the
+four composites that replaced r1-green singles; (b) the events-tier
+queries repaired by the footer-branching loader fix (crashed or
+silently corrupt in r2); (c) the stale r1 greens that touch events —
+their green rows were earned against the old nanos encoding and must
+be re-earned against the current testdata. NO rows-only query is in
+the window (r1 `ml_train_eval` and r2 `dedup_minhash_lsh` each burned
+a slot on a guaranteed `no_oracle` row).
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -38,61 +40,67 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 # Names to surface at the front of the registry this round, in order.
 # Every name must exist (KeyError below fails loudly on drift).
 _VERIFY_FIRST = [
-    # core tail (oracle-backed, unverified in r01)
+    # (a) oracle-backed, never driver-verified (round-2 additions +
+    # the composites that replaced r1-green singles)
+    "pack_sequences",
+    "join_bucketed",
+    "cap_per_source",
+    "corpus_drift",
+    "chunk_overlap",
+    "dedup_incremental",
+    "scan_chunked",
+    "clean_types",
+    "filter_clean",
+    "derive_features",
+    "str_clean",
+    # (b) events-tier queries repaired by the footer-branching loader
+    # fix (crashed or hash-failed in r2)
     "topk_per_group",
-    "topk_global",
-    "union_all",
-    "sample_by_key",
-    "split_temporal",
-    "split_hash",
     "json_extract",
-    # curation tier
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_contamination",
-    "text_tfidf_top_terms",
-    "dedup_segments",
-    "text_pii_scrub",
-    "agg_corr_stats",
-    "stream_session_window",
     "events_funnel",
-    "pipeline_training_mix",
-    "stream_foreachbatch_upsert",
-    "sink_parquet_compacted",
-    "scan_orc_roundtrip",
-    # extensions tier (oracle-backed)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_knn_classify",
-    "text_token_count",
-    "text_repetition_score",
-    "agg_quantile_report",
-    "text_top_tokens",
-    "text_bpe_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "doc_fingerprint",
-    "pipeline_document_curation",
-    "grouped_zscore",
-    "array_functions",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pipeline_features",
-    # scale tier (oracle-backed)
     "join_asof",
-    "join_range",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "sim_ann_ivf",
+    "stream_session_window",
+    "stream_foreachbatch_upsert",
+    # (c) stale r1 greens touching events — re-earn against the
+    # current ts encoding
+    "agg_count_group",
+    "win_row_number",
+    "win_expanding_avg",
+    "win_sliding_avg",
+    "win_running_sum",
+    "win_lag",
+    "win_first_last",
+    "win_range_interval",
+    "agg_pivot",
+    "agg_windowed_distinct",
+    "map_functions",
+    "join_full_outer",
+    "sessionize_events",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_dedup",
+    "stream_stream_join",
     "stream_stateful_totals",
-    "sink_parquet_partitioned",
-    # flagship rows-only dedup op takes the 50th slot
-    "dedup_minhash_lsh",
+    # backfill: r1 greens not re-checked since round 1 (non-events) —
+    # keeps the whole surface's verification fresh within the window
+    "scan_jsonl_roundtrip",
+    "scan_csv_roundtrip",
+    "set_intersect",
+    "set_except",
+    "win_rank_family",
+    "reshape_unpivot",
+    "date_functions",
+    "str_fuzzy_match",
+    "map_literal_lookup",
+    "lookup_with_fallback",
+    "agg_group_multi",
+    "agg_global_max",
+    "agg_count_filter",
+    "join_equi_3key",
+    "join_star",
+    "join_self_matchup",
+    "semi_join_isin",
+    "anti_join",
 ]
 
 
