@@ -6,9 +6,11 @@ sign vector packed into a long. Documents within a small hamming
 distance are near-dup candidates.
 
 Implemented entirely with Catalyst higher-order expressions
-(aggregate over the token array zip_with'ing a 64-slot counter array)
-— JVM-side, no Python in the row path. xxhash64 is Spark-specific →
-rows-only oracle check.
+(aggregate over the token-hash array zip_with'ing a 64-slot counter
+array) — JVM-side, no Python in the row path. Token hashes use the
+engine-portable md5-derived hash (functions/hashing.py), so the whole
+operator — fingerprints, banding, hamming filter — is reproducible in
+DuckDB and carries a full value-hash oracle (simhash_oracle_sql).
 """
 
 from __future__ import annotations
@@ -16,30 +18,41 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_hockey_spark.functions.hashing import (
+    portable_hash64_expr,
+    portable_hash64_sql,
+)
 from bigdatafinalproject_hockey_spark.functions.text import distinct_tokens_expr
 from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 
 N_BITS = 64
 
+# DuckDB tokenizer identical to functions.text.tokens_expr (same
+# fragment as queries/extensions._SQL_TOKS).
+_SQL_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+
 
 def simhash_expr(text_col: Column | str) -> Column:
     """64-bit simhash of the document's distinct token set, as a long.
 
-    Bit positions are unrolled at plan-build time (shift amounts must
-    be literals), so this compiles to one aggregate over the token
-    array producing a 64-slot vote vector, then a literal-folded pack.
+    Each token is hashed ONCE (transform over the token array) before
+    the vote aggregate — the 64 per-bit extractions then reference the
+    lambda-bound hash, not 64 copies of the hash call. Bit positions
+    are unrolled at plan-build time (shift amounts must be literals),
+    so this compiles to one aggregate over the hash array producing a
+    64-slot vote vector, then a literal-folded pack.
     """
-    toks = distinct_tokens_expr(text_col)
+    hashes = F.transform(distinct_tokens_expr(text_col), portable_hash64_expr)
     zeros = F.array_repeat(F.lit(0), N_BITS)
-    # votes[i] += (bit i of xxhash64(token)) ? 1 : -1, for every token
+    # votes[i] += (bit i of hash64(token)) ? 1 : -1, for every token
     votes = F.aggregate(
-        toks,
+        hashes,
         zeros,
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("int")
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
                     for i in range(N_BITS)
                 ]
             ),
@@ -140,3 +153,65 @@ def simhash_near_pairs(
         # function of the pair
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> str:
+    """DuckDB SQL replicating simhash_near_pairs EXACTLY — same
+    tokenizer, same portable md5-derived token hash, same pigeonhole
+    bands (literal offsets/masks generated from the same Python
+    arithmetic), same hamming filter — so an approximate near-dup
+    operator gets a full value-hash driver check.
+
+    The fingerprint lives in a UBIGINT here vs Spark's signed long;
+    the bit patterns are identical and only (doc_a, doc_b, hamming)
+    are compared. The per-bit votes are relational (token-hash rows ×
+    a 64-row bit table) rather than a 64-term expression — simpler SQL
+    for an oracle that runs once at sf0.01 scale.
+    """
+    n_bands = max_hamming + 1
+    width = N_BITS // n_bands
+    widths = [width + (1 if i < N_BITS % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    toks = _SQL_TOKS.format(c=text_col)
+    h64 = portable_hash64_sql("token")
+    bands_values = ", ".join(
+        f"({i}, {offsets[i]}, {(1 << widths[i]) - 1})" for i in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest(list_distinct({toks})) AS token FROM {table}
+    ),
+    th AS (SELECT {id_col}, {h64} AS h64 FROM tok),
+    votes AS (
+      SELECT {id_col}, b.i AS bit_i,
+             SUM(CASE WHEN (h64 >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, range({N_BITS}) b(i)
+      GROUP BY 1, 2
+    ),
+    fp0 AS (
+      SELECT {id_col},
+             CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << bit_i
+                           ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+      FROM votes GROUP BY 1
+    ),
+    fp AS (
+      SELECT d.{id_col}, COALESCE(fp0.simhash, CAST(0 AS UBIGINT)) AS simhash
+      FROM {table} d LEFT JOIN fp0 USING ({id_col})
+    ),
+    banded AS (
+      SELECT {id_col}, simhash, band_idx,
+             (simhash >> off) & CAST(mask AS UBIGINT) AS band_val
+      FROM fp, (VALUES {bands_values}) bands(band_idx, off, mask)
+    )
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

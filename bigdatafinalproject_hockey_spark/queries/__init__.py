@@ -53,6 +53,10 @@ _VERIFY_FIRST = [
     "filter_clean",
     "derive_features",
     "str_clean",
+    # newly converted from rows-only to oracle-backed in round 3
+    # (portable md5-derived hash / deterministic literal projections)
+    "dedup_simhash",
+    "sim_ann_lsh",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

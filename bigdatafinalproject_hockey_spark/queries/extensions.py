@@ -17,7 +17,10 @@ from bigdatafinalproject_hockey_spark.dedup.components import dedup_components
 from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_groups
 from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
 from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pairs
-from bigdatafinalproject_hockey_spark.dedup.simhash import simhash_near_pairs
+from bigdatafinalproject_hockey_spark.dedup.simhash import (
+    simhash_near_pairs,
+    simhash_oracle_sql,
+)
 from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
 from bigdatafinalproject_hockey_spark.functions.text import (
     BPE_PRETOKEN_PATTERN,
@@ -41,6 +44,7 @@ from bigdatafinalproject_hockey_spark.operators import (
 from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.similarity import (
     ann_lsh_near_pairs,
+    ann_lsh_oracle_sql,
     brute_force_cosine_topk,
     cosine_lsh_near_pairs,
     cosine_lsh_oracle_sql,
@@ -165,9 +169,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64 is Spark-specific → rows-only check
+@register("dedup_simhash", oracle=simhash_oracle_sql(max_hamming=8))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint near-dup pairs within hamming distance 8."""
+    """SimHash fingerprint near-dup pairs within hamming distance 8.
+    Token hashes are the engine-portable md5-derived 64-bit hash
+    (functions/hashing.py), so the oracle reproduces the fingerprints
+    bit-for-bit — a full value-hash check on an approximate operator
+    (was rows-only while it used Spark-specific xxhash64)."""
     docs = load_table(spark, "documents", sf_dir)
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
 
@@ -220,9 +228,15 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_cosine_topk(emb, queries, k=5)
 
 
-@register("sim_ann_lsh")  # Spark-seeded projections → rows-only check
+@register(
+    "sim_ann_lsh",
+    oracle=ann_lsh_oracle_sql(bucket_length=1.0, max_l2=1.2),
+)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-projection LSH approximate near-neighbor pairs (L2)."""
+    """Random-projection (p-stable) LSH approximate near-neighbor
+    pairs (L2). Deterministic literal projections shared with the
+    DuckDB oracle — full value-hash check (was rows-only while it
+    used MLlib's Spark-seeded BucketedRandomProjectionLSH)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return ann_lsh_near_pairs(emb, bucket_length=1.0, max_l2=1.2)
 

@@ -4,8 +4,9 @@ Two paths:
 - brute-force cosine top-k: exact, O(queries × corpus) — the baseline
   and the correctness oracle. Fine when the query set is small or the
   corpus is broadcastable.
-- LSH-bucketed ANN (BucketedRandomProjectionLSH): sub-linear candidate
-  generation — the 100 TB path, where neither side fits anywhere.
+- LSH-bucketed ANN (deterministic sign-projection / p-stable
+  projections): sub-linear candidate generation — the 100 TB path,
+  where neither side fits anywhere.
 
 Both keep all arithmetic in Catalyst higher-order expressions
 (functions.vectors) — no Python UDFs.
@@ -13,8 +14,6 @@ Both keep all arithmetic in Catalyst higher-order expressions
 
 from __future__ import annotations
 
-from pyspark.ml.feature import BucketedRandomProjectionLSH
-from pyspark.ml.functions import array_to_vector
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -323,6 +322,37 @@ def cosine_lsh_oracle_sql(
     """
 
 
+def gaussian_projections(num: int, dim: int) -> list[list[float]]:
+    """Deterministic approximately-N(0,1) projection vectors for
+    L2 (p-stable) LSH — Irwin-Hall: sum of 12 splitmix64-derived
+    uniforms minus 6. Pure function of (projection, dim), so the Spark
+    plan and a SQL oracle embed the identical float literals and
+    reproduce the exact same bucketing (same trick as
+    hyperplane_signs above; Datar et al., "Locality-sensitive hashing
+    scheme based on p-stable distributions", SoCG'04)."""
+    out = []
+    for p in range(num):
+        row = []
+        for d in range(dim):
+            s = 0.0
+            for k in range(12):
+                s += _splitmix64(((p * dim + d) << 8) | k) / float(_MASK64 + 1)
+            row.append(s - 6.0)
+        out.append(row)
+    return out
+
+
+def _l2_expr(a: Column, b: Column) -> Column:
+    """Sequential-order Euclidean distance of two double arrays."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def ann_lsh_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -330,32 +360,97 @@ def ann_lsh_near_pairs(
     bucket_length: float = 2.0,
     num_hash_tables: int = 4,
     max_l2: float = 5.0,
+    dim: int = 64,
 ) -> DataFrame:
-    """Approximate near-neighbor pairs via random-projection LSH over
-    L2 distance — the sub-quadratic scale path. Bucket collisions
-    bound the candidate set; the exact L2 filter runs only on
-    candidates. Spark-seeded hashes → rows-only check.
+    """Approximate near-neighbor pairs via DETERMINISTIC
+    random-projection (p-stable) LSH over L2 distance — the
+    sub-quadratic scale path. Each vector gets one integer bucket key
+    per hash table: floor(round(v·w / bucket_length, 6)) with literal
+    projection vectors (gaussian_projections). Bucket collisions bound
+    the candidate set; the exact rounded-L2 filter runs only on
+    candidates; pairs colliding in several tables deduplicate.
 
-    Output: id_a, id_b, l2_dist.
+    Replaces MLlib's BucketedRandomProjectionLSH (Spark-seeded →
+    unverifiable): identical dataflow shape, but the literal
+    projections make the operator reproducible in DuckDB for a full
+    value-hash check (ann_lsh_oracle_sql). The projection is rounded
+    to 6dp BEFORE floor on both sides so a last-ulp difference at a
+    bucket boundary cannot split engines.
+
+    Scale shape (mirrors cosine_lsh_near_pairs): one narrow scan
+    computes all keys, the exploded (table, key) rows repartition BY
+    the join keys then persist, the self-join runs co-partitioned —
+    no further exchanges, no UDFs. Output: id_a, id_b, l2_dist.
     """
-    vecs = ensure_parallelism(df).select(
-        F.col(id_col).alias("vid"),
-        array_to_vector(as_double_array(vec_col)).alias("features"),
+    from pyspark import StorageLevel
+
+    projs = gaussian_projections(num_hash_tables, dim)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
+
+    def key(t: int) -> Column:
+        proj = dot_expr(F.col("emb"), F.array(*[F.lit(w) for w in projs[t]]))
+        return F.floor(F.round(proj / bucket_length, 6))
+
+    keyed = base.select(
+        "vid", "emb",
+        F.array(*[key(t) for t in range(num_hash_tables)]).alias("keys"),
     )
-    model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, max_l2, distCol="l2_dist")
+    exploded = (
+        keyed.select("vid", "emb", F.posexplode("keys").alias("tbl", "key"))
+        .repartition("tbl", "key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
     return (
-        pairs.select(
-            F.col("datasetA.vid").alias("id_a"),
-            F.col("datasetB.vid").alias("id_b"),
-            "l2_dist",
+        a.join(b, on=["tbl", "key"], how="inner")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(_l2_expr(F.col("a.emb"), F.col("b.emb")), 6).alias("l2_dist"),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("l2_dist") <= max_l2)
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ann_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    max_l2: float = 5.0,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replicating ann_lsh_near_pairs EXACTLY — identical
+    literal projections, bucket keys, and rounded-L2 refine."""
+    projs = gaussian_projections(num_hash_tables, dim)
+
+    def key_expr(t: int) -> str:
+        row = ",".join(repr(w) for w in projs[t])
+        return (
+            f"CAST(floor(round(list_dot_product(emb, [{row}]::DOUBLE[]) / "
+            f"{bucket_length!r}, 6)) AS BIGINT)"
+        )
+
+    keys_list = ", ".join(key_expr(t) for t in range(num_hash_tables))
+    return f"""
+    WITH e AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS emb FROM {table}),
+    keyed AS (SELECT {id_col}, emb, [{keys_list}] AS keys FROM e),
+    k AS (
+      SELECT {id_col}, emb, i AS tbl, keys[i + 1] AS key
+      FROM keyed, range({num_hash_tables}) t(i)
+    ),
+    p AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             ROUND(sqrt(list_sum(list_transform(
+                 list_zip(a.emb, b.emb),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) AS l2_dist
+      FROM k a JOIN k b
+        ON a.tbl = b.tbl AND a.key = b.key AND a.{id_col} < b.{id_col}
+    )
+    SELECT DISTINCT id_a, id_b, l2_dist FROM p WHERE l2_dist <= {max_l2!r}
+    """

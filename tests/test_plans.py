@@ -280,3 +280,35 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_upsert_batch_scans_index_not_sink(spark, tmp_path):
+    """foreach_batch_upsert's per-batch anti-join must scan the
+    keys-only index sidecar, never the wide sink (at scale the sink
+    re-scan is a per-batch full-table read — VERDICT r2 item 7)."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.streaming import _novel_rows
+
+    sink = str(tmp_path / "sink")
+    index = sink + "_keyidx"
+    full = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    full.select("event_id").write.mode("overwrite").parquet(index)
+    full.write.mode("overwrite").parquet(sink)
+
+    b = _novel_rows(spark, full, index, ["event_id"])
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    scans = [s for s in plan.split("FileScan parquet") if "Location" in s]
+    # the batch source here is range(), so the ONLY file scan allowed
+    # in the plan is the index read (plan paths are truncated by
+    # Spark's metadata-string limit, so assert via scan count +
+    # ReadSchema rather than the sink/_keyidx path)
+    assert len(scans) == 1, plan
+    read_schema = scans[0].split("ReadSchema:")[1]
+    assert "event_id" in read_schema, plan
+    # keys-only: the wide sink columns never appear in any scan
+    assert "value" not in read_schema and "user_id" not in read_schema, plan
