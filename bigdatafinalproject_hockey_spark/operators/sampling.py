@@ -35,6 +35,22 @@ def sample_by_key(
     return semi_join_keys(df, keys, key_cols)
 
 
+def deterministic_uniform_expr(key: Column | str, salt: str = "") -> Column:
+    """Uniform-[0,1) draw as a pure function of (key, salt): top 53
+    bits of the portable 64-bit hash, scaled. Unlike RNG sampling
+    (df.sample / sampleBy), the draw is reproducible across engines
+    (DuckDB oracle), stable under re-partitioning and task retries,
+    and needs no seed plumbing. 53 bits = double mantissa, so the
+    scale is exact and engines cannot disagree in the last ulp."""
+    from bigdatafinalproject_hockey_spark.functions.hashing import (
+        portable_hash64_expr,
+    )
+
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64_expr(F.concat(c.cast("string"), F.lit(salt)))
+    return F.shiftrightunsigned(h, 11).cast("double") / F.lit(float(1 << 53))
+
+
 def sample_by_key_mod(
     df: DataFrame, key_col: str, modulus: int, keep_residue: int = 0
 ) -> DataFrame:

@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     # (portable md5-derived hash / deterministic literal projections)
     "dedup_simhash",
     "sim_ann_lsh",
+    "sample_stratified",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.functions.hashing import portable_hash64_sql
 from bigdatafinalproject_hockey_spark.functions.numeric import (
     cents_expr,
     fixed_point_sum,
@@ -829,16 +830,32 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified")  # Spark-seeded Bernoulli draws → rows-only check
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(({portable_hash64_sql("CAST(doc_id AS VARCHAR) || ':strat'")} >> 11) AS DOUBLE)
+          / 9007199254740992.0
+          < (CASE WHEN lang IN ('en', 'es') THEN 0.25 ELSE 1.0 END)
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum sampling with explicit fractions (sampleBy): the
-    balanced-mix primitive — downsample dominant languages, keep rare
-    ones whole. Seeded, deterministic within Spark; per-row Bernoulli
-    draws are engine-specific, hence rows-only."""
+    """Per-stratum sampling — the balanced-mix primitive: downsample
+    dominant languages (en/es at 25%), keep rare ones whole.
+
+    The Bernoulli draw is a DETERMINISTIC hash of the row key (top 53
+    bits of the portable 64-bit hash, scaled to [0,1)) rather than
+    Spark's seeded RNG (sampleBy): same sampling semantics, but (a)
+    reproducible across engines — full value-hash oracle instead of
+    rows-only, (b) stable under re-partitioning and retries (an
+    executor retry with RNG sampling can emit a different sample),
+    and (c) no driver-side collect of the stratum set — the fraction
+    is a pure column expression, so the operator is one scan at any
+    scale (was: distinct-langs collect + sampleBy)."""
     docs = load_table(spark, "documents", sf_dir)
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    fractions = {lang: (1.0 if i % 2 else 0.25) for i, lang in enumerate(sorted(langs))}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    u = sample_ops.deterministic_uniform_expr("doc_id", ":strat")
+    frac = F.when(F.col("lang").isin("en", "es"), F.lit(0.25)).otherwise(F.lit(1.0))
+    return docs.filter(u < frac).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

@@ -319,3 +319,27 @@ def test_sample_stratified_per_stratum_tolerance(spark):
             f"{lang}: got {got.get(lang, 0)}, want ~{want}"
         )
     assert got["small"] == 2000  # fraction 1.0 keeps the stratum whole
+
+
+def test_deterministic_uniform_rate_and_stability(spark):
+    """The hash-based uniform draw must hit the target fraction within
+    binomial noise AND be invariant to partitioning (RNG sampling is
+    not stable under repartition; the deterministic draw is the fix)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.operators.sampling import (
+        deterministic_uniform_expr,
+    )
+
+    n, frac = 20000, 0.25
+    df = spark.range(n).select(F.col("id"))
+    u = deterministic_uniform_expr("id", ":t")
+    kept = df.filter(u < frac)
+    got = kept.count()
+    sigma = math.sqrt(n * frac * (1 - frac))
+    assert abs(got - n * frac) <= 4 * sigma, got
+    # partitioning-invariant: identical sample after a repartition
+    re_ids = {r["id"] for r in df.repartition(17).filter(u < frac).collect()}
+    assert re_ids == {r["id"] for r in kept.collect()}
