@@ -577,3 +577,37 @@ def test_scan_chunked_splits(spark):
         assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_ml_variants_emit_reference_metric_schema(spark):
+    """All four classifier queries (lr/rf/gbt/mlp) must execute and
+    emit the reference's metric row schema (VERDICT r2 item 8: the
+    _rf/_gbt/_mlp variants had never been externally run). Model
+    internals stay rows-only by nature; this pins the contract:
+    schema, model tag, metric ranges, and that tree ensembles report
+    a feature importance while lr/mlp report NULL."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    want_cols = [
+        "model", "n_test", "accuracy", "precision", "recall", "f1",
+        "auc", "baseline_majority", "baseline_weighted",
+        "top_feature", "top_feature_importance",
+    ]
+    for name, kind in [
+        ("ml_train_eval", "lr"),
+        ("ml_train_eval_rf", "rf"),
+        ("ml_train_eval_gbt", "gbt"),
+        ("ml_train_eval_mlp", "mlp"),
+    ]:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.columns == want_cols, (name, df.columns)
+        [row] = df.collect()
+        assert row["model"] == kind
+        assert row["n_test"] > 0
+        for metric in ("accuracy", "precision", "recall", "f1", "auc"):
+            assert 0.0 <= row[metric] <= 1.0, (name, metric, row[metric])
+        if kind in ("rf", "gbt"):
+            assert row["top_feature"] is not None
+            assert row["top_feature_importance"] > 0
+        else:
+            assert row["top_feature"] is None
