@@ -44,6 +44,8 @@ HEADLINE = [
     # new in round 2 (no round-1 comparison point):
     "join_bucketed",        # co-bucketed ingest + shuffle-free join
     "pack_sequences",       # greedy training-sequence packing per shard
+    # new in round 3:
+    "dedup_minhash_lsh_portable",  # oracle-verified flagship dedup variant
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents

@@ -33,6 +33,7 @@ def write_bucketed(
     num_buckets: int,
     path: str | None = None,
     sort_cols: list[str] | None = None,
+    source_token: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sort-within-bucket)
     parquet table — external at ``path`` if given, else managed —
@@ -42,8 +43,42 @@ def write_bucketed(
     bucket assignment (both use Murmur3 hash partitioning), so each
     bucket is exactly one file — bucket b is written wholly by the
     task holding hash-partition b.
+
+    ``source_token`` makes the ingest IDEMPOTENT — the whole point of
+    bucketing at scale is that the shuffle is paid once at ingest and
+    every subsequent query on the key rides the existing layout. The
+    token (callers pass a fingerprint of the source files, e.g.
+    size+mtime) is recorded in a ``_source_token`` sidecar next to the
+    bucket files; a matching token skips the data write even in a
+    FRESH session (the in-memory session catalog is re-pointed at the
+    existing files with a DDL-only CREATE — bucket ids live in the
+    file names, so a re-declared table keeps its co-partitioning).
+    A changed source can never serve stale buckets.
     """
+    import os
+
     spark = df.sparkSession
+    sidecar = os.path.join(path, "_source_token") if path is not None else None
+    if source_token is not None and sidecar is not None and os.path.isfile(sidecar):
+        with open(sidecar) as fh:
+            recorded = fh.read()
+        if recorded == source_token and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            if not spark.catalog.tableExists(table):
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                )
+                sort_clause = (
+                    f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+                )
+                spark.sql(
+                    f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+                    f"{sort_clause}INTO {num_buckets} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            return
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
@@ -56,6 +91,9 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+    if source_token is not None and sidecar is not None:
+        with open(sidecar, "w") as fh:
+            fh.write(source_token)
 
 
 def join_cobucketed(

@@ -312,3 +312,14 @@ def test_upsert_batch_scans_index_not_sink(spark, tmp_path):
     assert "event_id" in read_schema, plan
     # keys-only: the wide sink columns never appear in any scan
     assert "value" not in read_schema and "user_id" not in read_schema, plan
+
+
+def test_minhash_portable_self_join_copartitioned(spark):
+    """The portable variant must keep the fast variant's scale shape:
+    band-bucket self-join consumes the cached bucket table's hash
+    partitioning, no Exchange above the cache except dropDuplicates'."""
+    plan = plan_of(spark, "dedup_minhash_lsh_portable")
+    top = plan.split("InMemoryRelation")[0]
+    assert top.count("Exchange hashpartitioning") <= 1
+    # and stays UDF-free: every hash is a Catalyst expression
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
