@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "sim_ann_lsh",
     "sample_stratified",
     "dedup_minhash_lsh_portable",
+    "multimodal_features",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

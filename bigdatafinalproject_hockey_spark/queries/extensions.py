@@ -797,7 +797,26 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # pandas-UDF fake decoder → rows-only check
+@register(
+    "multimodal_features",
+    # the fake codec is DETERMINISTIC (byte-histogram mean of the
+    # utf-8 payload), so even the stubbed decode path gets a full
+    # value-hash oracle: DuckDB recomputes the byte sum through hex
+    # expansion. Integer sum / integer length → exact IEEE division
+    # on both sides. A real codec swap moves this back to rows-only.
+    oracle="""
+    WITH m AS (SELECT doc_id, encode(text) AS b FROM documents),
+    h AS (SELECT doc_id, hex(b) AS hx, octet_length(b) AS n FROM m)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(n),
+                       i -> CAST(('0x' || substr(hx, CAST(i*2+1 AS INT), 2))
+                                 AS INTEGER))) AS DOUBLE) / n
+           END AS feat_mean
+    FROM h
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (deterministic fake for the codec step)."""
