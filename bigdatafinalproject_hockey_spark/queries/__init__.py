@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "sample_stratified",
     "dedup_minhash_lsh_portable",
     "multimodal_features",
+    "stream_static_enrich",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

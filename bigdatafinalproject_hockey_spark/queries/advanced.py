@@ -28,6 +28,7 @@ from bigdatafinalproject_hockey_spark.streaming import (
     run_stream_to_table,
     sessionize,
     sliding_agg,
+    static_enrich_agg,
     stream_dedup,
     tumbling_agg,
 )
@@ -53,6 +54,29 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode). Epoch-aligned windows match the batch time_bucket oracle."""
     stream = read_events_stream(spark, sf_dir)
     agg = tumbling_agg(stream, window_duration="1 day", watermark_delay="1 hour")
+    return run_stream_to_table(spark, agg, output_mode="complete")
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment as a REAL streaming query: the events
+    file stream broadcast-joins the static customer dimension and
+    aggregates revenue per market segment (complete-mode keyed state,
+    bounded by segment cardinality). The oracle is the equivalent
+    batch join+aggregate."""
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, "customer", sf_dir)
+    agg = static_enrich_agg(stream, dim)
     return run_stream_to_table(spark, agg, output_mode="complete")
 
 

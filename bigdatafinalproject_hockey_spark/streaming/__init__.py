@@ -386,6 +386,44 @@ def session_agg(
     )
 
 
+def static_enrich_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+    seg_col: str = "c_mktsegment",
+) -> DataFrame:
+    """STREAM-STATIC enrichment: join the event stream against a
+    static dimension table and aggregate per segment — the canonical
+    "enrich events with reference data" production pattern.
+
+    The static side is explicitly broadcast: a stream-static join must
+    never shuffle the unbounded side, and the broadcast is re-usable
+    across micro-batches (Spark re-evaluates the static side per batch
+    — at scale pin the dim with .persist() so re-evaluation is a cache
+    read, or use a rocksdb-backed state store join for mutable dims).
+    Aggregation is complete-mode keyed state (bounded by segment
+    cardinality), same as stateful totals.
+    """
+    joined = events.join(
+        F.broadcast(dim.select(on_right, seg_col)),
+        events[on_left] == dim[on_right],
+        "inner",
+    )
+    return (
+        joined.groupBy(seg_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col(seg_col),
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", user_col: str = "user_id"
 ) -> DataFrame:
