@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh_portable",
     "multimodal_features",
     "stream_static_enrich",
+    "join_skew_salted",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

@@ -335,6 +335,43 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {fixed_point_sum_sql("l_extendedprice")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim through the SALTED join (operators/joins.join_salted):
+    each left row carries a deterministic salt in [0, 8), the right
+    side replicates 8×, and a hot key's rows spread over 8 shuffle
+    partitions instead of one straggler task — the manual skew fix for
+    engines/plans where AQE skew splitting can't fire (broadcast-
+    disabled sort-merge, skewed agg feeding the join). Salting is pure
+    partitioning: the joined VALUES are invariant, so the oracle is
+    the plain join+aggregate — the driver hash-checks that the salt
+    plumbing never leaks into results."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    joined = join_ops.join_salted(li, orders, ["orderkey"], salt=8)
+    return agg_ops.agg_group_multi(
+        joined,
+        ["o_orderpriority"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "revenue": fixed_point_sum(F.col("l_extendedprice")),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # bucketed co-located join: shuffle once at write, never at query time
 # ---------------------------------------------------------------------------
