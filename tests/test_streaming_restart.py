@@ -1,0 +1,67 @@
+"""Checkpoint-restart semantics of the streaming path.
+
+A production stream dies and restarts; Spark's checkpoint must carry
+the file-source progress so already-processed input is never
+re-emitted (exactly-once into the sink given idempotent/append sinks
+and a deterministic query). This is infrastructure behavior the
+per-query oracle checks can't see — a restart that reprocessed old
+files would still hash-match any single run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.streaming import _events_stream_source
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run_to_completion(spark, stage: str, checkpoint: str, out: str) -> None:
+    schema, decode = _events_stream_source(spark, SF_DIR)
+    stream = decode(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    ).select("event_id", "user_id", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_restart_from_checkpoint_never_reprocesses(spark, tmp_path):
+    stage = str(tmp_path / "stage")
+    checkpoint = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(stage)
+    src = os.path.join(SF_DIR, "events.parquet")
+    n = load_table(spark, "events", SF_DIR).count()
+
+    # run 1: one copy of the table
+    os.symlink(src, os.path.join(stage, "events_0.parquet"))
+    _run_to_completion(spark, stage, checkpoint, out)
+    assert spark.read.parquet(out).count() == n
+
+    # crash + restart: two NEW copies arrive; the old file is still
+    # listed in the directory but the checkpoint must skip it
+    os.symlink(src, os.path.join(stage, "events_1.parquet"))
+    os.symlink(src, os.path.join(stage, "events_2.parquet"))
+    _run_to_completion(spark, stage, checkpoint, out)
+
+    got = spark.read.parquet(out)
+    # 3 copies of every event — NOT 4 (a re-read of events_0 after
+    # restart would show up as a fourth)
+    assert got.count() == 3 * n
+    per_id = got.groupBy("event_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_id] == [3]
