@@ -52,6 +52,16 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--min-season", type=int, default=None)
     p.add_argument("--min-game", type=int, default=None)
     p.add_argument("--output", default=None, help="optional parquet dir for matchups")
+    p.add_argument(
+        "--show",
+        type=int,
+        nargs="?",
+        const=20,
+        default=None,
+        metavar="N",
+        help="print the first N matchup rows (default 20) — the "
+        "reference's console sink (experiment.py:678-680)",
+    )
     return p.parse_args(argv)
 
 
@@ -83,6 +93,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     if args.output:
         out["matchups"].write.mode("overwrite").parquet(args.output)
         print(f"matchups written to {args.output}")
+
+    if args.show is not None:
+        # console sink: tabular display with the reference's implicit
+        # row cap (df.show defaults to 20)
+        out["matchups"].orderBy("GameID").show(args.show)
 
     train, test = out["train"], out["test"]
     n_train, n_test = train.count(), test.count()

@@ -192,15 +192,20 @@ def q_dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=simhash_oracle_sql(max_hamming=8))
+@register("dedup_simhash", oracle=simhash_oracle_sql(max_hamming=3))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint near-dup pairs within hamming distance 8.
-    Token hashes are the engine-portable md5-derived 64-bit hash
-    (functions/hashing.py), so the oracle reproduces the fingerprints
-    bit-for-bit — a full value-hash check on an approximate operator
-    (was rows-only while it used Spark-specific xxhash64)."""
+    """SimHash fingerprint near-dup pairs within hamming distance 3 —
+    the production radius for 64-bit fingerprints (Manku, Jain & Sarma,
+    WWW'07). Measured on this corpus the radius dominates output size
+    (radius 8 emits ~12× the pairs of radius 3 and the cost is
+    output-bound), so the tight radius is both the published setting
+    and the scale-sane one. Token hashes are the engine-portable
+    md5-derived 64-bit hash (functions/hashing.py), so the oracle
+    reproduces the fingerprints bit-for-bit — a full value-hash check
+    on an approximate operator (was rows-only while it used
+    Spark-specific xxhash64)."""
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 @register(

@@ -169,7 +169,10 @@ def test_cli_on_reference_sample_csvs(spark):
         pytest.skip("reference sample data not present")
     from bigdatafinalproject_hockey_spark.__main__ import main
 
-    summary = main(["--events", ev, "--results", rs, "--models", "lr"], spark=spark)
+    summary = main(
+        ["--events", ev, "--results", rs, "--models", "lr", "--show", "5"],
+        spark=spark,
+    )
     assert summary["game_team_rows"] > 0
     assert summary["matchups"] * 2 <= summary["game_team_rows"] + 1
     assert summary["train"] + summary["test"] == summary["matchups"]
