@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "multimodal_features",
     "stream_static_enrich",
     "join_skew_salted",
+    "tokenize_to_ids",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

@@ -21,6 +21,10 @@ from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
 from bigdatafinalproject_hockey_spark.dedup.exact import dedup_incremental
 from bigdatafinalproject_hockey_spark.dedup.minhash import shingles_expr
 from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round6
+from bigdatafinalproject_hockey_spark.functions.hashing import (
+    portable_hash64_expr,
+    portable_hash64_sql,
+)
 from bigdatafinalproject_hockey_spark.functions.text import (
     md5_fingerprint_expr,
     tokens_expr,
@@ -1084,4 +1088,71 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") * S).cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab-id tokenization — the text→ids step of a pretraining pipeline
+# ---------------------------------------------------------------------------
+
+_TOKENIZE_V = 256  # vocab size (top-V tokens by corpus frequency)
+_TOKENIZE_B = 64   # OOV hash buckets (power of two: id = V + low bits of hash)
+
+
+@register(
+    "tokenize_to_ids",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(range(len(tk))) AS pos,
+             unnest(tk) AS token
+      FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk FROM documents)
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, vid FROM (
+        SELECT token,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS vid
+        FROM counts
+      ) WHERE vid < {_TOKENIZE_V}
+    )
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+           CAST(COALESCE(v.vid,
+                {_TOKENIZE_V} + ({portable_hash64_sql("t.token")}
+                                 & {_TOKENIZE_B - 1})) AS INT) AS token_id
+    FROM tok t LEFT JOIN vocab v USING (token)
+    """,
+)
+def q_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-id tokenization — the text→ids step every pretraining
+    pipeline runs after curation: build the corpus vocabulary (top-V
+    tokens by frequency, deterministic (count desc, token) tie-break),
+    map each positioned token to its id, and send out-of-vocabulary
+    tokens to one of B stable hash buckets (id = V + low-bits of the
+    portable 64-bit hash — identical bit extraction in every engine,
+    and the fallback real subword tokenizers use for bytes/unknowns).
+
+    Scale shape: the vocab build is one shuffle plus a single-partition
+    window over only V' distinct tokens (bounded, tiny); the mapping
+    join BROADCASTS the vocab onto the positioned token stream, so the
+    hot path is one scan + map-side join at any corpus size. Output is
+    (doc_id, pos, token_id) rows — the exploded layout downstream
+    sequence packing (pack_sequences) consumes directly.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    vocab = counts.select(
+        "token", (F.row_number().over(w) - 1).alias("vid")
+    ).filter(F.col("vid") < _TOKENIZE_V)
+    oov_id = F.lit(_TOKENIZE_V) + portable_hash64_expr(F.col("token")).bitwiseAND(
+        F.lit(_TOKENIZE_B - 1)
+    )
+    return toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("vid"), oov_id).cast("int").alias("token_id"),
     )
