@@ -323,3 +323,14 @@ def test_minhash_portable_self_join_copartitioned(spark):
     assert top.count("Exchange hashpartitioning") <= 1
     # and stays UDF-free: every hash is a Catalyst expression
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenize_vocab_broadcast(spark):
+    """The vocab→token-stream mapping join must broadcast the bounded
+    vocabulary — a sort-merge here would shuffle every positioned
+    token of the corpus. The only SinglePartition exchange allowed is
+    the tiny vocab ranking window (V' distinct tokens), never the
+    token stream."""
+    plan = plan_of(spark, "tokenize_to_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
