@@ -46,6 +46,7 @@ HEADLINE = [
     "pack_sequences",       # greedy training-sequence packing per shard
     # new in round 3:
     "dedup_minhash_lsh_portable",  # oracle-verified flagship dedup variant
+    "tokenize_to_ids",      # broadcast-vocab text→ids (pretraining step)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents

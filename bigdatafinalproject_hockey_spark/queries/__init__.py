@@ -90,7 +90,6 @@ _VERIFY_FIRST = [
     "stream_sliding_agg",
     "stream_dedup",
     "stream_stream_join",
-    "stream_stateful_totals",
     # backfill: r1 greens not re-checked since round 1 (non-events) —
     # keeps the whole surface's verification fresh within the window
     "scan_jsonl_roundtrip",
