@@ -296,6 +296,74 @@ def minhash_candidate_pairs(
     return near_pairs.unionByName(exact_edges)
 
 
+def _portable_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(doc, n_sh, sig, fp) with ENGINE-PORTABLE hashes: md5-derived
+    63-bit shingle hashes, literal universal-hash minhash family, md5
+    content fingerprint. Shared by the portable batch pair-finder and
+    the incremental matcher so both stay value-identical to the SQL
+    oracles."""
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    max63 = F.lit((1 << 63) - 1).cast("long")
+    shingled = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        shingles_expr(F.col(text_col), shingle_n).alias("shs"),
+    )
+    hashed = shingled.select(
+        "doc",
+        F.transform(
+            "shs", lambda s: portable_hash64_expr(s).bitwiseAND(max63)
+        ).alias("hs"),
+    )
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    a_arr = F.array(*[F.lit(v).cast("long") for v in a_co])
+    b_arr = F.array(*[F.lit(v).cast("long") for v in b_co])
+    sig_expr = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                ks,
+                lambda k: (
+                    F.element_at(a_arr, k + 1) * F.shiftright(h, 32)
+                    + F.element_at(b_arr, k + 1)
+                )
+                % F.lit(_MINHASH_P),
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return hashed.select(
+        "doc",
+        F.size("hs").alias("n_sh"),
+        sig_expr.alias("sig"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.array_sort("hs"), lambda h: h.cast("string")))
+        ).alias("fp"),
+    )
+
+
+def _band_keys_expr(num_bands: int, rows_per_band: int):
+    """String band keys over a ``sig`` column: the band's signature
+    slice joined with ':' — identical rendering in every engine."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
+                lambda j: F.get(F.col("sig"), b * rows_per_band + j).cast("string"),
+            ),
+        ),
+    )
+
+
 def minhash_candidate_pairs_portable(
     df: DataFrame,
     text_col: str,
@@ -329,46 +397,7 @@ def minhash_candidate_pairs_portable(
     """
     assert num_hashes % num_bands == 0, "bands must evenly divide hashes"
     rows_per_band = num_hashes // num_bands
-    a_co, b_co = _minhash_coeffs(num_hashes)
-    max63 = F.lit((1 << 63) - 1).cast("long")
-
-    shingled = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        shingles_expr(F.col(text_col), shingle_n).alias("shs"),
-    )
-    hashed = shingled.select(
-        "doc",
-        F.transform(
-            "shs", lambda s: portable_hash64_expr(s).bitwiseAND(max63)
-        ).alias("hs"),
-    )
-    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    a_arr = F.array(*[F.lit(v).cast("long") for v in a_co])
-    b_arr = F.array(*[F.lit(v).cast("long") for v in b_co])
-    sig_expr = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                ks,
-                lambda k: (
-                    F.element_at(a_arr, k + 1) * F.shiftright(h, 32)
-                    + F.element_at(b_arr, k + 1)
-                )
-                % F.lit(_MINHASH_P),
-            ),
-            lambda x, y: F.least(x, y),
-        ),
-    )
-    sig = hashed.select(
-        "doc",
-        F.size("hs").alias("n_sh"),
-        sig_expr.alias("sig"),
-        F.md5(
-            F.concat_ws(",", F.transform(F.array_sort("hs"), lambda h: h.cast("string")))
-        ).alias("fp"),
-    )
+    sig = _portable_signatures(df, text_col, id_col, shingle_n, num_hashes)
 
     from pyspark.sql.window import Window
 
@@ -384,16 +413,7 @@ def minhash_candidate_pairs_portable(
     )
     reps = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
 
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.concat_ws(
-            ":",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(rows_per_band - 1)),
-                lambda j: F.get(F.col("sig"), b * rows_per_band + j).cast("string"),
-            ),
-        ),
-    )
+    band_keys = _band_keys_expr(num_bands, rows_per_band)
     exploded = (
         reps.select(
             "doc",
@@ -512,4 +532,156 @@ def minhash_lsh_oracle_sql(
     WHERE jaccard_dist <= {max_jaccard_distance}
     UNION ALL
     SELECT doc_a, doc_b, jaccard_dist FROM exact_edges
+    """
+
+
+def minhash_incremental_matches(
+    delta: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    max_jaccard_distance: float = 0.3,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: for each new ``delta`` document,
+    find its best near-duplicate among the already-ingested ``store``
+    corpus — the ingest-gate decision a production pipeline makes per
+    batch ("is this new doc a near-copy of something we already
+    have?"). Exact-dup collapse is unnecessary here: the join is
+    delta×store, so exact store clusters cost |cluster| candidate rows
+    per colliding delta doc, not |cluster|².
+
+    Emits one row per CONTAMINATED delta doc: (doc_new, doc_match,
+    jaccard_dist) where doc_match is the store doc with the smallest
+    estimated distance (ties → smallest id). Clean delta docs emit
+    nothing — downstream anti-joins the ingest batch against this.
+
+    Scale shape: at production scale the store side is a PERSISTED
+    banded-signature table (computed once per snapshot, bucketed on
+    (band_idx, band_key) via operators.bucketing so repeated ingests
+    skip its shuffle); only the delta — orders of magnitude smaller —
+    is hashed per batch, and the candidate join shuffles the small
+    delta side to the store's layout. Hashes are the engine-portable
+    family (_portable_signatures), so the whole incremental decision
+    is value-checkable against a SQL oracle.
+    """
+    assert num_hashes % num_bands == 0
+    r = num_hashes // num_bands
+    band_keys = _band_keys_expr(num_bands, r)
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = _portable_signatures(df, text_col, id_col, shingle_n, num_hashes)
+        return sig.select(
+            "doc",
+            "sig",
+            F.posexplode(
+                F.when(F.col("n_sh") > 0, band_keys).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("band_idx", "band_key"),
+        )
+
+    s = banded(store).select(
+        F.col("doc").alias("store_doc"),
+        F.col("sig").alias("store_sig"),
+        "band_idx",
+        "band_key",
+    )
+    d = banded(delta)
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("store_sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    cand = (
+        d.join(s, on=["band_idx", "band_key"], how="inner")
+        .select(
+            F.col("doc").alias("doc_new"),
+            F.col("store_doc").alias("doc_match"),
+            F.round(
+                F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
+            ).alias("jaccard_dist"),
+        )
+        .dropDuplicates(["doc_new", "doc_match"])
+        .filter(F.col("jaccard_dist") <= max_jaccard_distance)
+    )
+    from pyspark.sql.window import Window
+
+    best = Window.partitionBy("doc_new").orderBy("jaccard_dist", "doc_match")
+    return (
+        cand.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def minhash_incremental_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_id: int = 400,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    max_jaccard_distance: float = 0.3,
+) -> str:
+    """DuckDB SQL replicating minhash_incremental_matches with the
+    store = docs with id < split_id and delta = the rest — same
+    portable hashes, banding, estimate, and best-match tie-break."""
+    assert num_hashes % num_bands == 0
+    r = num_hashes // num_bands
+    a_co, b_co = _minhash_coeffs(num_hashes)
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"tk[i + {j + 1}]" for j in range(shingle_n))
+    h63 = f"CAST(({portable_hash64_sql('s')} & 9223372036854775807) AS BIGINT)"
+    a_list = "[" + ",".join(str(v) for v in a_co) + "]"
+    b_list = "[" + ",".join(str(v) for v in b_co) + "]"
+    return f"""
+    WITH tok AS (SELECT {id_col}, {toks} AS tk FROM {table}),
+    sh AS (
+      SELECT {id_col},
+             list_distinct(
+               CASE WHEN len(tk) >= {shingle_n}
+                    THEN list_transform(range(len(tk) - {shingle_n - 1}),
+                                        i -> {gram})
+                    ELSE [] END) AS shs
+      FROM tok
+    ),
+    hs AS (SELECT {id_col}, list_transform(shs, s -> {h63}) AS hs FROM sh),
+    hk AS (
+      SELECT {id_col}, k.i AS k,
+             MIN(({a_list}[k.i + 1] * (h >> 32) + {b_list}[k.i + 1])
+                 % {_MINHASH_P}) AS mh
+      FROM (SELECT {id_col}, unnest(hs) AS h FROM hs), range({num_hashes}) k(i)
+      GROUP BY 1, 2
+    ),
+    sigs AS (
+      SELECT {id_col}, list(mh ORDER BY k) AS sig FROM hk GROUP BY {id_col}
+    ),
+    banded AS (
+      SELECT s.{id_col}, s.sig, b.i AS band_idx,
+             array_to_string(s.sig[b.i * {r} + 1 : b.i * {r} + {r}], ':')
+               AS band_key
+      FROM sigs s, range({num_bands}) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT d.{id_col} AS doc_new, s.{id_col} AS doc_match,
+             ROUND(1.0 - CAST(len(list_filter(range({num_hashes}),
+                       i -> d.sig[i + 1] = s.sig[i + 1])) AS DOUBLE)
+                   / {num_hashes}, 6) AS jaccard_dist
+      FROM banded d JOIN banded s
+        ON d.band_idx = s.band_idx AND d.band_key = s.band_key
+      WHERE d.{id_col} >= {split_id} AND s.{id_col} < {split_id}
+    )
+    SELECT doc_new, doc_match, jaccard_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_new
+                                   ORDER BY jaccard_dist, doc_match) AS rn
+      FROM cand WHERE jaccard_dist <= {max_jaccard_distance}
+    ) WHERE rn = 1
     """

@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "stream_static_enrich",
     "join_skew_salted",
     "tokenize_to_ids",
+    "dedup_incremental_near",
     # (b) events-tier queries repaired by the footer-branching loader
     # fix (crashed or hash-failed in r2)
     "topk_per_group",

@@ -19,6 +19,8 @@ from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
 from bigdatafinalproject_hockey_spark.dedup.minhash import (
     minhash_candidate_pairs,
     minhash_candidate_pairs_portable,
+    minhash_incremental_matches,
+    minhash_incremental_oracle_sql,
     minhash_lsh_oracle_sql,
 )
 from bigdatafinalproject_hockey_spark.dedup.simhash import (
@@ -206,6 +208,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-specific xxhash64)."""
     docs = load_table(spark, "documents", sf_dir)
     return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_incremental_near",
+    oracle=minhash_incremental_oracle_sql(
+        split_id=400, shingle_n=3, max_jaccard_distance=0.5
+    ),
+)
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest gate: docs with doc_id < 400 stand
+    in for the already-ingested corpus snapshot; the rest arrive as a
+    new batch and each reports its best near-duplicate in the store
+    (portable MinHash+LSH, best match by estimated distance then id).
+    Complements dedup_incremental (exact) — together they are the
+    per-batch dedup decision of a production ingest pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    store = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return minhash_incremental_matches(
+        delta, store, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+    )
 
 
 @register(
