@@ -1144,10 +1144,14 @@ def q_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # top-V FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps + driver merge of V rows), THEN rank the V
+    # survivors in a single tiny window partition. Ranking before
+    # limiting would run a global row_number over EVERY distinct token
+    # — billions at corpus scale — through one partition.
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(_TOKENIZE_V)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    vocab = counts.select(
-        "token", (F.row_number().over(w) - 1).alias("vid")
-    ).filter(F.col("vid") < _TOKENIZE_V)
+    vocab = top.select("token", (F.row_number().over(w) - 1).alias("vid"))
     oov_id = F.lit(_TOKENIZE_V) + portable_hash64_expr(F.col("token")).bitwiseAND(
         F.lit(_TOKENIZE_B - 1)
     )

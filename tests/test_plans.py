@@ -334,3 +334,8 @@ def test_tokenize_vocab_broadcast(spark):
     plan = plan_of(spark, "tokenize_to_ids")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # top-V vocab selection must be heap-based (per-partition heaps +
+    # driver merge of V rows), never a global sort or a row_number
+    # over every distinct token through one partition
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
