@@ -86,3 +86,45 @@ def test_streaming_schema_follows_footer(spark):
         assert ts_type == "bigint"
     else:
         assert ts_type == "timestamp_ntz"
+
+
+def test_nanos_encoding_branch_still_decodes(spark, tmp_path):
+    """Round 1's testdata stored events.ts as parquet timestamp[ns];
+    the loader keeps a branch for it. No current testdata exercises
+    that encoding, so synthesize a nanos-encoded events.parquet and
+    assert load_table decodes it to the same wall-clock micros as the
+    timestamp[us] path — a drift BACK to nanos must keep working."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067200_000_000, 1704067260_123_456]  # 2024-01-01 UTC
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+            "user_id": pa.array([10, 11], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(
+        table, str(tmp_path / "events.parquet"), store_schema=False,
+        use_deprecated_int96_timestamps=False, coerce_timestamps=None,
+    )
+    from bigdatafinalproject_hockey_spark.catalog import (
+        events_ts_encoding,
+        load_table,
+    )
+
+    assert events_ts_encoding(str(tmp_path / "events.parquet")) == "nanos"
+    df = load_table(spark, "events", str(tmp_path))
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = sorted(r["ts"] for r in df.select("ts").collect())
+    import datetime
+
+    want = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 1, 1, 0, 1, 0, 123456),
+    ]
+    assert got == want
