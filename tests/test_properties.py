@@ -343,3 +343,36 @@ def test_deterministic_uniform_rate_and_stability(spark):
     # partitioning-invariant: identical sample after a repartition
     re_ids = {r["id"] for r in df.repartition(17).filter(u < frac).collect()}
     assert re_ids == {r["id"] for r in kept.collect()}
+
+
+def test_minhash_portable_matches_fast_variant_semantics(spark):
+    """The portable twin must keep the fast variant's two defining
+    behaviors: (a) exact-dup clusters collapse to star edges (no
+    quadratic band bucket), (b) planted near-dups are found. Hash
+    families differ, so pair SETS may differ at the S-curve margin —
+    the structural guarantees must not."""
+    import time
+
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_candidate_pairs_portable,
+    )
+
+    n_copies = 1_000
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(n_copies)]
+    rows += [(20_000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (20_001, "alpha beta gamma delta epsilon zeta eta theta kappa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    t0 = time.time()
+    pairs = minhash_candidate_pairs_portable(
+        df, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+    ).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"straggler bucket suspected: {elapsed:.0f}s"
+
+    star = [(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard_dist"] == 0.0]
+    assert sorted(star) == [(0, i) for i in range(1, n_copies)]
+    near = {(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard_dist"] > 0.0}
+    assert (20_000, 20_001) in near
+    assert len(pairs) < n_copies + 10
