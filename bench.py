@@ -55,7 +55,12 @@ HEADLINE = [
 # distinct tag token, making copies NEAR-duplicates, the hard case
 # for the dedup tier). Shuffle behavior that fixed job overhead hides
 # at sf0.1 shows up here.
-X10 = ["pipeline_document_curation", "dedup_minhash_lsh", "text_top_tokens"]
+X10 = [
+    "pipeline_document_curation",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_portable",
+    "text_top_tokens",
+]
 
 
 def ensure_docs_x10(spark, sf_dir: str) -> str:
