@@ -28,7 +28,7 @@ from pyspark.ml.classification import (
 )
 from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import VectorAssembler
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -142,6 +142,98 @@ def evaluate_binary(
     return BinaryMetrics(
         tp=cells["tp"], tn=cells["tn"], fp=cells["fp"], fn=cells["fn"], auc=auc
     )
+
+
+def evaluate_binary_df(
+    predictions: DataFrame,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+    score_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fully-distributed twin of ``evaluate_binary`` + ``baselines``:
+    the reference's entire evaluation surface (confusion matrix +
+    accuracy/precision/recall/F1, reference code/experiment.py:617-688;
+    AUC, 636-642; majority/coin-flip/weighted baselines, 793-823) as
+    ONE aggregation job returning a 1-row DataFrame — nothing is
+    collected to the driver, vs the reference's six jobs + driver math
+    (SURVEY.md §3.3).
+
+    AUC uses the tie-aware Mann-Whitney rank-sum identity
+    ``AUC = (R_pos - npos(npos+1)/2) / (npos * nneg)`` with midranks
+    (``RANK() + (ties-1)/2``) — exactly equal to the trapezoidal
+    areaUnderROC over the score curve, and, unlike the curve
+    integration, expressible in any SQL engine with identical
+    floating-point behavior (ranks and midrank sums are exact
+    integer-or-half doubles; the single final division is IEEE-
+    identical across engines, then rounded to ``round_dp``).
+
+    F1 uses the single-division identity ``2tp / (2tp + fp + fn)``
+    (algebraically equal to ``2PR/(P+R)``) so no intermediate rounding
+    can drift between engines.
+
+    Scale note: the midrank needs one total sort of the scored test
+    set (un-partitioned window). Test sets are the small split by
+    construction; for AUC over billions of rows, bin scores to fixed
+    buckets first and apply the same rank-sum on (bucket, count)
+    aggregates.
+    """
+    lbl, prd = F.col(label_col), F.col(prediction_col)
+    df = predictions
+    aggs = [
+        F.count(F.lit(1)).alias("n_test"),
+        F.count(F.when(lbl == 1, 1)).alias("_npos"),
+        F.count(F.when((prd == 1) & (lbl == 1), 1)).alias("tp"),
+        F.count(F.when((prd == 0) & (lbl == 0), 1)).alias("tn"),
+        F.count(F.when((prd == 1) & (lbl == 0), 1)).alias("fp"),
+        F.count(F.when((prd == 0) & (lbl == 1), 1)).alias("fn"),
+    ]
+    if score_col is not None:
+        midrank = (
+            F.rank().over(Window.orderBy(score_col))
+            + (F.count(F.lit(1)).over(Window.partitionBy(score_col)) - F.lit(1))
+            / F.lit(2.0)
+        )
+        df = df.withColumn("_midrank", midrank)
+        aggs.append(
+            F.sum(F.when(lbl == 1, F.col("_midrank"))).alias("_pos_ranksum")
+        )
+    cells = df.agg(*aggs)
+
+    n = F.col("n_test")
+    npos, tp, tn, fp, fn = (
+        F.col("_npos"), F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
+    )
+    nneg = n - npos
+    rnd = lambda c: F.round(c, round_dp)  # noqa: E731
+    metrics = [
+        n.alias("n_test"),
+        tp.alias("tp"), tn.alias("tn"), fp.alias("fp"), fn.alias("fn"),
+        rnd((tp + tn) / n).alias("accuracy"),
+        F.when(tp + fp == 0, F.lit(0.0))
+        .otherwise(rnd(tp / (tp + fp))).alias("precision"),
+        F.when(tp + fn == 0, F.lit(0.0))
+        .otherwise(rnd(tp / (tp + fn))).alias("recall"),
+        F.when(2 * tp + fp + fn == 0, F.lit(0.0))
+        .otherwise(rnd(2 * tp / (2 * tp + fp + fn))).alias("f1"),
+        rnd(F.greatest(npos, nneg) / n).alias("baseline_majority"),
+        F.lit(0.5).alias("baseline_coin"),
+        rnd((npos / n) * (npos / n) + (nneg / n) * (nneg / n)).alias(
+            "baseline_weighted"
+        ),
+    ]
+    if score_col is not None:
+        metrics.append(
+            F.when((npos == 0) | (npos == n), F.lit(0.5))
+            .otherwise(
+                rnd(
+                    (F.col("_pos_ranksum") - npos * (npos + 1) / F.lit(2.0))
+                    / (npos * nneg)
+                )
+            )
+            .alias("auc")
+        )
+    return cells.select(*metrics)
 
 
 def baselines(test: DataFrame, label_col: str = "label") -> dict[str, float]:

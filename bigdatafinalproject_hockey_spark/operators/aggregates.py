@@ -116,3 +116,80 @@ def agg_approx(
         F.percentile_approx(quantile_col, qarr, accuracy).alias("approx_quantiles"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def agg_approx_checked(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    quantile_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+    rsd_sigmas: float = 3.0,
+) -> DataFrame:
+    """``agg_approx`` with its error guarantees VERIFIED in-engine:
+    per group, compute the sketches AND the exact answers, and emit
+    one ``*_within_bound`` flag (1/0 as BIGINT) per guarantee instead
+    of the engine-specific sketch estimates — so a cross-engine oracle
+    that asserts the documented bounds (literal 1s) can value-hash the
+    result even though HLL/GK internals differ between engines.
+
+    Bounds checked:
+
+    - HLL++ distinct: ``|approx - exact| <= rsd_sigmas * rsd * exact + 1``
+      (rsd is the sketch's relative standard deviation; 3σ + 1 covers
+      integer truncation). HLL register merges are max() — commutative
+      and associative — so the estimate is partitioning-independent.
+    - GK quantile q: the returned value's rank must lie within
+      ``q*n ± (n/accuracy + 1)`` — the sketch's worst-case rank-error
+      contract, which holds for EVERY partial-sketch merge order, so
+      the flag is deterministic even though the estimate itself can
+      vary with task scheduling.
+
+    Two shuffles: the grouped sketch+exact pass, then a rank probe of
+    the (broadcast, keys-sized) estimates against the raw rows. At
+    100 TB the probe joins a per-group constants table — map-side.
+    """
+    qarr = F.array(*[F.lit(q) for q in quantiles])
+    sk = df.groupBy(*keys).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("_approx_distinct"),
+        F.percentile_approx(quantile_col, qarr, accuracy).alias("_aq"),
+        F.count_distinct(F.col(distinct_col)).alias("_exact_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    probe = df.select(*keys, quantile_col).join(F.broadcast(sk), list(keys))
+    rank_aggs = []
+    for i in range(len(quantiles)):
+        v = F.col("_aq")[i]
+        rank_aggs.append(
+            F.count(F.when(F.col(quantile_col) <= v, 1)).alias(f"_le_{i}")
+        )
+        rank_aggs.append(
+            F.count(F.when(F.col(quantile_col) < v, 1)).alias(f"_lt_{i}")
+        )
+    checked = probe.groupBy(
+        *keys, "_approx_distinct", "_exact_distinct", "n_rows"
+    ).agg(*rank_aggs)
+    n = F.col("n_rows")
+    out = [
+        *keys,
+        n.alias("n_rows"),
+        (
+            F.abs(F.col("_approx_distinct") - F.col("_exact_distinct"))
+            <= F.lit(rsd_sigmas * rsd) * F.col("_exact_distinct") + 1
+        )
+        .cast("long")
+        .alias("distinct_within_bound"),
+    ]
+    for i, q in enumerate(quantiles):
+        slack = n / F.lit(float(accuracy)) + 1
+        out.append(
+            (
+                (F.col(f"_le_{i}") >= F.lit(q) * n - slack)
+                & (F.col(f"_lt_{i}") <= F.lit(q) * n + slack)
+            )
+            .cast("long")
+            .alias(f"p{int(round(q * 100)):02d}_within_bound")
+        )
+    return checked.select(*out)

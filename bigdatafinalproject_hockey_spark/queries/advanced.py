@@ -14,9 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.catalog import SCHEMAS, load_table
+from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr
 from bigdatafinalproject_hockey_spark.ml import (
     baselines,
     evaluate_binary,
+    evaluate_binary_df,
     feature_importances_topk,
     train_pipeline,
 )
@@ -282,6 +284,149 @@ def q_ml_train_eval_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilayer perceptron, layers [n, 64, 32, 2] (reference
     code/experiment.py:767-785)."""
     return _ml_train_eval(spark, sf_dir, "mlp")
+
+
+@register(
+    "sink_console",
+    oracle="""
+    SELECT label, prediction, n FROM (
+      SELECT l_returnflag AS label, l_linestatus AS prediction,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+      ORDER BY label, prediction
+    ) LIMIT 20
+    """,
+)
+def q_sink_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Console sink (SURVEY.md §2.1; reference code/experiment.py:678-680):
+    the displayed confusion-matrix-style table — grouped counts,
+    ordered by the group keys, capped at ``df.show()``'s implicit
+    20-row limit. This query returns exactly the rows ``.show()``
+    renders (the CLI wires the actual print, __main__.py --show).
+    ``orderBy().limit(20)`` plans as TakeOrderedAndProject — a 20-row
+    heap per partition, never a full sort of the grouped result."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("label"),
+        F.col("l_linestatus").alias("prediction"),
+    )
+    return (
+        li.groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "prediction")
+        .limit(20)
+    )
+
+
+@register(
+    "ml_eval_deterministic",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS f_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS f_cents,
+             COUNT(*) AS f_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    data AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS label,
+             year(o_orderdate) AS order_year, f_qty, f_cents, f_lines
+      FROM orders JOIN per_order ON o_orderkey = l_orderkey
+    ),
+    test AS (
+      SELECT label,
+             2.0 * (f_cents % 500) + f_qty - 3.0 * f_lines AS score
+      FROM data
+      WHERE order_year = (SELECT MAX(order_year) FROM data)
+    ),
+    scored AS (
+      SELECT label,
+             CASE WHEN score > 600.0 THEN 1 ELSE 0 END AS prediction,
+             RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS midrank
+      FROM test
+    ),
+    cells AS (
+      SELECT COUNT(*) AS n_test,
+             COUNT(CASE WHEN label = 1 THEN 1 END) AS npos,
+             COUNT(CASE WHEN prediction = 1 AND label = 1 THEN 1 END) AS tp,
+             COUNT(CASE WHEN prediction = 0 AND label = 0 THEN 1 END) AS tn,
+             COUNT(CASE WHEN prediction = 1 AND label = 0 THEN 1 END) AS fp,
+             COUNT(CASE WHEN prediction = 0 AND label = 1 THEN 1 END) AS fn,
+             SUM(CASE WHEN label = 1 THEN midrank END) AS pos_ranksum
+      FROM scored
+    )
+    SELECT 'deterministic_linear' AS model,
+           n_test, tp, tn, fp, fn,
+           ROUND((tp + tn) / n_test, 6) AS accuracy,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fp), 6) END AS "precision",
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1,
+           CASE WHEN npos = 0 OR npos = n_test THEN 0.5
+                ELSE ROUND((pos_ranksum - npos * (npos + 1) / 2.0)
+                           / (npos * (n_test - npos)), 6)
+           END AS auc,
+           ROUND(GREATEST(npos, n_test - npos) / n_test, 6)
+               AS baseline_majority,
+           0.5 AS baseline_coin,
+           ROUND((npos / n_test) * (npos / n_test)
+                 + ((n_test - npos) / n_test) * ((n_test - npos) / n_test), 6)
+               AS baseline_weighted
+    FROM cells
+    """,
+)
+def q_ml_eval_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ML *evaluation* math, oracle-checkable: a
+    closed-form literal linear rule scores the test split (training is
+    the only non-deterministic stage, so it is replaced by a fixed
+    predictor), then ml.evaluate_binary_df computes the ENTIRE
+    evaluation surface distributed in one job — confusion matrix +
+    accuracy/precision/recall/F1 (reference code/experiment.py:617-688),
+    tie-aware rank-sum AUC (≡ trapezoidal areaUnderROC, 636-642), and
+    the majority/coin-flip/weighted baselines (793-823).
+
+    Feature/score arithmetic is integer-exact (cents, counts, integral
+    quantity sums), so score ordering, ranks, and every metric are
+    bit-identical across engines before the final 6-dp round."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.sum(cents_expr(F.col("l_extendedprice"))).alias("f_cents"),
+        F.count(F.lit(1)).alias("f_lines"),
+    )
+    data = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .withColumn(
+            "label",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0),
+        )
+        .withColumn("order_year", F.year("o_orderdate"))
+        .select("label", "order_year", "f_qty", "f_cents", "f_lines")
+    )
+    _train, test = split_temporal(data, "order_year")
+    scored = test.select(
+        "label",
+        (
+            F.lit(2.0) * (F.col("f_cents") % 500)
+            + F.col("f_qty")
+            - F.lit(3.0) * F.col("f_lines")
+        ).alias("score"),
+    ).withColumn(
+        "prediction", F.when(F.col("score") > 600.0, 1).otherwise(0)
+    )
+    metrics = evaluate_binary_df(scored, score_col="score")
+    return metrics.select(
+        F.lit("deterministic_linear").alias("model"),
+        "n_test", "tp", "tn", "fp", "fn",
+        "accuracy", "precision", "recall", "f1", "auc",
+        "baseline_majority", "baseline_coin", "baseline_weighted",
+    )
 
 
 @register(

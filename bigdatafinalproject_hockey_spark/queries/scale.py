@@ -194,13 +194,29 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx")  # sketch internals are engine-specific → rows-only
+@register(
+    "agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(1 AS BIGINT) AS distinct_within_bound,
+           CAST(1 AS BIGINT) AS p50_within_bound,
+           CAST(1 AS BIGINT) AS p95_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct counts + Greenwald-Khanna quantiles per
-    return flag — bounded-memory sketches whose error vs the exact
-    answers is asserted in tests/test_modules.py."""
+    return flag — bounded-memory sketches, now ORACLE-CHECKABLE: the
+    engine computes sketch AND exact per group and emits one
+    within-bound flag per documented guarantee
+    (operators.aggregates.agg_approx_checked); the oracle asserts the
+    bounds hold (literal 1 per group) plus the exact row counts.
+    Sketch internals stay engine-specific, the error CONTRACT is what
+    gets hash-verified — raw estimates remain available via
+    agg_ops.agg_approx."""
     li = load_table(spark, "lineitem", sf_dir)
-    return agg_ops.agg_approx(
+    return agg_ops.agg_approx_checked(
         li,
         keys=["l_returnflag"],
         distinct_col="l_orderkey",
