@@ -121,17 +121,26 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLES = tuple(SCHEMAS)
 
 
-def _footer_schema(path: str) -> "pa.Schema":
-    """Arrow schema from the parquet footer — no data read, no Spark
-    job. Handles both a single file and a directory of part files."""
+def _footer_paths(path: str) -> list[str]:
+    """Every parquet part file for a table path (a single file, or the
+    part files of a directory)."""
     if os.path.isdir(path):
         parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
         )
         if not parts:
             raise FileNotFoundError(f"no parquet files under {path}")
-        path = os.path.join(path, parts[0])
-    return pq.read_schema(path)
+        return parts
+    return [path]
+
+
+def _footer_schema(path: str) -> "pa.Schema":
+    """Arrow schema from the parquet footer — no data read, no Spark
+    job. For a directory, reads the FIRST part file (use
+    ``verify_contract`` for an all-parts check)."""
+    return pq.read_schema(_footer_paths(path)[0])
 
 
 def events_ts_encoding(path: str) -> str:
@@ -152,40 +161,45 @@ def events_ts_encoding(path: str) -> str:
 
 
 def verify_contract(name: str, path: str) -> None:
-    """Testdata-contract guard: the footer schema must match
-    ``SCHEMAS[name]`` column-for-column, with an explicit allowance
-    for the known events.ts encoding variants. A future silent
-    encoding drift fails here, loudly, instead of deep inside 20
-    queries (VERDICT r2 item 6)."""
-    footer = _footer_schema(path)
+    """Testdata-contract guard: EVERY part file's footer schema must
+    match ``SCHEMAS[name]`` column-for-column, with an explicit
+    allowance for the known events.ts encoding variants. A future
+    silent encoding drift — including drift between part files of one
+    table, which a first-part-only check would miss (ADVICE r3
+    item 3) — fails here, loudly, instead of deep inside 20 queries
+    (VERDICT r2 item 6). Integer widths are checked exactly
+    (IntegerType ⇒ int32), not by parquet integer family."""
     expect = SCHEMAS[name]
-    got_names = list(footer.names)
     want_names = [f.name for f in expect.fields]
-    if got_names != want_names:
-        raise ValueError(
-            f"testdata contract broken for {name!r}: columns {got_names} "
-            f"!= expected {want_names}"
-        )
-    for field in expect.fields:
-        a = footer.field(field.name).type
-        s = field.dataType
-        ok = (
-            (isinstance(s, T.LongType) and pa.types.is_int64(a))
-            or (isinstance(s, T.IntegerType) and pa.types.is_integer(a))
-            or (isinstance(s, T.DoubleType) and pa.types.is_float64(a))
-            or (isinstance(s, T.StringType) and (pa.types.is_string(a) or pa.types.is_large_string(a)))
-            or (isinstance(s, T.TimestampType)
-                and (pa.types.is_timestamp(a)
-                     # round-1 encoding: raw int64 nanos
-                     or (name == "events" and field.name == "ts" and pa.types.is_int64(a))))
-            or (isinstance(s, T.ArrayType) and (pa.types.is_list(a) or pa.types.is_large_list(a)))
-            or (isinstance(s, T.BinaryType) and (pa.types.is_binary(a) or pa.types.is_large_binary(a)))
-        )
-        if not ok:
+    for part in _footer_paths(path):
+        footer = pq.read_schema(part)
+        got_names = list(footer.names)
+        if got_names != want_names:
             raise ValueError(
-                f"testdata contract broken for {name}.{field.name}: "
-                f"parquet type {a} incompatible with expected {s.simpleString()}"
+                f"testdata contract broken for {name!r} ({part}): columns "
+                f"{got_names} != expected {want_names}"
             )
+        for field in expect.fields:
+            a = footer.field(field.name).type
+            s = field.dataType
+            ok = (
+                (isinstance(s, T.LongType) and pa.types.is_int64(a))
+                or (isinstance(s, T.IntegerType) and pa.types.is_int32(a))
+                or (isinstance(s, T.DoubleType) and pa.types.is_float64(a))
+                or (isinstance(s, T.StringType) and (pa.types.is_string(a) or pa.types.is_large_string(a)))
+                or (isinstance(s, T.TimestampType)
+                    and (pa.types.is_timestamp(a)
+                         # round-1 encoding: raw int64 nanos
+                         or (name == "events" and field.name == "ts" and pa.types.is_int64(a))))
+                or (isinstance(s, T.ArrayType) and (pa.types.is_list(a) or pa.types.is_large_list(a)))
+                or (isinstance(s, T.BinaryType) and (pa.types.is_binary(a) or pa.types.is_large_binary(a)))
+            )
+            if not ok:
+                raise ValueError(
+                    f"testdata contract broken for {name}.{field.name} "
+                    f"({part}): parquet type {a} incompatible with expected "
+                    f"{s.simpleString()}"
+                )
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -58,6 +58,12 @@ _MINHASH_P = (1 << 31) - 1
 def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     a = [(splitmix64(2 * k + 1) & (_MINHASH_P - 1)) | 1 for k in range(num_hashes)]
     b = [splitmix64(2 * k + 2) % _MINHASH_P for k in range(num_hashes)]
+    # (x & (P-1)) | 1 can in principle yield exactly P (≡ 0 mod P),
+    # which would make h_k constant — degenerate (ADVICE r3 item 4).
+    # The shipped 32 coefficients are all in range (pinned by
+    # tests/test_properties.py); fail loudly if a larger family ever
+    # hits the edge rather than silently weakening the signature.
+    assert all(0 < v < _MINHASH_P for v in a), "degenerate minhash coefficient"
     return a, b
 
 

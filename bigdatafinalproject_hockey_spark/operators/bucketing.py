@@ -54,10 +54,26 @@ def write_bucketed(
     existing files with a DDL-only CREATE — bucket ids live in the
     file names, so a re-declared table keeps its co-partitioning).
     A changed source can never serve stale buckets.
+
+    The recorded token also folds in the full BUCKET SPEC — projected
+    schema, bucket columns, bucket count, sort columns (ADVICE r3
+    item 2): unchanged source files with a changed projection or
+    bucketing would otherwise skip the write and re-declare the OLD
+    files under the new DDL, silently serving mismatched buckets.
     """
     import os
 
     spark = df.sparkSession
+    if source_token is not None:
+        source_token = "|".join(
+            [
+                source_token,
+                df.schema.simpleString(),
+                f"by={','.join(bucket_cols)}",
+                f"n={num_buckets}",
+                f"sort={','.join(sort_cols or [])}",
+            ]
+        )
     sidecar = os.path.join(path, "_source_token") if path is not None else None
     if source_token is not None and sidecar is not None and os.path.isfile(sidecar):
         with open(sidecar) as fh:

@@ -16,15 +16,18 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-3 window (VERDICT r2 items 4-5): (a) the oracle-backed entries
-that have never had a driver row — every round-2 addition plus the
-four composites that replaced r1-green singles; (b) the events-tier
-queries repaired by the footer-branching loader fix (crashed or
-silently corrupt in r2); (c) the stale r1 greens that touch events —
-their green rows were earned against the old nanos encoding and must
-be re-earned against the current testdata. NO rows-only query is in
-the window (r1 `ml_train_eval` and r2 `dedup_minhash_lsh` each burned
-a slot on a guaranteed `no_oracle` row).
+Round-4 window (VERDICT r3 items 1-2, 4-5, 7): (a) the three queries
+converted/added to oracle-backed this round (`ml_eval_deterministic`,
+`agg_approx`, `sink_console`); (b) the 11 queries whose only green row
+is from round 1 — two-round-old rows on a testdata set that has
+drifted once already; (c) the earliest round-2 greens in their r2
+verification order, so every green row in the registry stays ≤2 rounds
+old; (d) — the ONE deliberate exception to the no-rows-only rule —
+the four never-driver-executed entries (`ml_train_eval_rf/_gbt/_mlp`,
+`split_random`) pinned at the window TAIL per VERDICT r3 item 4: they
+can only ever earn `err: no_oracle` + a row count, which is exactly
+the driver-smoke evidence the judge asked for, and at the tail they
+displace the minimum number of oracle-backed re-verifications.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -39,78 +42,70 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
 # Every name must exist (KeyError below fails loudly on drift).
+# The driver's window is the first ~50 entries (50 in every round so
+# far) — this list is sized to exactly 50.
 _VERIFY_FIRST = [
-    # (a) oracle-backed, never driver-verified (round-2 additions +
-    # the composites that replaced r1-green singles)
-    "pack_sequences",
-    "join_bucketed",
-    "cap_per_source",
-    "corpus_drift",
-    "chunk_overlap",
-    "dedup_incremental",
-    "scan_chunked",
-    "clean_types",
-    "filter_clean",
-    "derive_features",
-    "str_clean",
-    # newly converted from rows-only to oracle-backed in round 3
-    # (portable md5-derived hash / deterministic literal projections)
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sample_stratified",
-    "dedup_minhash_lsh_portable",
-    "multimodal_features",
-    "stream_static_enrich",
-    "join_skew_salted",
-    "tokenize_to_ids",
-    "dedup_incremental_near",
-    # (b) events-tier queries repaired by the footer-branching loader
-    # fix (crashed or hash-failed in r2)
-    "topk_per_group",
-    "json_extract",
-    "events_funnel",
-    "join_asof",
-    "stream_session_window",
-    "stream_foreachbatch_upsert",
-    # (c) stale r1 greens touching events — re-earn against the
-    # current ts encoding
-    "agg_count_group",
-    "win_row_number",
-    "win_expanding_avg",
-    "win_sliding_avg",
-    "win_running_sum",
-    "win_lag",
-    "win_first_last",
-    "win_range_interval",
-    "agg_pivot",
-    "agg_windowed_distinct",
-    "map_functions",
-    "join_full_outer",
-    "sessionize_events",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_dedup",
-    "stream_stream_join",
-    # backfill: r1 greens not re-checked since round 1 (non-events) —
-    # keeps the whole surface's verification fresh within the window
-    "scan_jsonl_roundtrip",
-    "scan_csv_roundtrip",
-    "set_intersect",
-    "set_except",
-    "win_rank_family",
-    "reshape_unpivot",
-    "date_functions",
-    "str_fuzzy_match",
-    "map_literal_lookup",
-    "lookup_with_fallback",
-    "agg_group_multi",
-    "agg_global_max",
+    # (a) converted/added to oracle-backed in round 4 — never had a
+    # green row; ml_eval_deterministic is the first possible green for
+    # the §2.14 evaluation surface, agg_approx the first for sketches
+    "ml_eval_deterministic",
+    "agg_approx",
+    "sink_console",
+    # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
+    # their rows are two rounds old
     "agg_count_filter",
-    "join_equi_3key",
-    "join_star",
-    "join_self_matchup",
-    "semi_join_isin",
+    "agg_global_max",
+    "agg_group_multi",
     "anti_join",
+    "join_equi_3key",
+    "join_self_matchup",
+    "join_star",
+    "lookup_with_fallback",
+    "map_literal_lookup",
+    "semi_join_isin",
+    "str_fuzzy_match",
+    # (c) earliest r2 greens in their CORRECTNESS_r02 order — oldest
+    # still-standing rows first (the r2 greens re-earned in r3 and the
+    # r3 greens are current and stay out of the window)
+    "topk_global",
+    "union_all",
+    "sample_by_key",
+    "split_temporal",
+    "split_hash",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_contamination",
+    "text_tfidf_top_terms",
+    "dedup_segments",
+    "text_pii_scrub",
+    "agg_corr_stats",
+    "pipeline_training_mix",
+    "sink_parquet_compacted",
+    "scan_orc_roundtrip",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_knn_classify",
+    "text_token_count",
+    "text_repetition_score",
+    "agg_quantile_report",
+    "text_top_tokens",
+    "text_bpe_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+    "pipeline_document_curation",
+    "grouped_zscore",
+    "array_functions",
+    # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
+    # item 4): these four have never been executed by the driver;
+    # err=no_oracle + a row count is the expected, wanted outcome.
+    "ml_train_eval_rf",
+    "ml_train_eval_gbt",
+    "ml_train_eval_mlp",
+    "split_random",
 ]
 
 

@@ -372,6 +372,17 @@ def ann_lsh_near_pairs(
     to 6dp BEFORE floor on both sides so a last-ulp difference at a
     bucket boundary cannot split engines.
 
+    Cross-engine fp assumption (ADVICE r3 item 5): the 6-dp round
+    shrinks but does not ELIMINATE the boundary case — it relies on
+    Spark's sequential fold and DuckDB's list_dot_product accumulating
+    the dot product closely enough that no last-ulp difference flips
+    the 6th decimal (and hence a floor'd bucket or a hashed distance).
+    On the fixed testdata embeddings this holds (driver-verified);
+    adversarial fixtures sitting exactly on a x.xxxxxx5 / bucket edge
+    could split engines — the recall/property tests therefore compare
+    distances with an epsilon, not exact equality, on synthetic
+    vectors (same pragmatic contract as cosine_lsh_near_pairs).
+
     Scale shape (mirrors cosine_lsh_near_pairs): one narrow scan
     computes all keys, the exploded (table, key) rows repartition BY
     the join keys then persist, the self-join runs co-partitioned —

@@ -283,20 +283,34 @@ def _novel_rows(
     batch_df: DataFrame,
     index_path: str,
     key_cols: list[str],
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One micro-batch's novel rows: in-batch key dedup, then anti-join
     against the keys-only index sidecar (if it exists yet). Split out
     of foreach_batch_upsert so the plan is testable: the only scan
     besides the batch itself must be the narrow index, never the wide
-    sink."""
+    sink.
+
+    When ``batch_id`` is given and the index is batch-partitioned
+    (``ingest_batch=N`` dirs), only STRICTLY EARLIER batches count as
+    "existing" — a retried batch must see the index as it was before
+    its own failed attempt, or the retry would anti-join against its
+    own keys and erase its output."""
     b = batch_df.dropDuplicates(key_cols)
-    if os.path.isdir(index_path) and any(
-        f.endswith(".parquet") for f in os.listdir(index_path)
-    ):
+    has_files = False
+    if os.path.isdir(index_path):
+        for _root, _dirs, files in os.walk(index_path):
+            if any(f.endswith(".parquet") for f in files):
+                has_files = True
+                break
+    if has_files:
         key_schema = T.StructType(
             [f for f in batch_df.schema.fields if f.name in key_cols]
         )
         existing = spark.read.schema(key_schema).parquet(index_path)
+        if batch_id is not None and "ingest_batch" in existing.columns:
+            existing = existing.filter(F.col("ingest_batch") < batch_id)
+        existing = existing.select(*key_cols)
         b = b.join(existing, key_cols, "left_anti")
     return b
 
@@ -320,6 +334,16 @@ def foreach_batch_upsert(
     7): the per-batch read is O(keys), a few percent of the table
     width, instead of O(table); tests/test_plans.py asserts the batch
     plan never touches the wide sink files.
+
+    Crash consistency (ADVICE r3 item 1): sink and index are TWO
+    non-transactional writes, so instead of appending, each batch
+    OVERWRITES its own ``ingest_batch=<id>`` directory in both — the
+    canonical batch-id-keyed idempotent foreachBatch pattern. A batch
+    retried after any partial write (crash between sink and index,
+    task retry, checkpoint replay after restart) redoes exactly its
+    own directories; it can neither duplicate rows the sink already
+    holds nor erase them, because the anti-join reads only strictly
+    earlier batches' keys (see _novel_rows).
     """
     import shutil
 
@@ -331,14 +355,18 @@ def foreach_batch_upsert(
     schema = stream_df.schema
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        b = _novel_rows(spark, batch_df, index_path, key_cols)
-        # two actions consume b (sink append + index append) — persist
+        b = _novel_rows(spark, batch_df, index_path, key_cols, batch_id)
+        # two actions consume b (sink write + index write) — persist
         # so the dedup/anti-join runs once, and so the index write
         # cannot observe a different evaluation than the sink write
         b.persist()
         try:
-            b.write.mode("append").parquet(sink_path)
-            b.select(*key_cols).write.mode("append").parquet(index_path)
+            b.write.mode("overwrite").parquet(
+                os.path.join(sink_path, f"ingest_batch={batch_id}")
+            )
+            b.select(*key_cols).write.mode("overwrite").parquet(
+                os.path.join(index_path, f"ingest_batch={batch_id}")
+            )
         finally:
             b.unpersist()
 
@@ -352,7 +380,11 @@ def foreach_batch_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.schema(schema).parquet(sink_path)
+    # partition discovery appends the ingest_batch dir column; project
+    # it away to return exactly the stream's schema
+    return spark.read.parquet(sink_path).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
 
 
 def session_agg(
