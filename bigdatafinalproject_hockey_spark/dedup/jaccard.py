@@ -41,17 +41,17 @@ def jaccard_pairs(
     # Carry |tokens| on every posting row instead of joining a counts
     # table back in afterwards: n_tok is constant per doc, so the
     # intersection groupBy can recover it with min() — two whole joins
-    # (and two extra tokenize passes) gone. Persist the posting list:
-    # the self-join scans it twice and tokenize+explode is the
-    # expensive narrow stage above it.
-    from pyspark import StorageLevel
-
+    # (and two extra tokenize passes) gone. The self-join scans the
+    # posting list twice, but both sides share the canonical
+    # token-key exchange the join inserts: tokenize+explode runs once
+    # into the shuffle, ReusedExchange feeds the second side — no
+    # cache copy (round 4).
     posting = toks.select(
         "doc",
         F.size("toks").cast("long").alias("n_tok"),
         *(["blk"] if block_col else []),
         F.explode("toks").alias("token"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = posting.alias("a")
     b = posting.alias("b")
     cond = (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc"))

@@ -16,7 +16,11 @@ posexplode) — no MLlib, no per-pair Python, no UDFs. Compared to
 
 At 100 TB the shuffles are the fingerprint exchange (exact-dup
 collapse, below) and the band-bucket exchange, both keyed on uniform
-hashes. Exact-duplicate clusters are the pathological skew case for
+hashes; each is materialized ONCE and its second consumer reads the
+same shuffle files via planner exchange reuse — no persist, no cache
+copy of the signature table (round 4; plan-locked in
+tests/test_plans.py). Exact-duplicate clusters are the pathological
+skew case for
 banded LSH — n identical docs share every band hash, putting an
 n²-pair bucket in one task. minhash_candidate_pairs therefore
 COLLAPSES token-identical docs first (64-bit fingerprint of the
@@ -36,7 +40,6 @@ has no dedup (reference `code/experiment.py` is dedup-free).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -221,15 +224,18 @@ def minhash_candidate_pairs(
 
     # Exact-dup collapse: one fingerprint-keyed exchange over the
     # COMPACT (doc, n_sh, sig, fp) rows — the heavy shingle arrays
-    # never shuffle. Persisted because both the star-edge branch and
-    # the representative branch read it; min-over-window (not a
-    # groupBy+join) keeps it one shuffle.
+    # never shuffle. Both the star-edge branch and the representative
+    # branch read it, but NOT via persist: the branches' fp-exchange
+    # subtrees are canonically identical, so the planner materializes
+    # the shuffle once and ReusedExchange serves the second consumer
+    # from the same shuffle files (verified in the final adaptive
+    # plan, tests/test_plans.py). Persisting here was pure overhead —
+    # cache materialization of the wide sig rows cost ~0.5-1 s at
+    # bench scale (the r3 +34% headline drift) and duplicate storage
+    # at 100 TB, for reuse the shuffle already provides.
     from pyspark.sql.window import Window
 
-    tagged = (
-        sig.withColumn("rep", F.min("doc").over(Window.partitionBy("fp")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    tagged = sig.withColumn("rep", F.min("doc").over(Window.partitionBy("fp")))
     # Star edges for exact clusters; empty docs (n_sh=0) share a
     # fingerprint but are NOT duplicates of each other — excluded, as
     # they are from banding.
@@ -252,29 +258,27 @@ def minhash_candidate_pairs(
             F.slice(F.col("sig"), b * rows_per_band + 1, F.lit(rows_per_band)), b
         ),
     )
-    # Persist the exploded bucket table: the self-join scans it twice,
-    # and everything upstream (shingle + k×hash) is the expensive
-    # narrow stage. ~(1 + num_hashes + num_bands)×8 bytes per doc —
-    # compact; spills to disk if not. Shingle-less docs emit an empty
-    # band array → zero exploded rows (the filter, without a Filter).
-    # Repartition BY THE JOIN KEYS before persisting: the cached
-    # table's hash partitioning is visible to the planner, so the
-    # self-join below runs co-partitioned with ZERO further exchanges
-    # — at corpus scale the band-bucket exchange happens once here,
-    # not once per join side.
-    exploded = (
-        sig.select(
-            "doc",
-            "sig",
-            F.posexplode(
-                F.when(F.col("n_sh") > 0, band_hashes).otherwise(
-                    F.array().cast("array<bigint>")
-                )
-            ).alias("band_idx", "band_hash"),
-        )
-        .repartition("band_idx", "band_hash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # The self-join scans the exploded bucket table twice, and
+    # everything upstream (shingle + k×hash) is the expensive narrow
+    # stage. Shingle-less docs emit an empty band array → zero
+    # exploded rows (the filter, without a Filter). Repartition BY THE
+    # JOIN KEYS: both join sides then end at the SAME canonical
+    # band-key exchange, which the engine materializes once and serves
+    # to the second side via ReusedExchange — co-partitioned join,
+    # one band-bucket shuffle total, no cache. (An explicit persist
+    # here bought the same single-computation guarantee but paid cache
+    # materialization on top of the shuffle files that already exist —
+    # measured ~0.5 s slower at bench scale and double storage at
+    # corpus scale.)
+    exploded = sig.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.when(F.col("n_sh") > 0, band_hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("band_idx", "band_hash"),
+    ).repartition("band_idx", "band_hash")
 
     a, b = exploded.alias("a"), exploded.alias("b")
     est_matches = F.size(
@@ -407,9 +411,10 @@ def minhash_candidate_pairs_portable(
 
     from pyspark.sql.window import Window
 
-    tagged = sig.withColumn(
-        "rep", F.min("doc").over(Window.partitionBy("fp"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Same no-persist reuse structure as the fast variant: the fp
+    # exchange and the band-key exchange are each materialized once
+    # and ReusedExchange feeds their second consumers.
+    tagged = sig.withColumn("rep", F.min("doc").over(Window.partitionBy("fp")))
     exact_edges = tagged.filter(
         (F.col("n_sh") > 0) & (F.col("doc") != F.col("rep"))
     ).select(
@@ -420,19 +425,15 @@ def minhash_candidate_pairs_portable(
     reps = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
 
     band_keys = _band_keys_expr(num_bands, rows_per_band)
-    exploded = (
-        reps.select(
-            "doc",
-            "sig",
-            F.posexplode(
-                F.when(F.col("n_sh") > 0, band_keys).otherwise(
-                    F.array().cast("array<string>")
-                )
-            ).alias("band_idx", "band_key"),
-        )
-        .repartition("band_idx", "band_key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    exploded = reps.select(
+        "doc",
+        "sig",
+        F.posexplode(
+            F.when(F.col("n_sh") > 0, band_keys).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("band_idx", "band_key"),
+    ).repartition("band_idx", "band_key")
     a, b = exploded.alias("a"), exploded.alias("b")
     est_matches = F.size(
         F.filter(

@@ -101,12 +101,11 @@ def simhash_near_pairs(
 
     Scale: block width = 64/(k+1) bits caps bucket selectivity; for
     large k the buckets coarsen toward all-pairs (the semantics do
-    too). Same co-partitioned persist pattern as dedup/minhash.py:
-    the one bucket-key exchange happens before the cache and the
-    self-join consumes its partitioning.
+    too). Same co-partitioned reuse pattern as dedup/minhash.py: the
+    one bucket-key exchange is materialized once and the self-join's
+    second side reads the same shuffle files via ReusedExchange — no
+    cache copy of the banded table (round 4).
     """
-    from pyspark import StorageLevel
-
     assert 0 <= max_hamming < 32, "pigeonhole banding needs blocks >= 2 bits"
     n_bands = max_hamming + 1
     width = N_BITS // n_bands
@@ -119,8 +118,9 @@ def simhash_near_pairs(
     # band value = the block's bits (band index rides posexplode);
     # 8 + 16×n_bands bytes/doc; the self-join scans this twice and the
     # 64-slot vote aggregate above it is by far the most expensive
-    # stage — repartition by the join keys, then persist (co-located
-    # self-join, zero further exchanges).
+    # stage — repartition by the join keys so both join sides end at
+    # the SAME canonical exchange: the vote aggregate runs once into
+    # the shuffle, ReusedExchange feeds the second side.
     blocks = F.array(
         *[
             F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
@@ -129,15 +129,11 @@ def simhash_near_pairs(
             for i in range(n_bands)
         ]
     )
-    banded = (
-        fps.select(
-            F.col(id_col),
-            "simhash",
-            F.posexplode(blocks).alias("band_idx", "band_val"),
-        )
-        .repartition("band_idx", "band_val")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    banded = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(blocks).alias("band_idx", "band_val"),
+    ).repartition("band_idx", "band_val")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -222,8 +222,10 @@ def cosine_lsh_near_pairs(
 
     Scale shape (mirrors dedup/minhash.py): one narrow scan computes
     all projections, the exploded bucket table is repartitioned BY the
-    join keys then persisted so the self-join runs co-partitioned with
-    zero further exchanges, and no UDFs anywhere. Per-bucket work is
+    join keys so both self-join sides end at the same canonical
+    exchange — the 128-projection pass runs once into the shuffle and
+    ReusedExchange feeds the second side (no cache copy, round 4) —
+    and no UDFs anywhere. Per-bucket work is
     |bucket|² — bits_per_band controls bucket granularity and should
     grow ~log2(n) at larger corpora (16-20 bits at 10⁹ vectors).
 
@@ -251,13 +253,9 @@ def cosine_lsh_near_pairs(
     keyed = base.select(
         "vid", "emb", F.array(*[band_key(b) for b in range(num_bands)]).alias("keys")
     )
-    from pyspark import StorageLevel
-
-    exploded = (
-        keyed.select("vid", "emb", F.posexplode("keys").alias("band", "key"))
-        .repartition("band", "key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    exploded = keyed.select(
+        "vid", "emb", F.posexplode("keys").alias("band", "key")
+    ).repartition("band", "key")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, on=["band", "key"], how="inner")
@@ -385,11 +383,10 @@ def ann_lsh_near_pairs(
 
     Scale shape (mirrors cosine_lsh_near_pairs): one narrow scan
     computes all keys, the exploded (table, key) rows repartition BY
-    the join keys then persist, the self-join runs co-partitioned —
-    no further exchanges, no UDFs. Output: id_a, id_b, l2_dist.
+    the join keys so both self-join sides share one materialized
+    exchange (ReusedExchange, no cache copy — round 4); no further
+    exchanges, no UDFs. Output: id_a, id_b, l2_dist.
     """
-    from pyspark import StorageLevel
-
     projs = gaussian_projections(num_hash_tables, dim)
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
@@ -403,11 +400,9 @@ def ann_lsh_near_pairs(
         "vid", "emb",
         F.array(*[key(t) for t in range(num_hash_tables)]).alias("keys"),
     )
-    exploded = (
-        keyed.select("vid", "emb", F.posexplode("keys").alias("tbl", "key"))
-        .repartition("tbl", "key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    exploded = keyed.select(
+        "vid", "emb", F.posexplode("keys").alias("tbl", "key")
+    ).repartition("tbl", "key")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(b, on=["tbl", "key"], how="inner")

@@ -82,14 +82,31 @@ def test_join_star_orders_filter_pushed(spark):
     assert "LessThan(o_orderdate" in o_scan
 
 
+def _final_plan_of(spark, name: str) -> str:
+    """EXECUTE the query and return ONLY the final adaptive plan —
+    exchange reuse is an AQE runtime decision, invisible in the
+    initial plan (which AdaptiveSparkPlan.toString also prints; node
+    counts must not include it)."""
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_minhash_self_join_copartitioned(spark):
-    """The band-bucket self-join must consume the cached bucket table's
-    hash partitioning directly: no Exchange between the in-memory scans
-    and the join (the one band-key exchange happens before the cache)."""
-    plan = plan_of(spark, "dedup_minhash_lsh")
-    top = plan.split("InMemoryRelation")[0]
-    # above the cache boundary: only the dropDuplicates exchange
-    assert top.count("Exchange hashpartitioning") <= 1
+    """The minhash pipeline pays its scan ONCE without caching: the
+    parallelized scan exchange, the band-key exchange (both self-join
+    sides), and the signature branch's fp exchange are each
+    materialized once, with second consumers fed by runtime exchange
+    reuse (printed as ReusedExchange or a shared ShuffleQueryStage).
+    The one sanctioned recompute is the star-edge branch's PRUNED
+    fp pipeline (no signature work) over the reused scan exchange —
+    so the documents FileScan must appear exactly once in the final
+    plan, and the materialized exchanges stay bounded."""
+    plan = _final_plan_of(spark, "dedup_minhash_lsh")
+    assert "isFinalPlan=true" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
 
 
 def test_agg_partial_final(spark):
@@ -213,15 +230,18 @@ def test_no_python_row_udfs_in_relational_queries(spark):
 
 def test_embedding_cosine_dedup_is_bucketed_not_allpairs(spark):
     """dedup_embedding_cosine must NOT be the O(n²) all-pairs self-join:
-    candidates come from a (band, key) equi-join over the persisted
-    bucket table (co-partitioned — the one band-key exchange happens
-    before the cache), never a cartesian/nested-loop product."""
-    plan = plan_of(spark, "dedup_embedding_cosine")
+    candidates come from a (band, key) equi-join over the banded
+    table, never a cartesian/nested-loop product; the band-key
+    exchange is materialized once and the second join side reads the
+    same shuffle stage (the 128-projection pass runs once — so the
+    embeddings FileScan appears exactly once in the final plan)."""
+    plan = _final_plan_of(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    top = plan.split("InMemoryRelation")[0]
-    # above the cache boundary: at most the dropDuplicates exchange
-    assert top.count("Exchange hashpartitioning") <= 1
+    assert "isFinalPlan=true" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    # band-key + dropDuplicates (+ AQE output) exchanges only
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
 def test_bucketed_join_no_shuffle(spark):
@@ -316,11 +336,13 @@ def test_upsert_batch_scans_index_not_sink(spark, tmp_path):
 
 def test_minhash_portable_self_join_copartitioned(spark):
     """The portable variant must keep the fast variant's scale shape:
-    band-bucket self-join consumes the cached bucket table's hash
-    partitioning, no Exchange above the cache except dropDuplicates'."""
-    plan = plan_of(spark, "dedup_minhash_lsh_portable")
-    top = plan.split("InMemoryRelation")[0]
-    assert top.count("Exchange hashpartitioning") <= 1
+    fp and band-key exchanges each materialized once, second consumers
+    fed via ReusedExchange (same contract as
+    test_minhash_self_join_copartitioned)."""
+    plan = _final_plan_of(spark, "dedup_minhash_lsh_portable")
+    assert "isFinalPlan=true" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
     # and stays UDF-free: every hash is a Catalyst expression
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
