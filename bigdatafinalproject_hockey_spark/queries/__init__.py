@@ -47,10 +47,14 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _VERIFY_FIRST = [
     # (a) converted/added to oracle-backed in round 4 — never had a
     # green row; ml_eval_deterministic is the first possible green for
-    # the §2.14 evaluation surface, agg_approx the first for sketches
+    # the §2.14 evaluation surface, agg_approx the first for sketches;
+    # text_quality_classifier / corpus_snapshot_diff are the round-4
+    # curation additions (hashed-feature model filter, snapshot diff)
     "ml_eval_deterministic",
     "agg_approx",
     "sink_console",
+    "text_quality_classifier",
+    "corpus_snapshot_diff",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -97,8 +101,6 @@ _VERIFY_FIRST = [
     "text_lang_id",
     "doc_fingerprint",
     "pipeline_document_curation",
-    "grouped_zscore",
-    "array_functions",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;
     # err=no_oracle + a row count is the expected, wanted outcome.

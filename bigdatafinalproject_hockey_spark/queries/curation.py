@@ -24,6 +24,7 @@ from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr, round
 from bigdatafinalproject_hockey_spark.functions.hashing import (
     portable_hash64_expr,
     portable_hash64_sql,
+    splitmix64,
 )
 from bigdatafinalproject_hockey_spark.functions.text import (
     md5_fingerprint_expr,
@@ -1159,4 +1160,169 @@ def q_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pos",
         F.coalesce(F.col("vid"), oov_id).cast("int").alias("token_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature quality classifier (fasttext-style linear scorer)
+# ---------------------------------------------------------------------------
+
+_QC_V = 256  # hashed feature buckets
+_QC_SCALE = 1000  # integer micro-units per unit weight
+# Deterministic "pretrained" weight table: splitmix64-derived integer
+# micro-weights in [-1000, 1000], embedded as literals in BOTH the
+# Spark plan and the SQL oracle (same pattern as the minhash
+# coefficients / LSH hyperplanes). A real deployment swaps in an
+# exported fasttext/linear-model weight vector; the dataflow — hash
+# token, index a broadcast-free literal table, integer-sum, normalize
+# — is identical.
+_QC_WEIGHTS = [
+    splitmix64(1000 + k) % (2 * _QC_SCALE + 1) - _QC_SCALE for k in range(_QC_V)
+]
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tok,
+           CAST(COALESCE(list_sum(list_transform(tk,
+               t -> ([{",".join(str(w) for w in _QC_WEIGHTS)}])[
+                   CAST((CAST(({portable_hash64_sql("t")}
+                         & 9223372036854775807) AS BIGINT) % {_QC_V})
+                        AS BIGINT) + 1])), 0) AS BIGINT) AS score_units,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE COALESCE(list_sum(list_transform(tk,
+                    t -> ([{",".join(str(w) for w in _QC_WEIGHTS)}])[
+                        CAST((CAST(({portable_hash64_sql("t")}
+                              & 9223372036854775807) AS BIGINT) % {_QC_V})
+                             AS BIGINT) + 1])), 0)
+                    / ({_QC_SCALE}.0 * len(tk)) END AS quality_score,
+           CASE WHEN len(tk) > 0 AND COALESCE(list_sum(list_transform(tk,
+                    t -> ([{",".join(str(w) for w in _QC_WEIGHTS)}])[
+                        CAST((CAST(({portable_hash64_sql("t")}
+                              & 9223372036854775807) AS BIGINT) % {_QC_V})
+                             AS BIGINT) + 1])), 0) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+    FROM tk
+    """,
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier — the fasttext-shaped
+    model-based filter every modern pretraining corpus runs (CCNet,
+    fineweb): hash each token into one of V buckets, sum the bucket
+    weights, normalize by length, threshold. Entirely row-local
+    Catalyst expressions: the literal weight table lives IN the plan
+    (no broadcast, no join, no UDF), tokens hash with the portable
+    md5-derived hash, and the weight sum is INTEGER micro-units — so
+    the score is bit-identical across engines and the whole query is
+    shuffle-free, the ideal 100 TB shape (pure map over the scan).
+
+    Output per doc: token count, exact integer score_units, the
+    normalized 6-dp score, and the keep decision.
+    """
+    max63 = F.lit((1 << 63) - 1).cast("long")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_WEIGHTS])
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens_expr("text").alias("tk"))
+    bucket_w = F.transform(
+        F.col("tk"),
+        lambda t: F.element_at(
+            w_arr,
+            ((portable_hash64_expr(t).bitwiseAND(max63) % _QC_V) + 1).cast("int"),
+        ),
+    )
+    units = F.aggregate(bucket_w, F.lit(0).cast("long"), lambda a, x: a + x)
+    scored = toks.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tok"),
+        units.alias("score_units"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "score_units",
+        # NO round: score_units and n_tok are identical integers in
+        # both engines, so one IEEE division is bit-identical — while
+        # ROUND(x, 6) would DIVERGE on exact half-boundaries (Spark
+        # rounds the shortest decimal rendering via BigDecimal, C
+        # engines round the binary value; doc 408 at sf0.01 lands on
+        # 1043/16000 = .0651875 and split the engines)
+        F.when(F.col("n_tok") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("score_units") / (F.lit(float(_QC_SCALE)) * F.col("n_tok"))
+        )
+        .alias("quality_score"),
+        ((F.col("n_tok") > 0) & (F.col("score_units") > 0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+    ),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 10 > 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+    """,
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the dataset-versioning primitive (what changed
+    between corpus v1 and v2?): fingerprint both snapshots, full-outer
+    join on the document key, classify added / removed / changed, and
+    emit ONLY the delta. The two snapshots are derived from the one
+    documents table with deterministic membership and edit rules so
+    the diff is oracle-checkable at any scale factor.
+
+    Scale shape: each snapshot reduces to a NARROW (doc_id, md5)
+    manifest before the join — the full text never shuffles — and the
+    full-outer join is one co-partitioned exchange per side, linear in
+    corpus size. This is how 100 TB corpora are diffed in practice:
+    manifests, not payloads. Sibling of dedup_incremental (the
+    append-only ingest gate); this is the audit view between pinned
+    versions."""
+    docs = load_table(spark, "documents", sf_dir)
+    a = docs.filter(F.col("doc_id") % 10 < 8).select(
+        "doc_id", F.md5("text").alias("fp_a")
+    )
+    b_text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    b = docs.filter(F.col("doc_id") % 10 > 0).select(
+        "doc_id", F.md5(b_text).alias("fp_b")
+    )
+    d = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        d.filter(
+            F.col("fp_a").isNull()
+            | F.col("fp_b").isNull()
+            | (F.col("fp_a") != F.col("fp_b"))
+        )
+        .select("doc_id", status.alias("status"))
     )

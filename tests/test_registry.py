@@ -76,8 +76,11 @@ def test_smoke_tail_is_the_tail():
 def test_never_verified_oracle_queries_lead_the_window():
     """Every oracle-backed query that has never had a driver row must
     sit in the window (it can only earn one from there)."""
-    never_verified = {"ml_eval_deterministic", "agg_approx", "sink_console"}
-    missing = never_verified - set(_VERIFY_FIRST[:3])
+    never_verified = {
+        "ml_eval_deterministic", "agg_approx", "sink_console",
+        "text_quality_classifier", "corpus_snapshot_diff",
+    }
+    missing = never_verified - set(_VERIFY_FIRST[:5])
     assert not missing, missing
 
 
