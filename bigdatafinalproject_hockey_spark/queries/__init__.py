@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "sink_console",
     "text_quality_classifier",
     "corpus_snapshot_diff",
+    "stream_dedup_within_watermark",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -99,7 +100,6 @@ _VERIFY_FIRST = [
     "text_bpe_token_count",
     "text_quality_score",
     "text_lang_id",
-    "doc_fingerprint",
     "pipeline_document_curation",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;

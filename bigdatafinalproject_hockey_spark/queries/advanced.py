@@ -27,11 +27,13 @@ from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.sources.csv import scan_csv, sink_csv
 from bigdatafinalproject_hockey_spark.streaming import (
     read_events_stream,
+    read_events_stream_replayed,
     run_stream_to_table,
     sessionize,
     sliding_agg,
     static_enrich_agg,
     stream_dedup,
+    stream_dedup_within_watermark,
     tumbling_agg,
 )
 
@@ -127,6 +129,26 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch table regardless of which copy won."""
     stream = read_events_stream(spark, sf_dir)
     deduped = stream_dedup(stream, watermark_delay="1 hour")
+    return run_stream_to_table(spark, deduped, output_mode="append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup as a REAL streaming query: the
+    events table is REPLAYED as two separate micro-batches (an
+    at-least-once source redelivering a whole partition), and
+    dropDuplicatesWithinWatermark emits each event once while evicting
+    key state as the watermark advances — the deployable alternative
+    to plain dropDuplicates' forever-state (see
+    streaming.stream_dedup_within_watermark). Surviving copies are
+    byte-identical, so the result value-matches the batch table."""
+    stream = read_events_stream_replayed(spark, sf_dir, copies=2)
+    deduped = stream_dedup_within_watermark(stream, watermark_delay="1 hour")
     return run_stream_to_table(spark, deduped, output_mode="append")
 
 

@@ -307,6 +307,14 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(spark, totals, output_mode="update")
 
 
+# NOTE: a transformWithStateInPandas twin of stream_stateful_totals
+# exists (streaming.stateful_user_totals_tws) but is NOT registered as
+# a driver query: the TWS Python worker requires google.protobuf,
+# absent from this container (no installs). tests/test_modules.py
+# exercises it with an availability skip; on a protobuf-equipped
+# cluster it registers cleanly against the same GROUP BY oracle.
+
+
 # ---------------------------------------------------------------------------
 # partitioned parquet sink (pruning-ready layout)
 # ---------------------------------------------------------------------------

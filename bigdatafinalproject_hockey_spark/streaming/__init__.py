@@ -254,6 +254,87 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as ``stateful_user_totals``,
+    built on ``transformWithStateInPandas`` — Spark 4's arbitrary-
+    stateful-processing API (SPARK-40434 successor): an explicit
+    ``StatefulProcessor`` owning named, schema-typed state handles
+    (here one ValueState) instead of applyInPandasWithState's single
+    untyped tuple. The new API is where stateful streaming is headed
+    (multiple state variables, TTL, timers, initial state), so the
+    engine exercises BOTH: same money discipline (int64 cents,
+    half-away-from-zero), same output contract, same batch GROUP BY
+    oracle.
+
+    Environment gate: the TWS Python worker imports google.protobuf
+    at startup; in containers without it the stream fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, so this operator
+    is exercised by an availability-skipped test rather than a
+    registered driver query (queries/scale.py note). It also requires
+    the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, cents long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._totals.get()
+            n, cents = prev if prev is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                v = pdf["value"].to_numpy(dtype="float64")
+                cents += int(
+                    np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v).sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once dedup over an at-least-once source via
+    ``dropDuplicatesWithinWatermark`` — the Spark 3.5+ API built for
+    replayed/redelivered sources: unlike plain ``dropDuplicates``
+    (whose key state lives FOREVER, an unbounded-state leak on real
+    streams), it only guarantees uniqueness for duplicates arriving
+    within the watermark delay of the first sighting and EVICTS key
+    state once the watermark passes — bounded state at any stream
+    length, which is the only deployable shape at 100 TB/day ingest.
+    Redeliveries carry the original event time, so they always land
+    inside the window and the guarantee is total for this source."""
+    return stream.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def read_events_stream_replayed(
     spark: SparkSession, sf_dir: str, copies: int = 2
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -611,3 +612,50 @@ def test_ml_variants_emit_reference_metric_schema(spark):
             assert row["top_feature_importance"] > 0
         else:
             assert row["top_feature"] is None
+
+
+def test_stateful_user_totals_tws_matches_batch(spark):
+    """transformWithStateInPandas twin of stateful_user_totals:
+    availability-gated (the TWS Python worker needs google.protobuf,
+    absent from some containers) — on capable environments the
+    streamed totals must equal the batch GROUP BY."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.functions.numeric import fixed_point_sum
+    from bigdatafinalproject_hockey_spark.streaming import (
+        read_events_stream,
+        run_stream_to_table,
+        stateful_user_totals_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, "/root/testdata/sf0.001")
+        got = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in run_stream_to_table(
+                spark, stateful_user_totals_tws(stream), output_mode="update"
+            ).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in load_table(spark, "events", "/root/testdata/sf0.001")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point_sum(F.col("value")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
