@@ -110,6 +110,15 @@ _VERIFY_FIRST = [
     "split_random",
 ]
 
+# ROUND-5 ROTATION DEBT (write the next window from this): r2 greens
+# not re-verified since round 2 — multimodal_meta,
+# multimodal_frame_sample, multimodal_resize, pipeline_features,
+# join_range, agg_rollup, agg_cube, agg_grouping_sets, sim_ann_ivf,
+# stream_stateful_totals, sink_parquet_partitioned, grouped_zscore,
+# array_functions, doc_fingerprint (the last three displaced from the
+# r4 window by the new r4 queries) — plus whatever r4 adds that misses
+# this window. Everything else is ≤1 round old after r4.
+
 
 def _rotate(window: list[str]) -> None:
     ordered = {name: QUERIES[name] for name in window}

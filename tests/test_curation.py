@@ -208,3 +208,45 @@ def test_dedup_incremental_survivors_are_fresh_originals(spark):
         .collect()
     )
     assert ids == list(range(250, 500))
+
+
+def test_quality_classifier_edges(spark, monkeypatch):
+    """Empty doc → zero score, keep=0; score_units is the exact
+    integer weight sum; keep flips on the sign of score_units."""
+    from bigdatafinalproject_hockey_spark.queries import curation
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha", "en", "s", 16),
+            (2, "", "en", "s", 0),
+            (3, "   ", "en", "s", 3),
+        ],
+    )
+    monkeypatch.setattr(
+        curation, "load_table", lambda spark_, name, sf: df
+    )
+    out = {r["doc_id"]: r for r in QUERIES["text_quality_classifier"](spark, "unused").collect()}
+    assert out[2]["n_tok"] == 0 and out[2]["quality_score"] == 0.0 and out[2]["keep"] == 0
+    assert out[3]["n_tok"] == 0 and out[3]["keep"] == 0
+    r1 = out[1]
+    assert r1["n_tok"] == 3
+    # score is the exact ratio of the integer units
+    assert r1["quality_score"] == r1["score_units"] / (1000.0 * 3)
+    assert r1["keep"] == (1 if r1["score_units"] > 0 else 0)
+
+
+def test_snapshot_diff_statuses_complete(spark, monkeypatch):
+    """Every status arises and unchanged docs are excluded: with the
+    membership rules, doc 0 → removed, 8/9 → added (9 also %3==0 but
+    addition wins), 3/6 → changed, 1/2/4/5/7 → absent (unchanged)."""
+    from bigdatafinalproject_hockey_spark.queries import curation
+
+    df = _docs(
+        spark,
+        [(i, f"text number {i}", "en", "s", 12) for i in range(10)],
+    )
+    monkeypatch.setattr(curation, "load_table", lambda spark_, name, sf: df)
+    rows = {r["doc_id"]: r["status"] for r in QUERIES["corpus_snapshot_diff"](spark, "unused").collect()}
+    assert rows == {0: "removed", 3: "changed", 6: "changed", 8: "added", 9: "added"}

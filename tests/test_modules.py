@@ -659,3 +659,56 @@ def test_stateful_user_totals_tws_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_evaluate_binary_df_matches_driver_math(spark):
+    """The distributed single-job evaluator must reproduce the
+    driver-math original (evaluate_binary + baselines) cell for cell
+    and metric for metric, including the rank-sum AUC identity, on a
+    frame with ties, both classes, and both prediction values."""
+    import math
+
+    from bigdatafinalproject_hockey_spark.ml import (
+        baselines,
+        evaluate_binary,
+        evaluate_binary_df,
+    )
+
+    rows = [
+        # (label, prediction, score) — score ties across labels on 2.0
+        (1, 1, 3.0), (1, 1, 2.0), (1, 0, 2.0), (1, 0, 0.5),
+        (0, 1, 2.0), (0, 0, 1.0), (0, 0, 0.5), (0, 0, -1.0),
+    ]
+    df = spark.createDataFrame(rows, "label int, prediction int, score double")
+    [got] = evaluate_binary_df(df, score_col="score").collect()
+
+    m = evaluate_binary(df, with_auc=False)
+    assert (got["tp"], got["tn"], got["fp"], got["fn"]) == (m.tp, m.tn, m.fp, m.fn)
+    assert got["n_test"] == m.n
+    assert got["accuracy"] == round(m.accuracy, 6)
+    assert got["precision"] == round(m.precision, 6)
+    assert got["recall"] == round(m.recall, 6)
+    assert math.isclose(got["f1"], m.f1, abs_tol=1e-6)
+    b = baselines(df)
+    assert got["baseline_majority"] == round(b["majority"], 6)
+    assert got["baseline_coin"] == 0.5
+    assert math.isclose(got["baseline_weighted"], b["weighted_random"], abs_tol=1e-6)
+    # tie-aware Mann-Whitney AUC by hand: midranks over
+    # sorted scores [-1, .5, .5, 1, 2, 2, 2, 3]
+    # pos scores: 3.0→rank 8; 2.0→midrank 6; 2.0→6; 0.5→2.5 ⇒ R+=22.5
+    npos, nneg = 4, 4
+    want_auc = (22.5 - npos * (npos + 1) / 2) / (npos * nneg)
+    assert got["auc"] == round(want_auc, 6)
+
+
+def test_evaluate_binary_df_degenerate_classes(spark):
+    """Single-class input: AUC falls back to 0.5, divisions guard."""
+    from bigdatafinalproject_hockey_spark.ml import evaluate_binary_df
+
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 0, 1.0)], "label int, prediction int, score double"
+    )
+    [got] = evaluate_binary_df(df, score_col="score").collect()
+    assert got["auc"] == 0.5
+    assert got["recall"] == 0.5  # tp=1, fn=1
+    assert got["baseline_majority"] == 1.0
