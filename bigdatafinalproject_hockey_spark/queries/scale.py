@@ -307,6 +307,112 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(spark, totals, output_mode="update")
 
 
+@register(
+    "join_bloom_pruned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {fixed_point_sum_sql("l_extendedprice")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-filtered fact ⋈ dim as a SHUFFLE join (merge
+    hint) — the shape Spark's runtime bloom-filter semi-join reduction
+    (spark.sql.optimizer.runtime.bloomFilter.*) is built for: the
+    planner builds a bloom filter over the FILTERED orders keys and
+    injects a might_contain() predicate into the lineitem scan side,
+    so ~80% of fact rows drop BEFORE the shuffle instead of after the
+    join. At 100 TB this is THE lever for selective fact⋈dim shuffle
+    joins (broadcast handles small dims; bloom handles the
+    too-big-to-broadcast-but-selective ones). The join carries NO
+    strategy hint — InjectRuntimeFilter skips hinted joins, and at
+    real scale the dim exceeds the broadcast threshold naturally,
+    yielding the shuffle join + bloom combination; the filter also
+    only fires above the default 10 GB application-side threshold, so
+    tests/test_plans.py simulates scale (broadcast off, thresholds
+    down) and locks the might_contain injection. At sf sizes under a
+    plain session the same plan simply broadcasts — bloom pruning is
+    semantics-free either way, so the oracle is the plain filtered
+    join."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return agg_ops.agg_group_multi(
+        joined,
+        ["o_orderpriority"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "revenue": fixed_point_sum(F.col("l_extendedprice")),
+        },
+    )
+
+
+@register(
+    "mv_incremental_agg",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {fixed_point_sum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-user aggregate
+    table kept current by MERGING each arriving batch's partial
+    aggregate into the persisted store — never re-scanning history.
+    Three disjoint batches (event_id mod 3) replay an ingest timeline;
+    per batch: aggregate ONLY the batch (count + int64 cents — both
+    MERGEABLE aggregates), union with the store, re-aggregate by key,
+    overwrite the store parquet, read back (restart-safe: each step
+    recovers from disk like a real nightly job). Per-batch cost is
+    O(batch + |store keys|), independent of history length — the
+    incremental-view shape every 100 TB metrics pipeline uses; avg
+    and other derived measures come out of the stored sums at read
+    time. The oracle is the full one-shot aggregate, which the
+    incremental fold must equal exactly (integer cents make the merge
+    order-free)."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    path = os.path.join(TMP_DIR, f"mv_user_totals_{tag}")
+    events = load_table(spark, "events", sf_dir)
+    store: DataFrame | None = None
+    for k in range(3):
+        batch = events.filter(F.col("event_id") % 3 == k)
+        part = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("cents"),
+        )
+        merged = (
+            part
+            if store is None
+            else store.unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(f"{path}_b{k}")
+        store = spark.read.parquet(f"{path}_b{k}")
+    assert store is not None
+    return store.select(
+        "user_id",
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+    )
+
+
 # NOTE: a transformWithStateInPandas twin of stream_stateful_totals
 # exists (streaming.stateful_user_totals_tws) but is NOT registered as
 # a driver query: the TWS Python worker requires google.protobuf,

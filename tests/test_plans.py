@@ -361,3 +361,50 @@ def test_tokenize_vocab_broadcast(spark):
     # over every distinct token through one partition
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bloom_filter_join_pruning(spark):
+    """Under production-scale thresholds the runtime bloom-filter rule
+    must inject a might_contain() predicate on the fact side of
+    join_bloom_pruned's shuffle join — semi-join reduction before the
+    shuffle. (At sf sizes the default 10 GB application-side threshold
+    suppresses it, so the test lowers the thresholds, as a real
+    deployment's data sizes would satisfy them naturally.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = plan_of(spark, "join_bloom_pruned")
+        assert "might_contain" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
+def test_mv_incremental_store_partial_not_full(spark):
+    """Each incremental step must aggregate ONLY its batch before the
+    merge: the per-batch partial's scan carries the event_id batch
+    filter, and the merge re-aggregates (store ∪ partial) — never the
+    raw history."""
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+
+    events = load_table(spark, "events", SF)
+    part = events.filter(F.col("event_id") % 3 == 1).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    # batch filter reaches the scan side (pushed or post-scan filter,
+    # but always below the aggregate)
+    assert "% 3" in plan or "pmod" in plan.lower(), plan

@@ -79,9 +79,10 @@ def test_never_verified_oracle_queries_lead_the_window():
     never_verified = {
         "ml_eval_deterministic", "agg_approx", "sink_console",
         "text_quality_classifier", "corpus_snapshot_diff",
-        "stream_dedup_within_watermark",
+        "stream_dedup_within_watermark", "join_bloom_pruned",
+        "mv_incremental_agg",
     }
-    missing = never_verified - set(_VERIFY_FIRST[:6])
+    missing = never_verified - set(_VERIFY_FIRST[:8])
     assert not missing, missing
 
 
