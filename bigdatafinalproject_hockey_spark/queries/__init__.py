@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "stream_dedup_within_watermark",
     "join_bloom_pruned",
     "mv_incremental_agg",
+    "scan_schema_evolution",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -98,7 +99,6 @@ _VERIFY_FIRST = [
     "text_token_count",
     "text_repetition_score",
     "text_top_tokens",
-    "text_bpe_token_count",
     "text_quality_score",
     "pipeline_document_curation",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
@@ -115,9 +115,9 @@ _VERIFY_FIRST = [
 # multimodal_frame_sample, multimodal_resize, pipeline_features,
 # join_range, agg_rollup, agg_cube, agg_grouping_sets, sim_ann_ivf,
 # stream_stateful_totals, sink_parquet_partitioned, grouped_zscore,
-# array_functions, doc_fingerprint, text_lang_id, agg_quantile_report
-# (the last five displaced from the r4 window by the new r4 queries).
-# Everything else is ≤1 round old after r4.
+# array_functions, doc_fingerprint, text_lang_id, agg_quantile_report,
+# text_bpe_token_count (the last six displaced from the r4 window by
+# the new r4 queries). Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

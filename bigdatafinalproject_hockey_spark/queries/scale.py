@@ -466,6 +466,47 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_priority_class
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority AS o_priority_class
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the unavoidable lake
+    reality at 100 TB (a column added mid-corpus): generation v1 files
+    carry (key, price), generation v2 adds a priority column; one
+    mergeSchema read unifies both under the superset schema with NULLs
+    where v1 predates the column. Spark merges parquet footers at
+    planning time — per-file schemas stay intact on disk (no rewrite
+    of petabytes), and column pruning/pushdown still work per file.
+    The oracle is the explicit union with a typed NULL."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    path = os.path.join(TMP_DIR, f"schema_evolution_{tag}")
+    orders = load_table(spark, "orders", sf_dir)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("o_priority_class"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_priority_class")
+    )
+
+
+@register(
     "join_skew_salted",
     oracle=f"""
     SELECT o_orderpriority,
