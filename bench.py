@@ -61,6 +61,10 @@ HEADLINE = [
     # new in round 3:
     "dedup_minhash_lsh_portable",  # oracle-verified flagship dedup variant
     "tokenize_to_ids",      # broadcast-vocab text→ids (pretraining step)
+    # new in round 4 (no earlier comparison point):
+    "text_quality_classifier",  # row-local hashed-feature model filter
+    "mv_incremental_agg",   # incremental materialized-view maintenance
+    "join_bloom_pruned",    # selective fact⋈dim (bloom semi-join shape)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
