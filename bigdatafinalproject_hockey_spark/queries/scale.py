@@ -619,3 +619,148 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue": fixed_point_sum(F.col("l_extendedprice")),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# slowly-changing dimension (type 2): versioned merge + point-in-time join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                  ELSE 'PROMO-' || CAST(c_custkey % 3 AS VARCHAR)
+             END AS c_mktsegment,
+             TIMESTAMP '1999-06-01' AS eff_date
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.eff_date
+      FROM upd u JOIN cur c ON u.c_custkey = c.c_custkey
+      WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           g.eff_date AS valid_to,
+           CAST(CASE WHEN g.c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM cur c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, eff_date AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, CAST(1 AS BIGINT) AS is_current
+    FROM chg
+    """,
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (operators/scd.merge_scd2): an
+    updates batch (every 7th customer re-segmented, effective
+    1999-06-01) merges into the open customer snapshot, closing the
+    prior version and inserting the new one — while NO-OP updates
+    (every 14th key: value unchanged) must NOT fabricate a version.
+
+    Scale shape: cost ∝ |updates batch|, never ∝ history — unchanged
+    rows pass through with one (broadcastable) left join against the
+    batch's closing keys; there is no global window over the dimension.
+    At 100 TB this is the copy-on-write-touched-files-only merge every
+    table format (Delta/Iceberg/Hudi) implements; here it is the pure
+    dataflow, oracle-checked including the no-op trap."""
+    from bigdatafinalproject_hockey_spark.operators import scd as scd_ops
+
+    cust = load_table(spark, "customer", sf_dir)
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment"))
+        .otherwise(
+            F.concat(F.lit("PROMO-"), (F.col("c_custkey") % 3).cast("string"))
+        )
+        .alias("c_mktsegment"),
+        F.lit("1999-06-01").cast("timestamp").alias("eff_date"),
+    )
+    return scd_ops.merge_scd2(
+        current, updates, key="c_custkey", tracked=["c_mktsegment"]
+    )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle=f"""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                  ELSE 'PROMO-' || CAST(c_custkey % 3 AS VARCHAR)
+             END AS c_mktsegment,
+             TIMESTAMP '1999-06-01' AS eff_date
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.eff_date
+      FROM upd u JOIN cur c ON u.c_custkey = c.c_custkey
+      WHERE u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    ),
+    hist AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+             g.eff_date AS valid_to
+      FROM cur c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, eff_date, CAST(NULL AS TIMESTAMP)
+      FROM chg
+    )
+    SELECT h.c_mktsegment AS segment_asof,
+           COUNT(*) AS n_orders,
+           {fixed_point_sum_sql("o_totalprice")} AS revenue
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY h.c_mktsegment
+    """,
+)
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history built by
+    merge_scd2: each order joins the customer-segment version VALID AT
+    its order date (operators/scd.pointintime_lookup) — pre-1999
+    orders see the original segment, later ones the promo segment —
+    then revenue aggregates by as-of segment.
+
+    Scale shape: one equi-join shuffle on the business key; the
+    interval predicate filters the ≤2 versions per key after the hash
+    match, so there is no band-join blow-up. This is how leakage-free
+    training joins against mutable dimensions are done (feature value
+    as of event time, never today's value — same discipline as the
+    reference's leakage-free windows, reference
+    code/experiment.py:416-472, applied to dimension state)."""
+    from bigdatafinalproject_hockey_spark.operators import scd as scd_ops
+
+    hist = q_merge_scd2(spark, sf_dir).drop("is_current")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = scd_ops.pointintime_lookup(
+        orders, hist, key_left="o_custkey", key_right="c_custkey",
+        fact_date_col="o_orderdate",
+    )
+    return agg_ops.agg_group_multi(
+        joined.select(F.col("c_mktsegment").alias("segment_asof"), "o_totalprice"),
+        ["segment_asof"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "revenue": fixed_point_sum(F.col("o_totalprice")),
+        },
+    )

@@ -712,3 +712,55 @@ def test_evaluate_binary_df_degenerate_classes(spark):
     assert got["auc"] == 0.5
     assert got["recall"] == 0.5  # tp=1, fn=1
     assert got["baseline_majority"] == 1.0
+
+
+def test_merge_scd2_noop_new_and_changed_keys(spark):
+    """The three SCD2 merge cases in one fixture: a changed key closes
+    its old version and opens a new one; a NO-OP update (same tracked
+    value, including the NULL==NULL case) must not fabricate a
+    version; a key new to the dimension inserts an open row."""
+    from bigdatafinalproject_hockey_spark.operators.scd import (
+        merge_scd2,
+        pointintime_lookup,
+    )
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01"),
+            (2, "B", "2020-01-01"),
+            (3, None, "2020-01-01"),
+        ],
+        "k int, seg string, valid_from string",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [
+            (1, "Z", "2021-06-01"),   # changed
+            (2, "B", "2021-06-01"),   # no-op
+            (3, None, "2021-06-01"),  # no-op with NULLs (eqNullSafe trap)
+            (9, "N", "2021-06-01"),   # brand-new key
+        ],
+        "k int, seg string, eff_date string",
+    ).withColumn("eff_date", F.col("eff_date").cast("timestamp"))
+    out = merge_scd2(current, updates, key="k", tracked=["seg"])
+    rows = {
+        (r.k, r.seg, str(r.valid_from)[:10], r.valid_to and str(r.valid_to)[:10], r.is_current)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "A", "2020-01-01", "2021-06-01", 0),
+        (1, "Z", "2021-06-01", None, 1),
+        (2, "B", "2020-01-01", None, 1),
+        (3, None, "2020-01-01", None, 1),
+        (9, "N", "2021-06-01", None, 1),
+    }
+    # point-in-time: a fact before the change sees v1, after sees v2
+    facts = spark.createDataFrame(
+        [(1, "2021-01-01"), (1, "2021-12-01")], "fk int, d string"
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    got = {
+        (str(r.d)[:10], r.seg)
+        for r in pointintime_lookup(
+            facts, out, key_left="fk", key_right="k", fact_date_col="d"
+        ).collect()
+    }
+    assert got == {("2021-01-01", "A"), ("2021-12-01", "Z")}
