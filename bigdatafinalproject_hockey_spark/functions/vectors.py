@@ -35,3 +35,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL-safe on zero vectors (returns NULL)."""
     denom = norm_expr(a) * norm_expr(b)
     return F.when(denom > 0, dot_expr(a, b) / denom)
+
+
+def quantize_int8_expr(col: Column | str) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: returns
+    ``(maxabs, q)`` where maxabs is the vector's max |x| (double) and
+    q the array of ``round_half_up(x * 127 / maxabs)`` as longs (all
+    zeros for the all-zero vector). Every step is elementwise IEEE
+    double arithmetic on float32-exact inputs plus one floor — fully
+    deterministic across engines (no transcendental, no reduction
+    whose order could vary). This is the standard embedding
+    compression for ANN at scale: 4× smaller than float32, so 4× more
+    vectors per executor page and per shuffle byte."""
+    d = as_double_array(col)
+    maxabs = F.array_max(F.transform(d, lambda x: F.abs(x)))
+    return maxabs, F.when(
+        maxabs > 0,
+        F.transform(d, lambda x: F.floor(x * 127.0 / maxabs + 0.5)),
+    ).otherwise(F.transform(d, lambda x: F.lit(0).cast("long")))

@@ -481,3 +481,110 @@ def q_scan_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "ml_eval_calibration",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS f_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS f_cents,
+             COUNT(*) AS f_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    data AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS label,
+             year(o_orderdate) AS order_year, f_qty, f_cents, f_lines
+      FROM orders JOIN per_order ON o_orderkey = l_orderkey
+    ),
+    test AS (
+      SELECT label,
+             LEAST(GREATEST(
+                 2 * (f_cents % 500) + CAST(f_qty AS BIGINT) - 3 * f_lines,
+                 0), 1000) AS p_units
+      FROM data
+      WHERE order_year = (SELECT MAX(order_year) FROM data)
+    )
+    SELECT CAST(FLOOR(LEAST(p_units, 999) / 100) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(p_units) AS BIGINT) AS sum_p_units,
+           CAST(SUM((p_units - 1000 * label) * (p_units - 1000 * label))
+                AS BIGINT) AS brier_units,
+           CAST(SUM(p_units) AS DOUBLE) / (1000.0 * COUNT(*)) AS mean_p,
+           CAST(SUM(label) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM test
+    GROUP BY 1
+    """,
+)
+def q_ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration analysis of the deterministic closed-form predictor
+    (the round-4 companion to ml_eval_deterministic, extending the
+    reference's evaluation surface, code/experiment.py:617-688, with
+    the reliability diagram every probabilistic scorer needs): the
+    integer-exact linear score is clamped into [0, 1000] probability
+    micro-units, binned into deciles, and each bin reports count,
+    positives, summed predicted mass, and the Brier contribution —
+    ALL in integer units, so every cell is bit-identical across
+    engines; the two ratio columns are each ONE IEEE division of
+    integer-exact operands (no round — same discipline as
+    text_quality_classifier).
+
+    One hash-aggregate shuffle over the test split; calibration of a
+    100 TB eval set is the same single pass."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.sum(cents_expr(F.col("l_extendedprice"))).alias("f_cents"),
+        F.count(F.lit(1)).alias("f_lines"),
+    )
+    data = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .withColumn(
+            "label",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0),
+        )
+        .withColumn("order_year", F.year("o_orderdate"))
+        .select("label", "order_year", "f_qty", "f_cents", "f_lines")
+    )
+    _train, test = split_temporal(data, "order_year")
+    score_int = (
+        F.lit(2) * (F.col("f_cents") % 500)
+        + F.col("f_qty").cast("long")
+        - F.lit(3) * F.col("f_lines")
+    )
+    scored = test.select(
+        "label",
+        F.least(F.greatest(score_int, F.lit(0)), F.lit(1000)).alias("p_units"),
+    )
+    binned = scored.groupBy(
+        F.floor(F.least(F.col("p_units"), F.lit(999)) / 100)
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("p_units").cast("long").alias("sum_p_units"),
+        F.sum(
+            (F.col("p_units") - 1000 * F.col("label"))
+            * (F.col("p_units") - 1000 * F.col("label"))
+        )
+        .cast("long")
+        .alias("brier_units"),
+    )
+    return binned.select(
+        "bin",
+        "n",
+        "n_pos",
+        "sum_p_units",
+        "brier_units",
+        (F.col("sum_p_units").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+            "mean_p"
+        ),
+        (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
+    )

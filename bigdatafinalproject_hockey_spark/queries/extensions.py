@@ -964,3 +964,70 @@ def q_split_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select("o_orderkey")
     train, _ = sample_ops.split_random(orders, (0.8, 0.2), seed=42)
     return train
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    ),
+    qq AS (
+      SELECT vec_id, maxabs,
+             CASE WHEN maxabs > 0 THEN
+               list_transform(embedding, x ->
+                 CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+                      AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS q
+      FROM base
+    )
+    SELECT vec_id,
+           CAST(len(q) AS BIGINT) AS n_dims,
+           CAST(COALESCE(list_sum(q), 0) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           CAST(COALESCE(list_sum(list_transform(q, v -> v * v)), 0)
+                AS BIGINT) AS q_norm_sq,
+           maxabs AS scale_max
+    FROM qq
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (functions/vectors.quantize_int8_expr)
+    — the compression step a 100 TB vector corpus takes before ANN
+    serving: 4× fewer bytes per vector means 4× more corpus per
+    executor page, shuffle byte, and cache line, at a bounded recall
+    cost. Entirely row-local higher-order Catalyst expressions (no
+    UDF, no shuffle — pure map over the scan); the quantized values,
+    their checksum/min/max, and the integer norm are bit-identical
+    across engines because every step is deterministic IEEE double
+    arithmetic + one floor; scale_max is emitted raw (it is an exact
+    max of float32-exact doubles, no reduction-order sensitivity)."""
+    from bigdatafinalproject_hockey_spark.functions.vectors import (
+        quantize_int8_expr,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    maxabs, q = quantize_int8_expr("embedding")
+    qq = emb.select("vec_id", maxabs.alias("scale_max"), q.alias("q"))
+    return qq.select(
+        "vec_id",
+        F.size("q").cast("long").alias("n_dims"),
+        F.coalesce(
+            F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0),
+        ).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.coalesce(
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+            ),
+            F.lit(0),
+        ).alias("q_norm_sq"),
+        "scale_max",
+    )

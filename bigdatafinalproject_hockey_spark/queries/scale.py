@@ -764,3 +764,61 @@ def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue": fixed_point_sum(F.col("o_totalprice")),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: multi-dimensional data-skipping layout
+# ---------------------------------------------------------------------------
+
+
+def _zorder_sql() -> str:
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        zvalue_sql,
+    )
+
+    return f"""
+    WITH keyed AS (
+      SELECT o_custkey % 1024 AS x,
+             CAST(FLOOR(o_totalprice / 600.0) AS BIGINT) % 1024 AS y
+      FROM orders
+    ),
+    z AS (SELECT x, y, {zvalue_sql("x", "y", 10)} AS zval FROM keyed)
+    SELECT zval >> 16 AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY 1
+    """
+
+
+@register("sort_zorder", oracle=_zorder_sql())
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (customer, price-band)
+    — the multi-dimensional data-skipping layout (Delta/Iceberg
+    Z-ORDER BY): interleaving the two keys' bits
+    (operators/partitioning.zvalue_expr) and range-partitioning by the
+    result gives every partition/file a TIGHT min/max range on BOTH
+    dimensions, so a selective predicate on either one prunes most
+    files; a plain sort on one key leaves the other's per-file range
+    at full width. The query emits per-z-bucket bounding boxes — the
+    file-statistics view a scan planner would prune against; with 10
+    bits per dim and 16 buckets, every box is provably ≤ 1/4 of each
+    dimension's range (locked in tests/test_modules.py). Pure integer
+    shift/mask arithmetic, one aggregate shuffle, no UDF."""
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        zvalue_expr,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.floor(F.col("o_totalprice") / 600.0).cast("long") % 1024).alias("y"),
+    )
+    z = keyed.select("x", "y", zvalue_expr("x", "y", 10).alias("zval"))
+    return z.groupBy(F.shiftright("zval", 16).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

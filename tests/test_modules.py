@@ -764,3 +764,20 @@ def test_merge_scd2_noop_new_and_changed_keys(spark):
         ).collect()
     }
     assert got == {("2021-01-01", "A"), ("2021-12-01", "Z")}
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Z-order locality: with 10 bits/dim and 16 top-bit buckets,
+    every bucket's bounding box spans ≤ 1/4 of EACH dimension's range
+    — the property that makes per-file min/max stats prunable on
+    either predicate. A single-column sort cannot give this (the
+    second dimension's per-bucket range stays at full width)."""
+    from bigdatafinalproject_hockey_spark.queries.scale import q_sort_zorder
+
+    rows = q_sort_zorder(spark, "/root/testdata/sf0.001").collect()
+    # sf0.001 has only 150 customers (x < 256 ⇒ x's top bits are 0),
+    # so only the x-low buckets materialize; the BOUND is what matters
+    assert len(rows) >= 4
+    for r in rows:
+        assert r.max_x - r.min_x <= 256, r
+        assert r.max_y - r.min_y <= 256, r
