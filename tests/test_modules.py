@@ -781,3 +781,47 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     for r in rows:
         assert r.max_x - r.min_x <= 256, r
         assert r.max_y - r.min_y <= 256, r
+
+
+def test_manifest_pruned_scan_opens_fewer_files(spark):
+    """The manifest must actually skip files: a six-month predicate
+    over 16 date-range-clustered files should open well under half of
+    them, and the pruned+residual-filtered result must equal the full
+    scan's (pruning is sound, never semantic)."""
+    from bigdatafinalproject_hockey_spark.operators import manifest as mf
+    from bigdatafinalproject_hockey_spark.queries.scale import (
+        q_scan_files_pruned,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # run the query once to materialize the clustered layout + manifest
+    got = {
+        (r.o_orderstatus, r.n_orders, r.revenue)
+        for r in q_scan_files_pruned(spark, sf_dir).collect()
+    }
+    manifest = spark.read.parquet("/root/repo/.tmp/orders_manifest_sf0_001")
+    n_total = manifest.count()
+    lo = F.lit("1999-01-01").cast("timestamp")
+    hi = F.lit("1999-06-30").cast("timestamp")
+    _pruned, n_read = mf.scan_pruned(spark, manifest, "o_orderdate", lo, hi)
+    assert n_total == 16
+    assert n_read <= 6, f"pruning ineffective: {n_read}/{n_total} files"
+    full = spark.read.parquet("/root/repo/.tmp/orders_clustered_sf0_001")
+    expect = {
+        (r.o_orderstatus, r.n_orders, r.revenue)
+        for r in (
+            full.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            )
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert got == expect
