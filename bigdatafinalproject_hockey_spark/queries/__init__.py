@@ -59,6 +59,15 @@ _VERIFY_FIRST = [
     "join_bloom_pruned",
     "mv_incremental_agg",
     "scan_schema_evolution",
+    # (a2) added later in round 4 — never verified: SCD2 merge +
+    # point-in-time lookup, calibration eval, int8 quantization,
+    # z-order clustering, manifest file skipping
+    "merge_scd2",
+    "join_scd2_pointintime",
+    "ml_eval_calibration",
+    "embedding_quantize",
+    "sort_zorder",
+    "scan_files_pruned",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -95,12 +104,6 @@ _VERIFY_FIRST = [
     "dedup_components",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
-    "sim_knn_classify",
-    "text_token_count",
-    "text_repetition_score",
-    "text_top_tokens",
-    "text_quality_score",
-    "pipeline_document_curation",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;
     # err=no_oracle + a row count is the expected, wanted outcome.
@@ -116,8 +119,10 @@ _VERIFY_FIRST = [
 # join_range, agg_rollup, agg_cube, agg_grouping_sets, sim_ann_ivf,
 # stream_stateful_totals, sink_parquet_partitioned, grouped_zscore,
 # array_functions, doc_fingerprint, text_lang_id, agg_quantile_report,
-# text_bpe_token_count (the last six displaced from the r4 window by
-# the new r4 queries). Everything else is ≤1 round old after r4.
+# text_bpe_token_count, plus sim_knn_classify, text_token_count,
+# text_repetition_score, text_top_tokens, text_quality_score,
+# pipeline_document_curation (displaced from this window by the six
+# late-round-4 queries). Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:
