@@ -449,3 +449,48 @@ def q_agg_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "n_users", "n_events"
         )
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    fw AS (
+      SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, u.wk) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw u JOIN fw f ON u.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their first-activity week, each cell counting how many
+    of that cohort were active again N weeks later. Three shuffles,
+    each the minimum the semantics allow: (1) distinct (user, week)
+    collapses the event stream to at most |users|×|weeks| rows BEFORE
+    anything else (the scan never reaches the join at event
+    granularity), (2) min-week per user, (3) the cell aggregate —
+    count(*) suffices because (user, week) is already unique, so no
+    expensive count-distinct state. Both week-truncations are ISO
+    Monday in Spark and DuckDB; offsets are exact day-diffs / 7."""
+    ev = load_table(spark, "events", sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(fw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1326,3 +1326,117 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", status.alias("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental curation pipeline (compose the ingest-day-N flow)
+# ---------------------------------------------------------------------------
+
+
+def _quality_units_expr(tk_col):
+    """Integer micro-unit quality score of a token array — the same
+    literal weight table / portable hash as text_quality_classifier,
+    factored so composed pipelines score identically."""
+    max63 = F.lit((1 << 63) - 1).cast("long")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_WEIGHTS])
+    bucket_w = F.transform(
+        tk_col,
+        lambda t: F.element_at(
+            w_arr,
+            ((portable_hash64_expr(t).bitwiseAND(max63) % _QC_V) + 1).cast("int"),
+        ),
+    )
+    return F.coalesce(
+        F.aggregate(bucket_w, F.lit(0).cast("long"), lambda a, x: a + x),
+        F.lit(0).cast("long"),
+    )
+
+
+def _quality_units_sql(tk: str) -> str:
+    w = ",".join(str(x) for x in _QC_WEIGHTS)
+    return f"""CAST(COALESCE(list_sum(list_transform({tk},
+        t -> ([{w}])[
+            CAST((CAST(({portable_hash64_sql("t")}
+                  & 9223372036854775807) AS BIGINT) % {_QC_V})
+                 AS BIGINT) + 1])), 0) AS BIGINT)"""
+
+
+@register(
+    "pipeline_incremental_curation",
+    oracle=f"""
+    WITH store AS (SELECT doc_id, text, source FROM documents
+                   WHERE doc_id % 10 < 8),
+    fresh AS (SELECT doc_id, text, source FROM documents
+              WHERE doc_id % 10 >= 8),
+    delta AS (
+      SELECT doc_id, text, source FROM fresh
+      UNION ALL
+      SELECT doc_id + 100000, text, source FROM store
+      UNION ALL
+      SELECT doc_id + 200000, text, source FROM fresh WHERE doc_id % 20 = 8
+    ),
+    fp AS (
+      SELECT doc_id, text, source, {_FP_SQL.format(c="text")} AS fp
+      FROM delta
+    ),
+    sfp AS (SELECT DISTINCT {_FP_SQL.format(c="text")} AS fp FROM store),
+    novel AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM sfp)),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM novel GROUP BY fp),
+    surv AS (
+      SELECT n.doc_id, n.text, n.source FROM novel n
+      JOIN keep k ON n.doc_id = k.doc_id
+    ),
+    tk AS (
+      SELECT doc_id, source, {_SQL_TOKS.format(c="text")} AS tk FROM surv
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(len(tk) AS BIGINT) AS n_tok,
+             {_quality_units_sql("tk")} AS score_units
+      FROM tk
+    )
+    SELECT doc_id, source, n_tok, score_units
+    FROM scored WHERE n_tok > 0 AND score_units > 0
+    """,
+)
+def q_pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-day-N curation flow COMPOSED from this package's
+    incremental operators — what actually runs nightly on a growing
+    100 TB corpus (full-corpus recuration is the thing incremental
+    design exists to avoid): (1) the arriving batch (fresh docs +
+    re-crawled store copies + an intra-batch repeat) passes the exact
+    incremental gate (dedup.exact.dedup_incremental — anti-join
+    against the store's append-only fingerprint set, min-id within the
+    batch); (2) survivors are scored by the hashed-feature quality
+    classifier (same literal weight table as text_quality_classifier)
+    and gated on score > 0.
+
+    Shuffle budget: one fp anti-join + one intra-batch min-id
+    aggregate — both over (fp, id) pairs, never text — and the
+    quality stage is pure map. Each stage is individually
+    oracle-green; this query pins that their COMPOSITION stays
+    bit-exact (the integration failure mode unit checks can't see)."""
+    docs = load_table(spark, "documents", sf_dir)
+    cols = ["doc_id", "text", "source"]
+    store = docs.filter(F.col("doc_id") % 10 < 8).select(cols)
+    fresh = docs.filter(F.col("doc_id") % 10 >= 8).select(cols)
+
+    def reid(df: DataFrame, offset: int) -> DataFrame:
+        return df.select((F.col("doc_id") + offset).alias("doc_id"), *cols[1:])
+
+    delta = fresh.unionByName(reid(store, 100000)).unionByName(
+        reid(fresh.filter(F.col("doc_id") % 20 == 8), 200000)
+    )
+    store_fp = store.select(md5_fingerprint_expr("text").alias("fp"))
+    survivors = dedup_incremental(delta, store_fp, "text", "doc_id")
+    scored = survivors.select(
+        "doc_id",
+        "source",
+        tokens_expr("text").alias("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("tk").cast("long").alias("n_tok"),
+        _quality_units_expr(F.col("tk")).alias("score_units"),
+    )
+    return scored.filter((F.col("n_tok") > 0) & (F.col("score_units") > 0))
