@@ -65,6 +65,10 @@ HEADLINE = [
     "text_quality_classifier",  # row-local hashed-feature model filter
     "mv_incremental_agg",   # incremental materialized-view maintenance
     "join_bloom_pruned",    # selective fact⋈dim (bloom semi-join shape)
+    "merge_scd2",           # SCD2 versioned dimension merge
+    "scan_files_pruned",    # manifest file skipping (ingest amortized)
+    "embedding_quantize",   # int8 vector compression (pure map)
+    "pipeline_incremental_curation",  # composed ingest-day-N flow
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents

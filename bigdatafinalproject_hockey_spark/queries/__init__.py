@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     "scan_files_pruned",
     "events_retention_cohort",
     "pipeline_incremental_curation",
+    "analytics_shipping_priority",
+    "analytics_large_orders",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -102,8 +104,6 @@ _VERIFY_FIRST = [
     "sink_parquet_compacted",
     "scan_orc_roundtrip",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;
     # err=no_oracle + a row count is the expected, wanted outcome.
@@ -121,9 +121,10 @@ _VERIFY_FIRST = [
 # array_functions, doc_fingerprint, text_lang_id, agg_quantile_report,
 # text_bpe_token_count, plus sim_knn_classify, text_token_count,
 # text_repetition_score, text_top_tokens, text_quality_score,
-# pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk
-# (displaced from this window by the eight late-round-4 queries).
-# Everything else is ≤1 round old after r4.
+# pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
+# dedup_ngram_jaccard, dedup_components (displaced from this window by
+# the ten late-round-4 queries). Everything else is ≤1 round old
+# after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -494,3 +494,100 @@ def q_events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "analytics_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical 3-table join + aggregate + top-k
+    composite: segment-filtered customers ⋈ open orders ⋈ shipped-after
+    lineitems, discounted revenue per order, top 10. What the plan must
+    do (and the declarative form gets from Catalyst for free, locked by
+    the sibling plan tests): push all three filters into the scans,
+    broadcast the filtered customer side, and run the top-k as
+    TakeOrderedAndProject (never a global sort of the aggregate).
+    Revenue is summed in integer cents (fixed-point), so values AND the
+    limit-10 cutoff are deterministic; ties break on the unique order
+    key."""
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = F.lit("1998-06-01").cast("timestamp")
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cut)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_cents).cast("double") / 100).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "analytics_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders via an IN-subquery with a
+    grouped HAVING: the classic decorrelation case. Spark rewrites the
+    IN (SELECT ... HAVING) into a left-semi join against the pre-
+    aggregated keys — the subquery runs ONCE, not per row, and the
+    semi join carries only (orderkey) — then the outer 3-table join
+    re-aggregates quantity per surviving order. l_quantity is
+    integral-valued so the double sums are exact; the limit-100 cutoff
+    breaks ties on the unique order key."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
+              F.col("lk") == F.col("o_orderkey"))
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("bk") == F.col("o_orderkey"), "left_semi")
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

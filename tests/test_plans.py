@@ -408,3 +408,48 @@ def test_mv_incremental_store_partial_not_full(spark):
     # batch filter reaches the scan side (pushed or post-scan filter,
     # but always below the aggregate)
     assert "% 3" in plan or "pmod" in plan.lower(), plan
+
+
+def test_maponly_queries_have_zero_exchanges(spark):
+    """text_quality_classifier and embedding_quantize are pure maps
+    over the scan — their 100 TB cost model is scan-bound. Any
+    Exchange appearing in either plan means a refactor broke the
+    shuffle-free shape."""
+    for name in ("text_quality_classifier", "embedding_quantize"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_zorder_single_aggregate_exchange(spark):
+    """Z-value computation is row-local; the only shuffle is the
+    bucket aggregate's partial→final exchange."""
+    plan = plan_of(spark, "sort_zorder")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_merge_no_window_and_broadcastable(spark):
+    """merge_scd2 must stay window-free (cost ∝ batch, not history):
+    no Window node; the closing-keys join is broadcastable at this
+    scale."""
+    plan = plan_of(spark, "merge_scd2")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_shape_topk_and_broadcast(spark):
+    """The composite Q3 shape must run its top-10 as
+    TakeOrderedAndProject (never a global sort) with the filtered
+    dims broadcast."""
+    plan = plan_of(spark, "analytics_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_subquery_decorrelates_to_semi_join(spark):
+    """The IN (SELECT ... HAVING) subquery must decorrelate into ONE
+    pre-aggregated left-semi join — not a per-row subquery, not an
+    inner join that could duplicate rows."""
+    plan = plan_of(spark, "analytics_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
