@@ -900,3 +900,93 @@ def q_scan_files_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             fixed_point_sum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "stream_scd2_cdc",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey,
+             'PROMO-' || CAST(c_custkey % 3 AS VARCHAR) AS new_seg,
+             TIMESTAMP '1999-06-01' + INTERVAL (c_custkey % 3) DAY AS eff_date
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           u.eff_date AS valid_to,
+           CAST(CASE WHEN u.c_custkey IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_seg, eff_date, CAST(NULL AS TIMESTAMP),
+           CAST(1 AS BIGINT)
+    FROM upd
+    """,
+)
+def q_stream_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into a versioned dimension: three micro-batches of
+    customer re-segmentations (disjoint key sets, distinct effective
+    dates) replay through foreachBatch, each applying one
+    merge_scd2 against the persisted store
+    (streaming.scd2_cdc_apply) — the Debezium-topic→MERGE-into-dim
+    flow every lakehouse runs. Because every update genuinely changes
+    its segment and the batches touch disjoint keys, the composed
+    history has a closed form the oracle states directly; the
+    streaming side must converge to it through three real
+    store-read→merge→store-write round-trips (restart-safe,
+    batch-id-keyed overwrites)."""
+    import glob as _glob
+    import shutil
+
+    from bigdatafinalproject_hockey_spark.streaming import scd2_cdc_apply
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    stage = os.path.join(TMP_DIR, f"scd2_cdc_src_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    cust = load_table(spark, "customer", sf_dir)
+    for k in range(3):
+        upd_k = cust.filter(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 3 == k)
+        ).select(
+            "c_custkey",
+            F.concat(F.lit("PROMO-"), F.lit(str(k))).alias("c_mktsegment"),
+            F.lit(f"1999-06-0{k + 1}").cast("timestamp").alias("eff_date"),
+        )
+        tmp = os.path.join(TMP_DIR, f"scd2_cdc_tmp_{tag}_{k}")
+        upd_k.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(stage, f"upd_{k}.parquet"))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("eff_date", T.TimestampType()),
+        ]
+    )
+    updates = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    initial = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+    )
+    return scd2_cdc_apply(
+        spark,
+        updates,
+        initial,
+        key="c_custkey",
+        tracked=["c_mktsegment"],
+        store_path=os.path.join(TMP_DIR, f"scd2_cdc_store_{tag}"),
+    )

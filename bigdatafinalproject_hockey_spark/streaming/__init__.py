@@ -559,3 +559,73 @@ def sessionize(
             (F.col("value_cents").cast("double") / 100.0).alias("sum_value"),
         )
     )
+
+
+def scd2_cdc_apply(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    initial: DataFrame,
+    key: str,
+    tracked: list[str],
+    store_path: str,
+    eff_date_col: str = "eff_date",
+) -> DataFrame:
+    """CDC → SCD2: apply a stream of dimension-attribute updates to a
+    persisted type-2 version store, one merge_scd2
+    (operators/scd.py) per micro-batch via foreachBatch — the
+    lakehouse change-data-capture flow (Debezium topic → MERGE into a
+    versioned dim). ``initial`` is the open v1 snapshot
+    (key, *tracked, valid_from); each batch closes changed keys at its
+    effective date and inserts the new open rows; closed history rows
+    pass through untouched. Per-batch cost ∝ |batch| + |open keys|,
+    never ∝ version history.
+
+    Each batch OVERWRITES its own ``{store_path}_b<id>`` directory
+    (the batch-id-keyed idempotent pattern shared with
+    foreach_batch_upsert), so a retried batch redoes exactly its own
+    output; the returned frame is the store after the final batch.
+    Finite-replay demo: a restarted deployment would re-derive the
+    latest pointer as the max existing batch directory."""
+    import shutil
+
+    from bigdatafinalproject_hockey_spark.operators.scd import merge_scd2
+
+    init_path = f"{store_path}_binit"
+    checkpoint = f"{store_path}_ckpt"
+    for p in (checkpoint,):
+        shutil.rmtree(p, ignore_errors=True)
+    initial.select(
+        F.col(key),
+        *tracked,
+        F.col("valid_from"),
+        F.lit(None).cast(initial.schema["valid_from"].dataType).alias("valid_to"),
+        F.lit(1).cast("long").alias("is_current"),
+    ).write.mode("overwrite").parquet(init_path)
+    latest = {"path": init_path}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = spark.read.parquet(latest["path"])
+        open_rows = store.filter(F.col("is_current") == 1).select(
+            key, *tracked, "valid_from"
+        )
+        closed = store.filter(F.col("is_current") == 0)
+        merged = merge_scd2(
+            open_rows, batch_df, key=key, tracked=tracked,
+            eff_date_col=eff_date_col,
+        )
+        out = closed.unionByName(merged)
+        p = f"{store_path}_b{batch_id}"
+        out.write.mode("overwrite").parquet(p)
+        latest["path"] = p
+
+    q = (
+        updates_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(latest["path"])

@@ -825,3 +825,16 @@ def test_manifest_pruned_scan_opens_fewer_files(spark):
         )
     }
     assert got == expect
+
+
+def test_stream_scd2_cdc_rerun_is_idempotent(spark):
+    """Re-running the whole CDC replay (fresh checkpoint, re-staged
+    source, batch-id-keyed store overwrites) must converge to the
+    identical version history — the restart/backfill scenario."""
+    from bigdatafinalproject_hockey_spark.queries.scale import q_stream_scd2_cdc
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in q_stream_scd2_cdc(spark, sf).collect()}
+    b = {tuple(r) for r in q_stream_scd2_cdc(spark, sf).collect()}
+    assert a == b
+    assert len(a) > 0
