@@ -65,6 +65,7 @@ HEADLINE = [
     "text_quality_classifier",  # row-local hashed-feature model filter
     "mv_incremental_agg",   # incremental materialized-view maintenance
     "join_bloom_pruned",    # selective fact⋈dim (bloom semi-join shape)
+    "text_quality_classifier_fast",  # xxhash64 fast path (prod hash)
     "merge_scd2",           # SCD2 versioned dimension merge
     "scan_files_pruned",    # manifest file skipping (ingest amortized)
     "embedding_quantize",   # int8 vector compression (pure map)
