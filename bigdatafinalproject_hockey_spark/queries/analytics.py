@@ -591,3 +591,210 @@ def q_analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.cents FROM grid g
+      LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    )
+    SELECT user_id, day,
+           CAST(last_value(cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS value_filled,
+           CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM j
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill — the gap-filling
+    operator every metrics/feature pipeline needs (TimescaleDB's
+    time_bucket_gapfill + locf, as dataflow): sparse per-(user, day)
+    sums are densified onto each user's full daily grid
+    (sequence+explode — rows generated ENGINE-side, never a driver
+    loop) and holes carry the last observed value forward via
+    last(ignorenulls) over an ordered window. Day sums are fixed-point
+    cents, so filled values are bit-exact. Shuffle budget: two
+    aggregates + one grid join + one window, every one keyed on
+    user_id — at 100 TB the table is bucketed by user and all four
+    collapse onto the bucket layout with no inter-stage exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.last("cents", ignorenulls=True).over(w).cast("double") / 100).alias(
+            "value_filled"
+        ),
+        F.col("cents").isNull().cast("long").alias("is_gap"),
+    )
+
+
+_DQ_SEGMENTS = "('MACHINERY','BUILDING','FURNITURE','AUTOMOBILE','HOUSEHOLD')"
+
+
+@register(
+    "dq_expectations",
+    oracle=f"""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_failed
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'customer_segment_domain',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_mktsegment IS NULL
+               OR c_mktsegment NOT IN {_DQ_SEGMENTS})
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (the dbt-test / Great
+    Expectations / Deequ contract surface): referential integrity,
+    uniqueness, range, and domain checks across three tables, each a
+    single aggregate or anti-join count, unioned into one
+    (check_name, n_checked, n_failed) ledger — the gate a 100 TB
+    ingest runs BEFORE publishing a snapshot. FK checks are
+    left-anti-join counts (never per-row subqueries); uniqueness is
+    count minus count-distinct in one pass; every check's cost is one
+    linear scan and they share nothing, so the whole report
+    parallelizes freely. Output is exact integers — a report row that
+    can't hash-match is a data bug, which is the point."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def report(name: str, n_checked, n_failed) -> DataFrame:
+        return n_checked.crossJoin(n_failed).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_checked").cast("long"),
+            F.col("n_failed").cast("long"),
+        )
+
+    checks = [
+        report(
+            "orders_custkey_fk",
+            orders.agg(F.count(F.lit(1)).alias("n_checked")),
+            orders.join(
+                cust, orders.o_custkey == cust.c_custkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_failed")),
+        ),
+        report(
+            "lineitem_orderkey_fk",
+            li.agg(F.count(F.lit(1)).alias("n_checked")),
+            li.join(
+                orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+            ).agg(F.count(F.lit(1)).alias("n_failed")),
+        ),
+        report(
+            "orders_orderkey_unique",
+            orders.agg(F.count(F.lit(1)).alias("n_checked")),
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "n_failed"
+                )
+            ),
+        ),
+        report(
+            "orders_totalprice_positive",
+            orders.agg(F.count(F.lit(1)).alias("n_checked")),
+            orders.agg(
+                F.count(
+                    F.when(
+                        F.col("o_totalprice").isNull()
+                        | (F.col("o_totalprice") <= 0),
+                        1,
+                    )
+                ).alias("n_failed")
+            ),
+        ),
+        report(
+            "lineitem_quantity_range",
+            li.agg(F.count(F.lit(1)).alias("n_checked")),
+            li.agg(
+                F.count(
+                    F.when(
+                        F.col("l_quantity").isNull()
+                        | (F.col("l_quantity") < 1)
+                        | (F.col("l_quantity") > 50),
+                        1,
+                    )
+                ).alias("n_failed")
+            ),
+        ),
+        report(
+            "customer_segment_domain",
+            cust.agg(F.count(F.lit(1)).alias("n_checked")),
+            cust.agg(
+                F.count(
+                    F.when(
+                        F.col("c_mktsegment").isNull()
+                        | ~F.col("c_mktsegment").isin(
+                            "MACHINERY",
+                            "BUILDING",
+                            "FURNITURE",
+                            "AUTOMOBILE",
+                            "HOUSEHOLD",
+                        ),
+                        1,
+                    )
+                ).alias("n_failed")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
