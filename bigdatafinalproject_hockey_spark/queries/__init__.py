@@ -75,6 +75,7 @@ _VERIFY_FIRST = [
     "stream_scd2_cdc",
     "ts_gapfill",
     "dq_expectations",
+    "graph_pagerank",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     "text_tfidf_top_terms",
     "dedup_segments",
     "text_pii_scrub",
-    "pipeline_training_mix",
     "dedup_exact",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;
@@ -123,9 +123,9 @@ _VERIFY_FIRST = [
 # text_repetition_score, text_top_tokens, text_quality_score,
 # pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
-# agg_corr_stats, sink_parquet_compacted (displaced from this window
-# by the thirteen late-round-4 queries). Everything else is ≤1 round
-# old after r4.
+# agg_corr_stats, sink_parquet_compacted, pipeline_training_mix
+# (displaced from this window by the fourteen late-round-4 queries).
+# Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -798,3 +798,89 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    outdeg AS (SELECT s1, COUNT(*) AS d FROM edges GROUP BY s1),
+    r0 AS (SELECT s_suppkey AS node, CAST(1000000 AS BIGINT) AS r
+           FROM supplier)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (
+      SELECT e.s2 AS node, SUM(r.r // o.d) AS c
+      FROM edges e
+      JOIN r{i - 1} r ON e.s1 = r.node
+      JOIN outdeg o ON e.s1 = o.s1
+      GROUP BY e.s2
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (850 * COALESCE(c.c, 0)) // 1000 AS BIGINT) AS r
+      FROM r0 n LEFT JOIN c{i} c ON n.node = c.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS s_suppkey, r AS rank_units FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_sql(3))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the supplier co-purchase
+    graph — the iterative-algorithm tier beyond connected components
+    (dedup_components): edges are distinct supplier pairs sharing an
+    order, and three power-iteration steps run ENTIRELY as joins +
+    aggregates (contribution = rank DIV out-degree summed over
+    in-edges; damping in integer micro-units: 0.15·1e6 + 850·c DIV
+    1000). Every operation is exact int64 arithmetic, so unlike
+    float PageRank the result is bit-identical regardless of
+    partitioning, addition order, or engine — which is what lets a
+    3-step unrolled SQL oracle pin it.
+
+    Scale shape: per iteration one join keyed on the edge source and
+    one aggregate keyed on the destination — the standard Pregel-as-
+    dataflow layout; edges co-partition by source across iterations
+    (at 100 TB: bucketed edge table, plus localCheckpoint every few
+    steps to truncate lineage, as dedup/components.py does)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("s1").agg(F.count(F.lit(1)).alias("d"))
+    edges_d = edges.join(outdeg, "s1")
+    nodes = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("node")
+    )
+    r = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(3):
+        contrib = (
+            edges_d.join(r, edges_d.s1 == r.node)
+            .select(F.col("s2").alias("node"), F.expr("r div d").alias("con"))
+            .groupBy("node")
+            .agg(F.sum("con").alias("c"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(150_000)
+                + F.expr("850 * coalesce(c, 0) div 1000")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return r.select(F.col("node").alias("s_suppkey"), F.col("r").alias("rank_units"))
