@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "ts_gapfill",
     "dq_expectations",
     "graph_pagerank",
+    "join_null_safe",
+    "scan_csv_quarantine",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -98,10 +100,8 @@ _VERIFY_FIRST = [
     "split_temporal",
     "split_hash",
     "text_unigram_logprob",
-    "text_bigram_logprob",
     "text_contamination",
     "text_tfidf_top_terms",
-    "dedup_segments",
     "text_pii_scrub",
     "dedup_exact",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
@@ -123,9 +123,10 @@ _VERIFY_FIRST = [
 # text_repetition_score, text_top_tokens, text_quality_score,
 # pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
-# agg_corr_stats, sink_parquet_compacted, pipeline_training_mix
-# (displaced from this window by the fourteen late-round-4 queries).
-# Everything else is ≤1 round old after r4.
+# agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
+# dedup_segments, text_bigram_logprob (displaced from this window by
+# the sixteen late-round-4 queries). Everything else is ≤1 round old
+# after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -588,3 +588,89 @@ def q_ml_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
     )
+
+
+@register(
+    "scan_csv_quarantine",
+    oracle=f"""
+    SELECT o_orderstatus AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_QUARANTINED', 7, 0
+    """,
+)
+def q_scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine ingest — the robustness pattern a
+    100 TB CSV/JSONL backfill cannot live without: the scan runs in
+    PERMISSIVE mode with columnNameOfCorruptRecord, so broken lines
+    (wrong arity, unparseable numerics) land in a corrupt-record
+    column instead of killing the job or silently vanishing
+    (FAILFAST/DROPMALFORMED). Good rows aggregate normally; corrupt
+    rows are counted into a '_QUARANTINED' bucket — in production
+    they'd be sunk to a quarantine table for replay after the
+    upstream fix. The fixture: orders written to CSV by the engine
+    itself plus a bad-lines file appended beside it (7 garbage rows);
+    the oracle knows the clean aggregate and the injected count."""
+    import shutil
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    path = os.path.join(TMP_DIR, f"csv_quarantine_{tag}")
+    marker = os.path.join(path, "_bad_lines_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .option("header", "false")
+            .csv(path)
+        )
+        with open(os.path.join(path, "bad.csv"), "w") as fh:
+            for i in range(7):
+                fh.write(f"garbage-line-{i},not;a,valid,row,{i},,\n")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # Spark refuses a query that references ONLY the corrupt column of
+    # a raw CSV scan (internal-only columns must be materialized
+    # first); the parse lands in parquet once — which is also where a
+    # real quarantine table would live for post-fix replay.
+    parsed_path = os.path.join(TMP_DIR, f"csv_quarantine_parsed_{tag}")
+    parsed.write.mode("overwrite").parquet(parsed_path)
+    df = spark.read.parquet(parsed_path)
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    report_good = good.groupBy(F.col("o_orderstatus").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents_expr(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    report_bad = bad.agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).select(
+        F.lit("_QUARANTINED").alias("bucket"),
+        "n_rows",
+        F.lit(0).cast("long").alias("total_cents"),
+    )
+    return report_good.unionByName(report_bad)

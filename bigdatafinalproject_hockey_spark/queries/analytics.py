@@ -884,3 +884,55 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("r"),
         )
     return r.select(F.col("node").alias("s_suppkey"), F.col("r").alias("rank_units"))
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders
+    ),
+    r AS (
+      SELECT CASE WHEN c_custkey % 53 = 0 THEN NULL ELSE c_custkey END AS k,
+             c_mktsegment
+      FROM customer
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(CASE WHEN l.k IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_null_key,
+           COUNT(*) AS n_matches
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1, 2
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    variant ETL hits whenever keys are nullable: standard equality
+    silently DROPS null-keyed rows (NULL = NULL is NULL), while the
+    null-safe form matches them. Spark plans eqNullSafe as a regular
+    hash join on a null-coalesced key, so it stays a single shuffle —
+    but note the scale trap the docstring exists to teach: all
+    null-keyed rows share ONE join key, so a null-heavy table makes
+    this the ultimate skew key (salt it, or split nulls out and union,
+    exactly as operators/joins.join_salted would)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    left = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    right = cust.select(
+        F.when(F.col("c_custkey") % 53 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("rk"),
+        "c_mktsegment",
+    )
+    joined = left.join(right, left.k.eqNullSafe(right.rk))
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("k").isNull().cast("long").alias("is_null_key"),
+    ).agg(F.count(F.lit(1)).alias("n_matches"))
