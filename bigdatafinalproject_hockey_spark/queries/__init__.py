@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "graph_pagerank",
     "join_null_safe",
     "scan_csv_quarantine",
+    "sim_hybrid_rrf",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -101,7 +102,6 @@ _VERIFY_FIRST = [
     "split_hash",
     "text_unigram_logprob",
     "text_contamination",
-    "text_tfidf_top_terms",
     "text_pii_scrub",
     "dedup_exact",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
@@ -124,9 +124,9 @@ _VERIFY_FIRST = [
 # pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
-# dedup_segments, text_bigram_logprob (displaced from this window by
-# the sixteen late-round-4 queries). Everything else is ≤1 round old
-# after r4.
+# dedup_segments, text_bigram_logprob, text_tfidf_top_terms (displaced
+# from this window by the seventeen late-round-4 queries). Everything
+# else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -1031,3 +1031,121 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_norm_sq"),
         "scale_max",
     )
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    dense_all AS (
+      SELECT query_id, c.vec_id AS doc_id,
+             ROUND(list_dot_product(qemb, c.emb) /
+                   (sqrt(list_dot_product(qemb, qemb)) *
+                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+      FROM q JOIN e c ON c.vec_id <> query_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, doc_id) AS rnk
+        FROM dense_all
+      ) WHERE rnk <= 20
+    ),
+    tk AS (
+      SELECT doc_id,
+             unnest(list_distinct({_SQL_TOKS.format(c="text")})) AS token
+      FROM documents
+    ),
+    qtk AS (SELECT doc_id AS query_id, token FROM tk WHERE doc_id < 20),
+    ov AS (
+      SELECT q.query_id, t.doc_id, COUNT(*) AS n
+      FROM qtk q JOIN tk t USING (token)
+      WHERE t.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    sparse AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY n DESC, doc_id) AS rnk
+        FROM ov
+      ) WHERE rnk <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+             COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             CAST(COALESCE(1000000000 // (60 + d.rnk), 0)
+                  + COALESCE(1000000000 // (60 + s.rnk), 0) AS BIGINT)
+                 AS score_units
+      FROM dense d FULL OUTER JOIN sparse s
+        ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, score_units, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_units DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the
+    dense+sparse fusion every modern RAG/search stack runs: ranking A
+    is embedding-cosine top-20 (brute force here; sim_ann_ivf/_lsh are
+    the scale path), ranking B is distinct-token overlap top-20 (the
+    BM25 stand-in, an inverted-index join — never all-pairs text
+    comparison), and RRF k=60 fuses them with INTEGER scores
+    (1e9 div (60+rank)), so fusion is bit-exact across engines.
+    Missing-from-one-list contributes 0 — the full-outer join IS the
+    fusion semantics.
+
+    Scale: the query side broadcasts in both rankings; the sparse leg
+    shuffles (token → postings) exactly like text_top_tokens; fusion
+    moves only 2×20 rows per query."""
+    from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+    from bigdatafinalproject_hockey_spark.operators.windows import (
+        topk_per_group,
+    )
+    from bigdatafinalproject_hockey_spark.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    dense = brute_force_cosine_topk(emb, queries, k=20).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("rnk_d"),
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("token"),
+    )
+    qtk = tk.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    ov = (
+        tk.join(F.broadcast(qtk), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sparse = topk_per_group(
+        ov, ["query_id"], [F.col("n").desc(), F.col("doc_id")], 20
+    ).select("query_id", "doc_id", F.col("rnk").alias("rnk_s"))
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + rnk_d)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + rnk_s)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("score_units"),
+    )
+    top = topk_per_group(
+        fused, ["query_id"], [F.col("score_units").desc(), F.col("doc_id")], 5
+    )
+    return top.select(
+        "query_id", "doc_id", "score_units", F.col("rnk").cast("long").alias("rnk")
+    )
