@@ -152,3 +152,53 @@ def extract_features_batched(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(_extract, schema=out_schema)
+
+
+PHASH_BITS = 60  # signed-int64-safe (bit 63 never set → no sign games)
+
+
+def phash_batched(df: DataFrame) -> DataFrame:
+    """Perceptual-hash fingerprints over binary payloads via
+    mapInPandas — the multimodal twin of dedup_simhash: a 60-bit
+    block-luminance hash (bit k = 1 iff block k's mean byte value
+    exceeds the payload mean; blocks assigned by p*60//n so the
+    partition is identical at any length) computed Arrow-batch-wise
+    with numpy, no per-row Python. The arithmetic is pure integers
+    (cross-multiplied means, no division), so fingerprints are
+    byte-exact reproducible — which is what lets near-dup banding,
+    incremental ingest gates, and the DuckDB oracle all agree. A real
+    pHash (DCT over decoded pixels) slots into ``_hash_one`` behind
+    the same contract; the fake operates on raw bytes because the
+    fixture payloads are text (see decode_stub).
+
+    Output: doc_id, phash (long).
+    """
+    import numpy as np
+
+    out_schema = "doc_id long, phash long"
+
+    def _hash_one(b: bytes) -> int:
+        n = len(b)
+        if n == 0:
+            return 0
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        total = int(arr.sum())
+        ks = (np.arange(n, dtype=np.int64) * PHASH_BITS) // n
+        sums = np.bincount(ks, weights=arr, minlength=PHASH_BITS).astype(np.int64)
+        cnts = np.bincount(ks, minlength=PHASH_BITS).astype(np.int64)
+        bits = sums * n > total * cnts
+        return int(sum(1 << k for k in range(PHASH_BITS) if bits[k]))
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(
+                        [_hash_one(bytes(m)) for m in pdf["media"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=out_schema)

@@ -79,6 +79,8 @@ _VERIFY_FIRST = [
     "join_null_safe",
     "scan_csv_quarantine",
     "sim_hybrid_rrf",
+    "events_markov_transitions",
+    "multimodal_phash_dedup",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -95,8 +97,6 @@ _VERIFY_FIRST = [
     # (c) earliest r2 greens in their CORRECTNESS_r02 order — oldest
     # still-standing rows first (the r2 greens re-earned in r3 and the
     # r3 greens are current and stay out of the window)
-    "topk_global",
-    "union_all",
     "sample_by_key",
     "split_temporal",
     "split_hash",
@@ -124,9 +124,9 @@ _VERIFY_FIRST = [
 # pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
-# dedup_segments, text_bigram_logprob, text_tfidf_top_terms (displaced
-# from this window by the seventeen late-round-4 queries). Everything
-# else is ≤1 round old after r4.
+# dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
+# topk_global, union_all (displaced from this window by the nineteen
+# late-round-4 queries). Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -936,3 +936,54 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("k").isNull().cast("long").alias("is_null_key"),
     ).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+               AS p_next
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-analytics staple (what follows what,
+    and with which probability): one lag window per user ordered by
+    (ts, event_id) (the same deterministic-ordering discipline as the
+    reference's windows, code/experiment.py:416-429), then a grouped
+    count and a per-source-state normalization via a second, tiny
+    window over the 5×5 aggregate — NOT over the event stream.
+    Transition counts are exact integers; each probability is one IEEE
+    division of exact integers, so rows are bit-identical across
+    engines. Shuffle budget: the user window + the pair aggregate;
+    the normalizing window runs on ≤25 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wn)
+        ).alias("p_next"),
+    )

@@ -1149,3 +1149,60 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "query_id", "doc_id", "score_units", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n, ord(substr(text, i + 1, 1)) AS v,
+             (i * 60) // n AS k
+      FROM b, unnest(range(0, n)) AS t(i)
+      WHERE n > 0
+    ),
+    blocks AS (
+      SELECT doc_id, n, k, SUM(v) AS s, COUNT(*) AS c,
+             SUM(SUM(v)) OVER (PARTITION BY doc_id) AS total
+      FROM bytes GROUP BY doc_id, n, k
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(CASE WHEN s * n > total * c
+                  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+                 AS phash
+      FROM blocks GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, CAST(0 AS BIGINT) FROM b WHERE n = 0
+    )
+    SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS n_same
+    FROM ph
+    """,
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over MEDIA payloads — the multimodal twin
+    of the text dedup tier: binary payloads get a 60-bit
+    block-luminance fingerprint via Arrow-batched mapInPandas
+    (multimodal.phash_batched — integer-exact, numpy per batch, no
+    per-row Python), then identical-fingerprint clusters surface via
+    one count-over-fingerprint window. At 100 TB the fingerprint
+    column (8 bytes) is what shuffles, never the payloads — the same
+    never-shuffle-the-binary discipline as the rest of the multimodal
+    tier — and Hamming-banded NEAR-dup pairs reuse dedup/simhash.py's
+    pigeonhole machinery unchanged (same 64-bit-fingerprint shape).
+    A real DCT pHash over decoded pixels slots into _hash_one behind
+    the identical contract."""
+    from pyspark.sql import Window
+
+    from bigdatafinalproject_hockey_spark.multimodal import phash_batched
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    ph = phash_batched(media.select("doc_id", "media"))
+    w = Window.partitionBy("phash")
+    return ph.select(
+        "doc_id", "phash", F.count(F.lit(1)).over(w).alias("n_same")
+    )

@@ -838,3 +838,38 @@ def test_stream_scd2_cdc_rerun_is_idempotent(spark):
     b = {tuple(r) for r in q_stream_scd2_cdc(spark, sf).collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_phash_integer_spec(spark):
+    """phash_batched must match the pure-Python spec (blocks by
+    p*60//n, cross-multiplied means) — including the empty payload and
+    the shorter-than-60-bytes path where block indices skip."""
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        attach_binary_payload,
+        phash_batched,
+    )
+
+    rows = [(1, "abcabcabcXYZ" * 20), (2, "abc"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = attach_binary_payload(df, "text", "doc_id")
+    got = {r.doc_id: r.phash for r in phash_batched(
+        media.select("doc_id", "media")).collect()}
+
+    def spec(s: str) -> int:
+        b = s.encode()
+        n = len(b)
+        if n == 0:
+            return 0
+        total = sum(b)
+        sums = [0] * 60
+        cnts = [0] * 60
+        for p, v in enumerate(b):
+            k = (p * 60) // n
+            sums[k] += v
+            cnts[k] += 1
+        return sum(
+            1 << k for k in range(60) if sums[k] * n > total * cnts[k]
+        )
+
+    for doc_id, text in rows:
+        assert got[doc_id] == spec(text), doc_id
