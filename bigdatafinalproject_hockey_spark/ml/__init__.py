@@ -260,3 +260,78 @@ def feature_importances_topk(model, feature_cols: list[str], k: int = 10):
     imp = model.stages[-1].featureImportances.toArray()
     ranked = sorted(zip(imp, feature_cols), reverse=True)
     return ranked[:k]
+
+
+def evaluate_binary_grouped(
+    predictions: DataFrame,
+    group_col: str,
+    label_col: str = "label",
+    prediction_col: str = "prediction",
+    score_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-GROUP twin of ``evaluate_binary_df`` — one row of the full
+    evaluation surface per value of ``group_col`` (cross-validation
+    folds, per-segment/per-language model monitoring), still a single
+    aggregation job: the confusion cells group by the key, and the
+    midrank windows partition by it, so every fold's tie-aware
+    rank-sum AUC computes in the same pass. Same fp discipline as the
+    ungrouped twin (integer cells, one division per metric, round at
+    the end)."""
+    lbl, prd = F.col(label_col), F.col(prediction_col)
+    df = predictions
+    aggs = [
+        F.count(F.lit(1)).alias("n_test"),
+        F.count(F.when(lbl == 1, 1)).alias("_npos"),
+        F.count(F.when((prd == 1) & (lbl == 1), 1)).alias("tp"),
+        F.count(F.when((prd == 0) & (lbl == 0), 1)).alias("tn"),
+        F.count(F.when((prd == 1) & (lbl == 0), 1)).alias("fp"),
+        F.count(F.when((prd == 0) & (lbl == 1), 1)).alias("fn"),
+    ]
+    if score_col is not None:
+        midrank = (
+            F.rank().over(Window.partitionBy(group_col).orderBy(score_col))
+            + (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(group_col, score_col)
+                )
+                - F.lit(1)
+            )
+            / F.lit(2.0)
+        )
+        df = df.withColumn("_midrank", midrank)
+        aggs.append(
+            F.sum(F.when(lbl == 1, F.col("_midrank"))).alias("_pos_ranksum")
+        )
+    cells = df.groupBy(group_col).agg(*aggs)
+
+    n = F.col("n_test")
+    npos, tp, tn, fp, fn = (
+        F.col("_npos"), F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
+    )
+    nneg = n - npos
+    rnd = lambda c: F.round(c, round_dp)  # noqa: E731
+    metrics = [
+        F.col(group_col),
+        n.alias("n_test"),
+        tp.alias("tp"), tn.alias("tn"), fp.alias("fp"), fn.alias("fn"),
+        rnd((tp + tn) / n).alias("accuracy"),
+        F.when(tp + fp == 0, F.lit(0.0))
+        .otherwise(rnd(tp / (tp + fp))).alias("precision"),
+        F.when(tp + fn == 0, F.lit(0.0))
+        .otherwise(rnd(tp / (tp + fn))).alias("recall"),
+        F.when(2 * tp + fp + fn == 0, F.lit(0.0))
+        .otherwise(rnd(2 * tp / (2 * tp + fp + fn))).alias("f1"),
+    ]
+    if score_col is not None:
+        metrics.append(
+            F.when((npos == 0) | (npos == n), F.lit(0.5))
+            .otherwise(
+                rnd(
+                    (F.col("_pos_ranksum") - npos * (npos + 1) / F.lit(2.0))
+                    / (npos * nneg)
+                )
+            )
+            .alias("auc")
+        )
+    return cells.select(*metrics)

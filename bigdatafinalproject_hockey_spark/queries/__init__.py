@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "sim_hybrid_rrf",
     "events_markov_transitions",
     "multimodal_phash_dedup",
+    "ml_eval_kfold",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -101,7 +102,6 @@ _VERIFY_FIRST = [
     "split_temporal",
     "split_hash",
     "text_unigram_logprob",
-    "text_contamination",
     "text_pii_scrub",
     "dedup_exact",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
@@ -125,8 +125,9 @@ _VERIFY_FIRST = [
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
 # dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
-# topk_global, union_all (displaced from this window by the nineteen
-# late-round-4 queries). Everything else is ≤1 round old after r4.
+# topk_global, union_all, text_contamination (displaced from this
+# window by the twenty late-round-4 queries). Everything else is
+# ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -674,3 +674,95 @@ def q_scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("total_cents"),
     )
     return report_good.unionByName(report_bad)
+
+
+@register(
+    "ml_eval_kfold",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS f_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS f_cents,
+             COUNT(*) AS f_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    scored AS (
+      SELECT o_orderkey % 5 AS fold,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS label,
+             2.0 * (f_cents % 500) + f_qty - 3.0 * f_lines AS score
+      FROM orders JOIN per_order ON o_orderkey = l_orderkey
+    ),
+    ranked AS (
+      SELECT fold, label,
+             CASE WHEN score > 600.0 THEN 1 ELSE 0 END AS prediction,
+             RANK() OVER (PARTITION BY fold ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY fold, score) - 1) / 2.0
+                 AS midrank
+      FROM scored
+    ),
+    cells AS (
+      SELECT fold,
+             COUNT(*) AS n_test,
+             COUNT(CASE WHEN label = 1 THEN 1 END) AS npos,
+             COUNT(CASE WHEN prediction = 1 AND label = 1 THEN 1 END) AS tp,
+             COUNT(CASE WHEN prediction = 0 AND label = 0 THEN 1 END) AS tn,
+             COUNT(CASE WHEN prediction = 1 AND label = 0 THEN 1 END) AS fp,
+             COUNT(CASE WHEN prediction = 0 AND label = 1 THEN 1 END) AS fn,
+             SUM(CASE WHEN label = 1 THEN midrank END) AS pos_ranksum
+      FROM ranked GROUP BY fold
+    )
+    SELECT fold, n_test, tp, tn, fp, fn,
+           ROUND((tp + tn) / n_test, 6) AS accuracy,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fp), 6) END AS "precision",
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1,
+           CASE WHEN npos = 0 OR npos = n_test THEN 0.5
+                ELSE ROUND((pos_ranksum - npos * (npos + 1) / 2.0)
+                           / (npos * (n_test - npos)), 6)
+           END AS auc
+    FROM cells
+    """,
+)
+def q_ml_eval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold evaluation of the deterministic closed-form predictor —
+    the cross-validation companion to ml_eval_deterministic: rows hash
+    into 5 folds (o_orderkey % 5 — the portable stand-in for the
+    md5-bucket split_hash discipline), and ml.evaluate_binary_grouped
+    computes the FULL per-fold evaluation surface (confusion cells +
+    accuracy/precision/recall/F1 + tie-aware rank-sum AUC) in ONE
+    grouped aggregation with fold-partitioned midrank windows — k
+    folds never mean k jobs. With a real learner the per-fold model
+    would retrain on the other folds (non-deterministic across
+    engines, which is exactly why the fixed linear rule stands in;
+    reference evaluation surface: code/experiment.py:617-688)."""
+    from bigdatafinalproject_hockey_spark.ml import evaluate_binary_grouped
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.sum(cents_expr(F.col("l_extendedprice"))).alias("f_cents"),
+        F.count(F.lit(1)).alias("f_lines"),
+    )
+    scored = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .select(
+            (F.col("o_orderkey") % 5).alias("fold"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("label"),
+            (
+                F.lit(2.0) * (F.col("f_cents") % 500)
+                + F.col("f_qty")
+                - F.lit(3.0) * F.col("f_lines")
+            ).alias("score"),
+        )
+        .withColumn(
+            "prediction", F.when(F.col("score") > 600.0, 1).otherwise(0)
+        )
+    )
+    return evaluate_binary_grouped(scored, "fold", score_col="score")
