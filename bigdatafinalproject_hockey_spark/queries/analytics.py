@@ -987,3 +987,40 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wn)
         ).alias("p_next"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           median(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med_cents
+    FROM events
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact MEDIAN over a 7-row trailing frame per user — the
+    order-statistic window the avg/sum family can't substitute for
+    (robust to value spikes; the anomaly-detection smoother). Runs as
+    `percentile(…, 0.5)` OVER the frame: Catalyst re-sorts the frame's
+    values per row, so cost is O(frame log frame) per row — fine for
+    small frames; for wide frames at 100 TB switch to approx
+    (agg_approx's GK sketch) or a two-heap custom stateful op. Median
+    of INTEGER cents: the only fractional case is the even-count
+    midpoint (a+b)/2, exact in doubles, so Spark and DuckDB agree
+    bit-for-bit with no rounding step. Deterministic frame order via
+    the (ts, event_id) tiebreak, as everywhere."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(CAST(ROUND(value*100) AS BIGINT), 0.5)")
+        .over(w)
+        .alias("med_cents"),
+    )
