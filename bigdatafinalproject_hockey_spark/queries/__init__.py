@@ -83,6 +83,7 @@ _VERIFY_FIRST = [
     "multimodal_phash_dedup",
     "ml_eval_kfold",
     "win_rolling_median",
+    "stream_late_data_accounting",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -99,7 +100,6 @@ _VERIFY_FIRST = [
     # (c) earliest r2 greens in their CORRECTNESS_r02 order — oldest
     # still-standing rows first (the r2 greens re-earned in r3 and the
     # r3 greens are current and stay out of the window)
-    "sample_by_key",
     "split_temporal",
     "text_unigram_logprob",
     "text_pii_scrub",
@@ -125,9 +125,9 @@ _VERIFY_FIRST = [
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
 # dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
-# topk_global, union_all, text_contamination, split_hash (displaced
-# from this window by the twenty-one late-round-4 queries).
-# Everything else is ≤1 round old after r4.
+# topk_global, union_all, text_contamination, split_hash,
+# sample_by_key (displaced from this window by the twenty-two
+# late-round-4 queries). Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -766,3 +766,97 @@ def q_ml_eval_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return evaluate_binary_grouped(scored, "fold", score_col="score")
+
+
+@register(
+    "stream_late_data_accounting",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS VARCHAR) AS key,
+           event_type,
+           COUNT(*) AS n
+    FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'late', 'dropped_by_watermark', COUNT(*)
+    FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+    """,
+)
+def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting for a streaming windowed aggregate — the
+    observability contract Spark does not provide natively (measured
+    on this shape: watermarked aggregation folds late rows into their
+    windows in update AND append mode, numRowsDroppedByWatermark 0 —
+    late data simply vanishes into restated aggregates). The engine
+    therefore implements the Flink-style late SIDE OUTPUT itself
+    (streaming.late_side_output_agg): the event table is split into an
+    on-time file (ts >= Jan 11, containing the stream's max
+    timestamps) and a late file (ts < Jan 11), staged to replay
+    on-time-first (mtime order, maxFilesPerTrigger=1); after batch 1
+    the running watermark stands at max(ts) - 1 h, so batch 2's rows
+    are all older than it and divert to the late ledger instead of
+    restating closed windows. Output: the per-(day, type) on-time
+    aggregate plus one ledger row — in production the alert threshold
+    (late/total > eps -> upstream lag investigation). Both halves have
+    closed forms the oracle states directly."""
+    import glob as _glob
+    import shutil
+
+    from bigdatafinalproject_hockey_spark.streaming import (
+        late_side_output_agg,
+    )
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    stage = os.path.join(TMP_DIR, f"late_acct_src_{tag}")
+    marker = os.path.join(stage, "_staged")
+    cutoff = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        ev = load_table(spark, "events", sf_dir)
+        for fname, part_df, mt in (
+            ("ontime.parquet", ev.filter(F.col("ts") >= cutoff), 1_000_000_000),
+            ("late.parquet", ev.filter(F.col("ts") < cutoff), 1_000_000_100),
+        ):
+            tmp = os.path.join(TMP_DIR, f"late_acct_tmp_{tag}")
+            part_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(stage, fname)
+            shutil.copy(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            os.utime(dst, (mt, mt))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        os.utime(marker, (1_000_000_200, 1_000_000_200))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store, n_late = late_side_output_agg(
+        spark,
+        stream,
+        store_path=os.path.join(TMP_DIR, f"late_acct_store_{tag}"),
+        watermark_delay_seconds=3600,
+    )
+    windows = store.select(
+        F.col("window_start").cast("string").alias("key"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+    late_row = spark.createDataFrame(
+        [("late", "dropped_by_watermark", n_late)],
+        "key string, event_type string, n long",
+    )
+    return windows.unionByName(late_row)
