@@ -70,6 +70,10 @@ HEADLINE = [
     "scan_files_pruned",    # manifest file skipping (ingest amortized)
     "embedding_quantize",   # int8 vector compression (pure map)
     "pipeline_incremental_curation",  # composed ingest-day-N flow
+    "ts_gapfill",           # densify + forward-fill (all user-keyed)
+    "graph_pagerank",       # iterative joins+aggs (Pregel-as-dataflow)
+    "sim_hybrid_rrf",       # dense+sparse fusion (RAG retrieval shape)
+    "win_rolling_median",   # order-statistic window
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents

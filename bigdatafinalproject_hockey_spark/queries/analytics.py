@@ -862,6 +862,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("s1").agg(F.count(F.lit(1)).alias("d"))
+    # the edge subtree appears once per iteration in the DAG; measured
+    # at sf0.1 (1M+ edges, 3 iterations) an explicit localCheckpoint
+    # of the edge list is a wash (4.5 s vs 4.9 s, within run noise) —
+    # the iterations' join+aggregate work dominates, not the rebuild.
+    # In a real deployment the edge table is INGESTED once (bucketed
+    # on s1, operators/bucketing) rather than derived per query, and
+    # deep iteration counts checkpoint every ~10 steps to truncate
+    # lineage as dedup/components.py does.
     edges_d = edges.join(outdeg, "s1")
     nodes = load_table(spark, "supplier", sf_dir).select(
         F.col("s_suppkey").alias("node")
