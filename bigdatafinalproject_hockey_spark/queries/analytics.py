@@ -1032,3 +1032,84 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("med_cents"),
     )
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+    per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT ref_date FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary_cents,
+           NTILE(4) OVER (ORDER BY recency_days DESC, c_custkey) AS r_score,
+           NTILE(4) OVER (ORDER BY frequency, c_custkey) AS f_score,
+           NTILE(4) OVER (ORDER BY monetary_cents, c_custkey) AS m_score,
+           'R' || CAST(NTILE(4) OVER (ORDER BY recency_days DESC, c_custkey)
+                       AS VARCHAR)
+           || 'F' || CAST(NTILE(4) OVER (ORDER BY frequency, c_custkey)
+                          AS VARCHAR)
+           || 'M' || CAST(NTILE(4) OVER (ORDER BY monetary_cents, c_custkey)
+                          AS VARCHAR) AS segment
+    FROM per_cust
+    """,
+)
+def q_analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing-analytics
+    composite: per customer, Recency (days since last order, against
+    the corpus max date), Frequency (order count), Monetary
+    (fixed-point revenue), each scored into quartiles via NTILE(4)
+    with a unique-key tiebreak so bucket boundaries are deterministic
+    (4 = most recent / most frequent / highest spend), concatenated
+    into the 'R4F4M4'-style segment label. Shuffle shape: one grouped
+    aggregate over orders, then three global NTILE windows — but over
+    the PER-CUSTOMER aggregate (|customers| rows), never the order
+    stream; at true scale swap exact ntile for percentile_approx
+    thresholds to avoid the single-partition sort, or bucket by
+    pre-computed quantile boundaries (agg_quantile_report)."""
+    orders = load_table(spark, "orders", sf_dir)
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "c_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("c_custkey"))
+    )
+    f = F.ntile(4).over(Window.orderBy("frequency", "c_custkey"))
+    m = F.ntile(4).over(Window.orderBy("monetary_cents", "c_custkey"))
+    return per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            F.lit("R"), r.cast("string"),
+            F.lit("F"), f.cast("string"),
+            F.lit("M"), m.cast("string"),
+        ).alias("segment"),
+    )
