@@ -873,3 +873,20 @@ def test_phash_integer_spec(spark):
 
     for doc_id, text in rows:
         assert got[doc_id] == spec(text), doc_id
+
+
+def test_late_side_output_rerun_is_idempotent(spark):
+    """Re-running the late-accounting replay (fresh checkpoint,
+    existing staged files) must produce the identical window store and
+    late-ledger count — the backfill/restart scenario for the
+    foreachBatch watermark operator."""
+    from bigdatafinalproject_hockey_spark.queries.advanced import (
+        q_stream_late_data_accounting,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in q_stream_late_data_accounting(spark, sf).collect()}
+    b = {tuple(r) for r in q_stream_late_data_accounting(spark, sf).collect()}
+    assert a == b
+    late = [r for r in a if r[0] == "late"]
+    assert len(late) == 1 and late[0][2] > 0
