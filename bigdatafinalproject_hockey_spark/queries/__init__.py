@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "win_rolling_median",
     "stream_late_data_accounting",
     "analytics_rfm_segments",
+    "analytics_basket_lift",
     # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
     # their rows are two rounds old
     "agg_count_filter",
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     # still-standing rows first (the r2 greens re-earned in r3 and the
     # r3 greens are current and stay out of the window)
     "split_temporal",
-    "text_pii_scrub",
     "dedup_exact",
     # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
     # item 4): these four have never been executed by the driver;
@@ -126,9 +126,9 @@ _VERIFY_FIRST = [
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
 # dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
 # topk_global, union_all, text_contamination, split_hash,
-# sample_by_key, text_unigram_logprob (displaced from this window by
-# the twenty-three late-round-4 queries). Everything else is
-# ≤1 round old after r4.
+# sample_by_key, text_unigram_logprob, text_pii_scrub (displaced from
+# this window by the twenty-four late-round-4 queries). Everything
+# else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

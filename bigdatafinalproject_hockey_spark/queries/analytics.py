@@ -1113,3 +1113,76 @@ def q_analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("M"), m.cast("string"),
         ).alias("segment"),
     )
+
+
+@register(
+    "analytics_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support,
+           CAST(support * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN cnt ca ON part_a = ca.l_partkey
+    JOIN cnt cb ON part_b = cb.l_partkey
+    CROSS JOIN n
+    WHERE support >= 3
+    """,
+)
+def q_analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining — co-purchased part pairs with
+    LIFT = P(a,b) / (P(a)·P(b)), the association-rule screen behind
+    recommendations: baskets collapse to DISTINCT (order, part) rows
+    first, the pair self-join stays blocked by the order key (pairs
+    per order ~ lines², never corpus-quadratic), and per-item counts
+    broadcast back onto the surviving pairs. The min-support filter
+    prunes the long tail BEFORE the stats joins (the a-priori
+    principle). lift is one IEEE division of exact integer
+    cross-products, so rows hash bit-identically; at 100 TB the
+    (order, part) item table is the thing to bucket on order —
+    every stage then rides the bucket layout."""
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
