@@ -127,8 +127,12 @@ _VERIFY_FIRST = [
 # dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
 # topk_global, union_all, text_contamination, split_hash,
 # sample_by_key, text_unigram_logprob, text_pii_scrub (displaced from
-# this window by the twenty-four late-round-4 queries). Everything
-# else is ≤1 round old after r4.
+# this window by the twenty-four late-round-4 queries). ALSO never
+# driver-verified: the six round-4c queries added after the window was
+# frozen (events_attribution, ts_downsample, agg_histogram,
+# analytics_promo_share, events_anomaly_mad, stream_stream_left_outer)
+# — oracle-green locally via tests/test_oracle_parity.py; front-load
+# them in round 5. Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -1186,3 +1186,382 @@ def q_analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS) OVER w AS raw_touch_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w AS raw_touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id,
+           user_id,
+           ts AS purchase_ts,
+           CASE WHEN touch_ts >= ts - INTERVAL 3 DAY
+                THEN raw_touch_id END AS touch_id,
+           CASE WHEN touch_ts >= ts - INTERVAL 3 DAY
+                THEN raw_touch_type END AS touch_type,
+           CASE WHEN touch_ts >= ts - INTERVAL 3 DAY
+                THEN touch_ts END AS touch_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM seq
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent prior click/view within a 3-day lookback
+    (the conversion-attribution query every growth pipeline runs;
+    reference analogue: the leakage-free 'prior rows only' frame of
+    experiment.py:416-472's expanding features).
+
+    No join: one window per user carries the latest touch forward
+    (last ignorenulls over UNBOUNDED..1 PRECEDING — strictly-prior
+    rows, deterministic (ts, event_id) order), then the lookback is a
+    row-local predicate. Shuffle budget: ONE exchange on user_id; at
+    100 TB the events table is bucketed/partitioned by user so even
+    that collapses onto the layout. Contrast with the naive
+    purchases×touches interval self-join, whose state is quadratic in
+    touches-per-user."""
+    ev = load_table(spark, "events", sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def carry(col: str):
+        return F.last(F.when(is_touch, F.col(col)), ignorenulls=True).over(w)
+
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        carry("ts").alias("raw_touch_ts"),
+        carry("event_id").alias("raw_touch_id"),
+        carry("event_type").alias("raw_touch_type"),
+    )
+    in_window = F.col("raw_touch_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS")
+    return seq.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("raw_touch_id")).alias("touch_id"),
+        F.when(in_window, F.col("raw_touch_type")).alias("touch_type"),
+        F.when(in_window, F.col("raw_touch_ts")).alias("touch_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "ts_downsample",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM base
+    )
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM rn
+    GROUP BY user_id, day
+    """,
+)
+def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to per-(user, day) OHLC bars — the
+    resample/rollup primitive of every metrics store (TimescaleDB
+    continuous aggregates, kdb xbar). open/close are first/last by
+    deterministic (ts, event_id) order via two row_number windows
+    over the SAME partition keys (one exchange, two sorts), and the
+    final groupBy is on those same keys, so Catalyst reuses the
+    window's hash partitioning — ONE shuffle total, verified in the
+    plan. All measures are integer cents (order-independent sums)."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    rn = base.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return rn.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+_HIST_WIDTH = 25_000.0
+_HIST_BINS = 20
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin,
+           LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+                 {_HIST_BINS - 1}) * {_HIST_WIDTH} AS bin_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (the data-profiling
+    primitive behind every column-statistics pane): literal bin width
+    so the binning is a row-local expression — no pre-pass for
+    min/max, no shuffle beyond the ONE tiny aggregate (≤20 groups →
+    partial aggregation collapses almost everything map-side). Top
+    bin is open-ended via LEAST (outlier-safe). Money in fixed-point
+    cents."""
+    orders = load_table(spark, "orders", sf_dir)
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+        F.lit(_HIST_BINS - 1),
+    )
+    return (
+        orders.select(
+            bin_col.alias("bin"),
+            (bin_col * _HIST_WIDTH).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fixed_point_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "analytics_promo_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion-revenue share by ship month): a
+    fact⋈dim join feeding a two-branch conditional aggregate. The
+    part dim is broadcast (fact side never shuffles for the join) and
+    the aggregate groups on ~24 months, so partial aggregation
+    collapses the fact stream map-side — the whole query is ONE
+    pass over lineitem with no wide exchange. Revenue in integer
+    cents both branches; the promo/total ratio is left to the caller
+    (two exact integers beat one lossy double across engines)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"),
+            rev.alias("rev_cents"),
+            (F.col("p_type") == "PROMO").alias("is_promo"),
+        )
+        .groupBy("ship_month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev_cents")).otherwise(0)).alias(
+                "promo_cents"
+            ),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, median(cents) AS med_cents, COUNT(*) AS n
+      FROM base GROUP BY user_id
+    ),
+    dev AS (
+      SELECT b.user_id, b.event_id, b.cents, m.med_cents, m.n,
+             ABS(b.cents - m.med_cents) AS adev
+      FROM base b JOIN med m ON b.user_id = m.user_id
+    ),
+    mad AS (
+      SELECT user_id, median(adev) AS mad_cents
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.cents, d.med_cents, a.mad_cents
+    FROM dev d JOIN mad a ON d.user_id = a.user_id
+    WHERE d.n >= 8
+      AND d.adev > 5 * a.mad_cents
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection via median absolute deviation
+    (the MAD rule) — unlike z-scores (grouped_zscore), the median/MAD
+    fences don't move when the outlier itself inflates the group's
+    mean and stddev. Values are integer cents, so the exact medians
+    (Spark `percentile`, DuckDB `median` — both midpoint-interpolate
+    even counts) are bit-identical doubles.
+
+    Dataflow: agg(median) → join back → agg(MAD) → join back →
+    row-local fence — four keyed stages, EVERY one on user_id, so a
+    user-bucketed 100 TB layout runs the whole thing with zero
+    inter-stage exchange; both join-back sides arrive already hashed
+    on user_id and the small per-user stat tables broadcast at any
+    realistic user count."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = base.groupBy("user_id").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = base.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("n") >= 8) & (F.col("adev") > 5 * F.col("mad_cents")))
+        .select("user_id", "event_id", "cents", "med_cents", "mad_cents")
+    )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id,
+           COUNT(p.purchase_ts) AS n_purchases,
+           COALESCE({fixed_point_sum_sql("p.value")}, 0.0) AS purchased_value
+    FROM clicks c LEFT JOIN purch p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id, c.click_id
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the hard half of
+    streaming joins: unmatched clicks must still come out (conversion
+    analysis needs the non-converters), but an outer row can only be
+    emitted once the watermark PROVES no matching purchase can still
+    arrive, so Spark holds it in state until click_ts + 30 min falls
+    behind the global watermark. The time-bounded condition is what
+    makes that state finite.
+
+    On a finite replay the stream ends before the watermark passes the
+    youngest clicks, which would withhold a data-dependent suffix of
+    the outer rows — so the source appends a far-future flush batch
+    (read_events_stream_with_flush) that drives every watermark past
+    all real data, and the result equals the batch left-join oracle
+    EXACTLY. Inner matches stream out eagerly; only the null-padded
+    rows wait for the watermark."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        read_events_stream_with_flush,
+        run_stream_to_table,
+    )
+
+    stream = read_events_stream_with_flush(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purch = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purch,
+        F.expr(
+            """
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+        "leftOuter",
+    )
+    mat = run_stream_to_table(spark, joined, output_mode="append")
+    return (
+        mat.filter(F.col("c_user") >= 0)  # drop the flush sentinel
+        .groupBy(F.col("c_user").alias("user_id"), "click_id")
+        .agg(
+            F.count("purchase_ts").alias("n_purchases"),
+            F.coalesce(fixed_point_sum(F.col("value")), F.lit(0.0)).alias(
+                "purchased_value"
+            ),
+        )
+    )

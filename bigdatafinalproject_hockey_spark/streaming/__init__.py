@@ -707,3 +707,71 @@ def late_side_output_agg(
         q.stop()
     assert state["path"] is not None
     return spark.read.parquet(state["path"]), state["late"]
+
+
+def read_events_stream_with_flush(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events file-stream followed by a far-future FLUSH batch — two
+    sentinel rows (one per join side, ``user_id = -1``) dated
+    2035-01-01 that arrive as the LAST micro-batch and push every
+    watermark past all real data.
+
+    Why: outer stream-stream joins and append-mode windows only emit
+    a row once the watermark proves no future match can arrive. On an
+    unbounded stream that proof comes from later traffic; on a finite
+    replay the stream just ends, and rows younger than
+    ``max(ts) - delay`` would be withheld forever. The flush batch is
+    the finite-replay stand-in for "later traffic", making the
+    streaming result equal the batch oracle EXACTLY instead of up to
+    a data-dependent watermark boundary. Production kafka pipelines
+    do the same with idle-source heartbeats.
+
+    The sentinels carry ``user_id = -1`` (matches no real key) and are
+    filtered out AFTER materialization, not before the watermark
+    operator — a pre-watermark filter would let predicate pushdown
+    drop them before they ever advance the clock."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    stage = f"/root/repo/.tmp/stream_flush_{tag}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    flush = os.path.join(stage, "zz_flush.parquet")
+    if not os.path.exists(flush):
+        schema = pq.read_schema(src)
+        far = datetime.datetime(2035, 1, 1)
+        ts_field = schema.field("ts")
+        if pa.types.is_integer(ts_field.type):  # round-1 nanos encoding
+            ts_vals: list = [int(far.timestamp()) * 1_000_000_000] * 2
+        else:
+            ts_vals = [far, far]
+        table = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array(ts_vals, ts_field.type),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            },
+            schema=schema,
+        )
+        pq.write_table(table, flush + ".tmp")
+        os.replace(flush + ".tmp", flush)
+    # FileStreamSource batches oldest-mtime-first: the flush file is
+    # written after the (pre-existing) testdata file, but pin it far
+    # in the future so re-staging after a testdata refresh can never
+    # reorder it ahead of the data.
+    os.utime(flush, (4102444800, 4102444800))  # 2100-01-01
+    schema_spark, decode = _events_stream_source(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(schema_spark)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return decode(raw)

@@ -453,3 +453,39 @@ def test_q18_subquery_decorrelates_to_semi_join(spark):
     plan = plan_of(spark, "analytics_large_orders")
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ts_downsample_single_exchange(spark):
+    """Both row_number windows and the final groupBy share the same
+    (user_id, day) keys — the plan must materialize ONE hash-partition
+    exchange, with the aggregate reusing the windows' partitioning."""
+    plan = plan_of(spark, "ts_downsample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 1
+
+
+def test_promo_share_broadcast_one_pass(spark):
+    """Q14 shape: the part dim joins by BROADCAST (the lineitem fact
+    side must never shuffle for the join); the only wide exchange is
+    the tiny per-month aggregate's, fed by map-side partials."""
+    plan = plan_of(spark, "analytics_promo_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_attribution_single_exchange_no_join(spark):
+    """Last-touch attribution is a window carry, not an interval
+    self-join: exactly one exchange (user_id), zero joins."""
+    plan = plan_of(spark, "events_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_histogram_tiny_agg(spark):
+    """Row-local binning straight off the scan: one aggregate
+    exchange, no window, no join."""
+    plan = plan_of(spark, "agg_histogram")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" not in plan
