@@ -74,6 +74,11 @@ HEADLINE = [
     "graph_pagerank",       # iterative joins+aggs (Pregel-as-dataflow)
     "sim_hybrid_rrf",       # dense+sparse fusion (RAG retrieval shape)
     "win_rolling_median",   # order-statistic window
+    # new in round 4c:
+    "events_attribution",   # last-touch window carry (no interval join)
+    "ts_downsample",        # OHLC bars: 2 windows + agg, one shuffle
+    "analytics_promo_share",  # Q14 shape: broadcast join + cond. agg
+    "events_anomaly_mad",   # 4 user-keyed stages (median/MAD fences)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents

@@ -65,3 +65,19 @@ def test_restart_from_checkpoint_never_reprocesses(spark, tmp_path):
     assert got.count() == 3 * n
     per_id = got.groupBy("event_id").count().select("count").distinct().collect()
     assert [r["count"] for r in per_id] == [3]
+
+
+def test_left_outer_flush_rerun_idempotent(spark):
+    """The flush-batch staging (read_events_stream_with_flush) is
+    created on first use and reused after; a second invocation of the
+    left-outer join must see the identical staged source and produce
+    the identical result — and the outer semantics must actually
+    fire (some clicks with zero purchases in the window)."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    q = QUERIES["stream_stream_left_outer"]
+    a = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert a == b
+    assert any(r[2] == 0 for r in a), "no unmatched clicks emitted"
+    assert all(r[0] >= 0 for r in a), "flush sentinel leaked into output"
