@@ -79,6 +79,8 @@ HEADLINE = [
     "ts_downsample",        # OHLC bars: 2 windows + agg, one shuffle
     "analytics_promo_share",  # Q14 shape: broadcast join + cond. agg
     "events_anomaly_mad",   # 4 user-keyed stages (median/MAD fences)
+    "join_dpp",             # runtime partition pruning (fact ⋈ dim)
+    "join_interval_binned", # non-broadcast interval join via binning
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -108,6 +110,18 @@ X100 = [
     "tokenize_to_ids",
 ]
 X100_COPIES = 100
+
+# Events-tier scaling probe (round 4c): the documents probes say
+# nothing about the user-keyed window/agg tier. Amplify events 10×
+# with DISJOINT user ids (offset per copy) — 10× the groups at the
+# same per-group size, the shape a growing user base actually has;
+# per-user window ops should scale ~linearly (sort is per-group).
+X10_EVENTS = [
+    "events_attribution",   # strictly-prior carry window
+    "ts_downsample",        # 2 windows + reusing agg, one shuffle
+    "events_anomaly_mad",   # agg→join→agg→join, all user-keyed
+    "ts_gapfill",           # grid densify + forward-fill window
+]
 
 
 def _ensure_docs_amplified(
@@ -155,6 +169,43 @@ def _ensure_docs_amplified(
 def ensure_docs_x10(spark, sf_dir: str) -> str:
     """Materialize the 10× near-dup documents corpus under .tmp (once)."""
     return _ensure_docs_amplified(spark, sf_dir, 10, disjoint_vocab=False)
+
+
+def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
+    """Materialize a ``copies``×-amplified events table under .tmp
+    (once): per-copy user_id/event_id offsets keep users DISJOINT, so
+    the probe isolates group-count scaling (per-group work constant)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp",
+        f"bench_ev_x{copies}_{tag}",
+    )
+    target = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        ev = load_table(spark, "events", sf_dir)
+        parts = [
+            ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 100_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for k in range(copies)
+        ]
+        reduce(DataFrame.unionByName, parts).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(target)
+    return out_dir
 
 
 def main() -> None:
@@ -249,6 +300,22 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [x{X100_COPIES}] {name}: {dt:.3f}s", file=sys.stderr)
+    # events tier at 10× users (disjoint ids): warm at both scales;
+    # per-user window/agg ops should land near 10× minus fixed job
+    # overhead — superlinear growth here means a group-size assumption
+    # leaked into the plan.
+    ev_x10_dir = _ensure_events_amplified(spark, SF_DIR, 10)
+    spark.catalog.clearCache()
+    events_x10: dict[str, dict] = {}
+    for name in X10_EVENTS:
+        base = timings.get(name) or round(run_warm(name, SF_DIR), 3)
+        dt = run_warm(name, ev_x10_dir)
+        events_x10[name] = {
+            "sec_1x": base,
+            "sec_10x": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+        print(f"  [ev_x10] {name}: {dt:.3f}s", file=sys.stderr)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
@@ -258,6 +325,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_x10": docs_x10,
         "docs_x100": docs_x100,
+        "events_x10": events_x10,
     }
     print(json.dumps(out))
     spark.stop()

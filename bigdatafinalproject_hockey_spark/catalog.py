@@ -152,11 +152,25 @@ def events_ts_encoding(path: str) -> str:
     of ``"nanos"`` (int64 raw nanos or timestamp[ns]), ``"timestamp"``
     (us/ms-precision timestamp, tz-naive or UTC).
     """
-    t = _footer_schema(path).field("ts").type
+    first = _footer_paths(path)[0]
+    t = pq.read_schema(first).field("ts").type
     if pa.types.is_integer(t):
         return "nanos"
     if pa.types.is_timestamp(t):
-        return "nanos" if t.unit == "ns" else "timestamp"
+        if t.unit != "ns":
+            return "timestamp"
+        # Arrow reports BOTH int64-nanos and legacy INT96 timestamps
+        # as timestamp[ns]; Spark's nanosAsLong applies only to the
+        # former (an INT96 file read with nanosAsLong=true still
+        # yields TIMESTAMP, and the nanos decode would then crash).
+        # Disambiguate on the parquet PHYSICAL type — Spark writes
+        # INT96 by default, so any Spark-written events table lands
+        # here.
+        phys = pq.ParquetFile(first).schema
+        for i in range(len(phys)):
+            if phys.column(i).name == "ts":
+                return "timestamp" if phys.column(i).physical_type == "INT96" else "nanos"
+        return "nanos"
     raise TypeError(f"unsupported events.ts parquet type: {t}")
 
 

@@ -990,3 +990,132 @@ def q_stream_scd2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_mktsegment"],
         store_path=os.path.join(TMP_DIR, f"scd2_cdc_store_{tag}"),
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) % 2 = 1
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the mechanism that makes
+    fact ⋈ filtered-dim cheap on a partitioned 100 TB lake: the dim
+    filter (``year_parity = 1``) is NOT known at planning time (it
+    lives in another table), so static partition pruning can't fire;
+    Spark instead reuses the dim's broadcast result as a runtime IN
+    filter on the fact's PARTITION column, and the fact scan skips
+    whole directories of the hive layout (``dynamicpruningexpression``
+    in the scan's PartitionFilters — plan-locked in
+    tests/test_plans.py). Without DPP this query reads every
+    partition and throws half away after the join.
+
+    Staging (idempotent, once per sf): orders land hive-partitioned
+    by order_year (the sink_parquet_partitioned layout), plus a tiny
+    year-dim carrying the parity attribute."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fact_path = os.path.join(TMP_DIR, f"orders_dpp_{tag}")
+    dim_path = os.path.join(TMP_DIR, f"year_dim_dpp_{tag}")
+    orders = load_table(spark, "orders", sf_dir)
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+        sink_parquet(
+            orders.select(
+                "o_orderkey",
+                "o_totalprice",
+                F.year("o_orderdate").alias("order_year"),
+            ),
+            fact_path,
+            partition_by=["order_year"],
+        )
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        sink_parquet(
+            orders.select(F.year("o_orderdate").alias("order_year"))
+            .distinct()
+            .select(
+                "order_year",
+                (F.col("order_year") % 2).cast("int").alias("year_parity"),
+            ),
+            dim_path,
+        )
+    fact = scan_parquet(spark, fact_path)
+    dim = scan_parquet(spark, dim_path).filter(F.col("year_parity") == 1)
+    return (
+        fact.join(F.broadcast(dim), "order_year")
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fixed_point_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_interval_binned",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           x.event_id AS event_id,
+           e.user_id,
+           x.event_type
+    FROM events e JOIN events x
+      ON e.user_id = x.user_id
+     AND x.ts >= e.ts
+     AND x.ts < e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error'
+      AND x.event_type <> 'error'
+    """,
+)
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT a broadcast: which events fall in
+    the 10-minute window after each error, per user (incident
+    blast-radius analysis). join_range broadcasts its interval table —
+    fine for a handful of bands, impossible when the interval side is
+    itself a 100 TB fact. The scalable shape is BINNING: each interval
+    explodes to the (two) 10-minute epoch bins it can touch, each
+    point event carries its one bin, and the join becomes an EQUI join
+    on (user_id, bin) that Spark hash-partitions like any other —
+    followed by the exact row-local containment filter. Bin width
+    tunes replication (interval_len/bin_len + 1 copies) against
+    per-bucket pair fan-in; a 10-min window over 10-min bins
+    replicates each interval ≤2×. No pair survives twice: a point's
+    single bin matches exactly one of an interval's two distinct bins.
+    The oracle is the plain (quadratic-shaped) interval theta-join."""
+    ev = load_table(spark, "events", sf_dir)
+    bin_len = 600  # seconds; = the interval length → ≤2 bins/interval
+    e_sec = F.unix_timestamp("ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(e_sec / bin_len),
+                    F.floor(e_sec / bin_len) + 1,
+                )
+            )
+        ).alias("bin"),
+    )
+    points = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("event_id"),
+        F.col("user_id").alias("x_user"),
+        F.col("ts").alias("x_ts"),
+        "event_type",
+        F.floor(e_sec / bin_len).alias("bin"),
+    )
+    return (
+        errors.join(
+            points,
+            (errors.user_id == points.x_user) & (errors.bin == points.bin),
+        )
+        .filter(
+            (F.col("x_ts") >= F.col("e_ts"))
+            & (F.col("x_ts") < F.col("e_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("error_id", "event_id", "user_id", "event_type")
+    )

@@ -49,6 +49,11 @@ def get_session(
         "spark.sql.session.timeZone": "UTC",
         # Arrow for pandas_udf / toPandas / createDataFrame paths.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Write micros, not legacy INT96: other readers (arrow, duckdb)
+        # see a plain timestamp[us], and the events loader's footer
+        # branching never meets the INT96/ns ambiguity on our own
+        # output. (The loader still handles INT96 input defensively.)
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }

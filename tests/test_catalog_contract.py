@@ -128,3 +128,29 @@ def test_nanos_encoding_branch_still_decodes(spark, tmp_path):
         datetime.datetime(2024, 1, 1, 0, 1, 0, 123456),
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("out_type", ["INT96", "TIMESTAMP_MICROS"])
+def test_load_spark_written_events(spark, tmp_path, out_type):
+    """Engine-WRITTEN events tables must load back identically under
+    both parquet timestamp encodings. The INT96 case is the trap:
+    arrow reports INT96 as timestamp[ns] — indistinguishable at the
+    arrow level from int64-nanos, for which the loader must set
+    nanosAsLong — so events_ts_encoding has to branch on the parquet
+    PHYSICAL type (a misbranch crashes the decode on Spark's default
+    INT96 output)."""
+    src = load_table(spark, "events", "/root/testdata/sf0.001")
+    want = sorted(map(tuple, src.limit(50).collect()))
+    path = str(tmp_path / f"events_{out_type}" / "events.parquet")
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", out_type)
+    try:
+        src.limit(50).write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    enc = events_ts_encoding(path)
+    assert enc == "timestamp", f"{out_type} misclassified as {enc}"
+    got = sorted(
+        map(tuple, load_table(spark, "events", str(tmp_path / f"events_{out_type}")).collect())
+    )
+    assert got == want

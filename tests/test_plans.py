@@ -489,3 +489,24 @@ def test_histogram_tiny_agg(spark):
     plan = plan_of(spark, "agg_histogram")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_join_dpp_runtime_partition_filter(spark):
+    """The fact scan must carry a DYNAMIC pruning predicate on its
+    partition column — proof the dim filter prunes fact partitions at
+    runtime rather than after the join."""
+    plan = plan_of(spark, "join_dpp")
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_binned_is_equi_not_nested_loop(spark):
+    """The binned interval join must plan as a hash-partitioned EQUI
+    join on (user_id, bin) — a naive theta-join would fall back to
+    BroadcastNestedLoopJoin, the quadratic shape this op exists to
+    avoid."""
+    plan = plan_of(spark, "join_interval_binned")
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
