@@ -131,7 +131,7 @@ _VERIFY_FIRST = [
 # driver-verified: the six round-4c queries added after the window was
 # frozen (events_attribution, ts_downsample, agg_histogram,
 # analytics_promo_share, events_anomaly_mad, stream_stream_left_outer,
-# join_dpp, join_interval_binned)
+# join_dpp, join_interval_binned, agg_sketch_rollup)
 # — oracle-green locally via tests/test_oracle_parity.py; front-load
 # them in round 5. Everything else is ≤1 round old after r4.
 

