@@ -136,24 +136,19 @@ def _footer_paths(path: str) -> list[str]:
     return [path]
 
 
-def _footer_schema(path: str) -> "pa.Schema":
-    """Arrow schema from the parquet footer — no data read, no Spark
-    job. For a directory, reads the FIRST part file (use
-    ``verify_contract`` for an all-parts check)."""
-    return pq.read_schema(_footer_paths(path)[0])
-
-
 def events_ts_encoding(path: str) -> str:
-    """How ``events.ts`` is physically encoded in the parquet footer.
+    """How ``events.ts`` is physically encoded in the parquet footer
+    (first part file; ``verify_contract`` covers all parts).
 
     The driver's testdata generator has shipped two encodings so far
     (nanos-as-int64 in round 1, timestamp[us] in round 2); the loader
-    branches on the footer instead of hard-coding either. Returns one
-    of ``"nanos"`` (int64 raw nanos or timestamp[ns]), ``"timestamp"``
-    (us/ms-precision timestamp, tz-naive or UTC).
+    branches on the footer instead of hard-coding either. Returns
+    ``"nanos"`` (int64 raw nanos, or timestamp[ns] backed by int64 —
+    read via nanosAsLong) or ``"timestamp"`` (us/ms-precision
+    timestamp, or legacy INT96 — both read natively as TIMESTAMP).
     """
-    first = _footer_paths(path)[0]
-    t = pq.read_schema(first).field("ts").type
+    pf = pq.ParquetFile(_footer_paths(path)[0])
+    t = pf.schema_arrow.field("ts").type
     if pa.types.is_integer(t):
         return "nanos"
     if pa.types.is_timestamp(t):
@@ -166,7 +161,7 @@ def events_ts_encoding(path: str) -> str:
         # Disambiguate on the parquet PHYSICAL type — Spark writes
         # INT96 by default, so any Spark-written events table lands
         # here.
-        phys = pq.ParquetFile(first).schema
+        phys = pf.schema
         for i in range(len(phys)):
             if phys.column(i).name == "ts":
                 return "timestamp" if phys.column(i).physical_type == "INT96" else "nanos"

@@ -128,7 +128,7 @@ _VERIFY_FIRST = [
 # topk_global, union_all, text_contamination, split_hash,
 # sample_by_key, text_unigram_logprob, text_pii_scrub (displaced from
 # this window by the twenty-four late-round-4 queries). ALSO never
-# driver-verified: the six round-4c queries added after the window was
+# driver-verified: the nine round-4c queries added after the window was
 # frozen (events_attribution, ts_downsample, agg_histogram,
 # analytics_promo_share, events_anomaly_mad, stream_stream_left_outer,
 # join_dpp, join_interval_binned, agg_sketch_rollup)

@@ -1022,8 +1022,18 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     fact_path = os.path.join(TMP_DIR, f"orders_dpp_{tag}")
     dim_path = os.path.join(TMP_DIR, f"year_dim_dpp_{tag}")
+    tok_path = os.path.join(TMP_DIR, f"orders_dpp_{tag}.token")
     orders = load_table(spark, "orders", sf_dir)
-    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
+    # staging is skipped only while the SOURCE file is unchanged
+    # (size+mtime token, the repo's staged-sink convention) — a
+    # testdata refresh can never serve stale partitions.
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    token = f"{st.st_size}:{st.st_mtime_ns}"
+    have = None
+    if os.path.exists(tok_path):
+        with open(tok_path) as fh:
+            have = fh.read()
+    if have != token:
         sink_parquet(
             orders.select(
                 "o_orderkey",
@@ -1033,7 +1043,6 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             fact_path,
             partition_by=["order_year"],
         )
-    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
         sink_parquet(
             orders.select(F.year("o_orderdate").alias("order_year"))
             .distinct()
@@ -1043,6 +1052,8 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             dim_path,
         )
+        with open(tok_path, "w") as fh:
+            fh.write(token)
     fact = scan_parquet(spark, fact_path)
     dim = scan_parquet(spark, dim_path).filter(F.col("year_parity") == 1)
     return (
@@ -1082,8 +1093,9 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by the exact row-local containment filter. Bin width
     tunes replication (interval_len/bin_len + 1 copies) against
     per-bucket pair fan-in; a 10-min window over 10-min bins
-    replicates each interval ≤2×. No pair survives twice: a point's
-    single bin matches exactly one of an interval's two distinct bins.
+    replicates each interval to exactly its two candidate bins (k and
+    k+1, always distinct). No pair survives twice: a point's single
+    bin matches exactly one of them.
     The oracle is the plain (quadratic-shaped) interval theta-join."""
     ev = load_table(spark, "events", sf_dir)
     bin_len = 600  # seconds; = the interval length → ≤2 bins/interval
@@ -1093,11 +1105,9 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("e_ts"),
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor(e_sec / bin_len),
-                    F.floor(e_sec / bin_len) + 1,
-                )
+            F.array(
+                F.floor(e_sec / bin_len),
+                F.floor(e_sec / bin_len) + 1,
             )
         ).alias("bin"),
     )
@@ -1150,14 +1160,26 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     store = os.path.join(TMP_DIR, f"hll_store_{tag}")
+    tok_path = os.path.join(TMP_DIR, f"hll_store_{tag}.token")
     ev = load_table(spark, "events", sf_dir)
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    # sketch partials are rebuilt whenever the SOURCE file changes
+    # (size+mtime token) — never served stale across a testdata
+    # refresh.
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    token = f"{st.st_size}:{st.st_mtime_ns}"
+    have = None
+    if os.path.exists(tok_path):
+        with open(tok_path) as fh:
+            have = fh.read()
+    if have != token:
         (
             ev.groupBy(F.to_date("ts").alias("day"), "event_type")
             .agg(F.hll_sketch_agg("user_id").alias("sk"))
             .write.mode("overwrite")
             .parquet(store)
         )
+        with open(tok_path, "w") as fh:
+            fh.write(token)
     merged = (
         spark.read.parquet(store)
         .groupBy("event_type")

@@ -70,15 +70,50 @@ def _events_stream_source(spark: SparkSession, sf_dir: str):
     return schema, decode
 
 
-def _stage_stream_dir(sf_dir: str) -> str:
-    """FileStreamSource wants a DIRECTORY to monitor; the testdata
-    table is a single parquet file. Stage a symlink dir (no copy)."""
-    tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
-    stage = f"/root/repo/.tmp/stream_src_{tag}"
+_TMP = "/root/repo/.tmp"
+
+
+def _symlink_fresh(src: str, link: str) -> None:
+    """(Re)point a staging symlink. ``os.path.exists`` is False for a
+    DANGLING symlink (stale .tmp after its target moved), which would
+    make a bare create raise FileExistsError — check lexists and
+    re-link instead."""
+    if os.path.lexists(link):
+        if os.path.exists(link) and os.path.realpath(link) == os.path.realpath(src):
+            return
+        os.unlink(link)
+    os.symlink(src, link)
+
+
+def _stage_source_links(stage: str, sources: dict[str, str]) -> None:
+    """Make ``stage`` contain EXACTLY the symlinks for ``sources``
+    ({link-prefix: table path}), flat — FileStreamSource monitors a
+    directory without recursing, and a source may be a single file
+    (driver testdata) or a directory of part files (any
+    engine-written table). Stale symlinks from an earlier staging
+    layout are removed (a leftover link would double-ingest the
+    data); regular files (e.g. a staged flush batch) are kept."""
+    from bigdatafinalproject_hockey_spark.catalog import _footer_paths
+
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    expected = {}
+    for prefix, src in sources.items():
+        for i, part in enumerate(_footer_paths(src)):
+            expected[f"{prefix}_{i:05d}.parquet"] = part
+    for name in os.listdir(stage):
+        p = os.path.join(stage, name)
+        if os.path.islink(p) and name not in expected:
+            os.unlink(p)
+    for name, part in expected.items():
+        _symlink_fresh(part, os.path.join(stage, name))
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """FileStreamSource wants a DIRECTORY to monitor; stage the events
+    table's file(s) as symlinks (no copy)."""
+    tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
+    stage = f"{_TMP}/stream_src_{tag}"
+    _stage_source_links(stage, {"events": os.path.join(sf_dir, "events.parquet")})
     return stage
 
 
@@ -346,12 +381,9 @@ def read_events_stream_replayed(
     ingest job)."""
     schema, decode = _events_stream_source(spark, sf_dir)
     tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
-    stage = f"/root/repo/.tmp/stream_replay{copies}_{tag}"
-    os.makedirs(stage, exist_ok=True)
-    for i in range(copies):
-        link = os.path.join(stage, f"events_{i}.parquet")
-        if not os.path.exists(link):
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stage = f"{_TMP}/stream_replay{copies}_{tag}"
+    src = os.path.join(sf_dir, "events.parquet")
+    _stage_source_links(stage, {f"events_{i}": src for i in range(copies)})
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -734,16 +766,22 @@ def read_events_stream_with_flush(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from bigdatafinalproject_hockey_spark.catalog import (
+        _footer_paths,
+        events_ts_encoding,
+    )
+
     src = os.path.join(sf_dir, "events.parquet")
     tag = sf_dir.rstrip("/").replace("/", "_").strip("_")
-    stage = f"/root/repo/.tmp/stream_flush_{tag}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # The stage is keyed by the source's ts ENCODING as well as its
+    # path: a testdata regeneration that flips the encoding must get a
+    # fresh stage (data links AND flush file), or the persisted flush
+    # file's physical type would no longer match the forced schema.
+    stage = f"{_TMP}/stream_flush_{tag}_{events_ts_encoding(src)}"
+    _stage_source_links(stage, {"events": src})
     flush = os.path.join(stage, "zz_flush.parquet")
     if not os.path.exists(flush):
-        schema = pq.read_schema(src)
+        schema = pq.read_schema(_footer_paths(src)[0])
         far = datetime.datetime(2035, 1, 1)
         ts_field = schema.field("ts")
         if pa.types.is_integer(ts_field.type):  # round-1 nanos encoding

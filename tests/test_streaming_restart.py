@@ -81,3 +81,26 @@ def test_left_outer_flush_rerun_idempotent(spark):
     assert a == b
     assert any(r[2] == 0 for r in a), "no unmatched clicks emitted"
     assert all(r[0] >= 0 for r in a), "flush sentinel leaked into output"
+
+
+def test_stage_source_links_owns_directory(tmp_path):
+    """_stage_source_links must leave the stage dir with EXACTLY the
+    expected data links: stale symlinks from an older staging layout
+    are removed (a leftover would double-ingest every event), dangling
+    links are re-pointed instead of crashing, and regular files (the
+    staged flush batch) are preserved."""
+    from bigdatafinalproject_hockey_spark.streaming import _stage_source_links
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    os.symlink(src, os.path.join(stage, "events.parquet"))  # old layout
+    os.symlink("/nonexistent/x.parquet", os.path.join(stage, "events_00000.parquet"))
+    with open(os.path.join(stage, "zz_flush.parquet"), "wb") as f:
+        f.write(b"keep me")
+    _stage_source_links(stage, {"events": src})
+    names = sorted(os.listdir(stage))
+    assert names == ["events_00000.parquet", "zz_flush.parquet"]
+    assert os.path.realpath(os.path.join(stage, "events_00000.parquet")) == src
+    with open(os.path.join(stage, "zz_flush.parquet"), "rb") as f:
+        assert f.read() == b"keep me"
