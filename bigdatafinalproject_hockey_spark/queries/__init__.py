@@ -128,10 +128,10 @@ _VERIFY_FIRST = [
 # topk_global, union_all, text_contamination, split_hash,
 # sample_by_key, text_unigram_logprob, text_pii_scrub (displaced from
 # this window by the twenty-four late-round-4 queries). ALSO never
-# driver-verified: the nine round-4c queries added after the window was
+# driver-verified: the ten round-4c queries added after the window was
 # frozen (events_attribution, ts_downsample, agg_histogram,
 # analytics_promo_share, events_anomaly_mad, stream_stream_left_outer,
-# join_dpp, join_interval_binned, agg_sketch_rollup)
+# join_dpp, join_interval_binned, agg_sketch_rollup, ml_eval_pr_curve)
 # — oracle-green locally via tests/test_oracle_parity.py; front-load
 # them in round 5. Everything else is ≤1 round old after r4.
 

@@ -860,3 +860,110 @@ def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         "key string, event_type string, n long",
     )
     return windows.unionByName(late_row)
+
+
+_PR_THRESHOLDS = [float(t) for t in range(0, 1000, 100)]
+
+
+@register(
+    "ml_eval_pr_curve",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(l_quantity) AS f_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS f_cents,
+             COUNT(*) AS f_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    data AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS label,
+             year(o_orderdate) AS order_year, f_qty, f_cents, f_lines
+      FROM orders JOIN per_order ON o_orderkey = l_orderkey
+    ),
+    test AS (
+      SELECT label,
+             2.0 * (f_cents % 500) + f_qty - 3.0 * f_lines AS score
+      FROM data
+      WHERE order_year = (SELECT MAX(order_year) FROM data)
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _PR_THRESHOLDS)}])
+             AS threshold),
+    cells AS (
+      SELECT threshold,
+             COUNT(CASE WHEN score > threshold AND label = 1 THEN 1 END) AS tp,
+             COUNT(CASE WHEN score > threshold AND label = 0 THEN 1 END) AS fp,
+             COUNT(CASE WHEN score <= threshold AND label = 1 THEN 1 END) AS fn
+      FROM test CROSS JOIN th
+      GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fp), 6) END AS "precision",
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE ROUND(tp / (tp + fn), 6) END AS recall
+    FROM cells
+    """,
+)
+def q_ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve of the deterministic predictor: the
+    threshold sweep behind choosing an operating point, which the
+    single-threshold evaluation (ml_eval_deterministic) and the
+    probability-calibration bins (ml_eval_calibration) don't give.
+    Ten literal thresholds explode against the scored test split and
+    ONE conditional aggregate yields every (tp, fp, fn) cell — a
+    single pass regardless of how many thresholds, vs the naive
+    one-job-per-threshold loop. Counts are exact integers; ratios
+    round at 6 dp like the rest of the eval surface. At 100 TB the
+    explode is a constant-factor map-side amplification feeding
+    10-group partial aggregation — no extra shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("f_qty"),
+        F.sum(cents_expr(F.col("l_extendedprice"))).alias("f_cents"),
+        F.count(F.lit(1)).alias("f_lines"),
+    )
+    data = (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+        .withColumn(
+            "label",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0),
+        )
+        .withColumn("order_year", F.year("o_orderdate"))
+        .select("label", "order_year", "f_qty", "f_cents", "f_lines")
+    )
+    _train, test = split_temporal(data, "order_year")
+    scored = test.select(
+        "label",
+        (
+            F.lit(2.0) * (F.col("f_cents") % 500)
+            + F.col("f_qty")
+            - F.lit(3.0) * F.col("f_lines")
+        ).alias("score"),
+    )
+    swept = scored.select(
+        "label",
+        "score",
+        F.explode(
+            F.array(*[F.lit(t) for t in _PR_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    hit = F.col("score") > F.col("threshold")
+    pos = F.col("label") == 1
+    cells = swept.groupBy("threshold").agg(
+        F.count(F.when(hit & pos, 1)).alias("tp"),
+        F.count(F.when(hit & ~pos, 1)).alias("fp"),
+        F.count(F.when(~hit & pos, 1)).alias("fn"),
+    )
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.round(num.cast("double") / den, 6)
+        )
+    return cells.select(
+        "threshold", "tp", "fp", "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+    )
