@@ -178,6 +178,32 @@ def evaluate_binary_df(
     buckets first and apply the same rank-sum on (bucket, count)
     aggregates.
     """
+    return _binary_eval(
+        predictions,
+        group_cols=[],
+        label_col=label_col,
+        prediction_col=prediction_col,
+        score_col=score_col,
+        round_dp=round_dp,
+        include_baselines=True,
+    )
+
+
+def _binary_eval(
+    predictions: DataFrame,
+    group_cols: list[str],
+    label_col: str,
+    prediction_col: str,
+    score_col: str | None,
+    round_dp: int,
+    include_baselines: bool,
+) -> DataFrame:
+    """ONE definition of the distributed evaluation surface, shared by
+    the ungrouped (evaluate_binary_df, with baselines) and per-group
+    (evaluate_binary_grouped) forms — the metric expressions, midrank
+    window, and confusion cells exist exactly once, so the two public
+    shapes can never drift apart (review r4). Grouping only changes
+    the aggregation keys and the midrank window partitioning."""
     lbl, prd = F.col(label_col), F.col(prediction_col)
     df = predictions
     aggs = [
@@ -190,15 +216,20 @@ def evaluate_binary_df(
     ]
     if score_col is not None:
         midrank = (
-            F.rank().over(Window.orderBy(score_col))
-            + (F.count(F.lit(1)).over(Window.partitionBy(score_col)) - F.lit(1))
+            F.rank().over(Window.partitionBy(*group_cols).orderBy(score_col))
+            + (
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*group_cols, score_col)
+                )
+                - F.lit(1)
+            )
             / F.lit(2.0)
         )
         df = df.withColumn("_midrank", midrank)
         aggs.append(
             F.sum(F.when(lbl == 1, F.col("_midrank"))).alias("_pos_ranksum")
         )
-    cells = df.agg(*aggs)
+    cells = df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
 
     n = F.col("n_test")
     npos, tp, tn, fp, fn = (
@@ -207,6 +238,7 @@ def evaluate_binary_df(
     nneg = n - npos
     rnd = lambda c: F.round(c, round_dp)  # noqa: E731
     metrics = [
+        *[F.col(g) for g in group_cols],
         n.alias("n_test"),
         tp.alias("tp"), tn.alias("tn"), fp.alias("fp"), fn.alias("fn"),
         rnd((tp + tn) / n).alias("accuracy"),
@@ -216,12 +248,17 @@ def evaluate_binary_df(
         .otherwise(rnd(tp / (tp + fn))).alias("recall"),
         F.when(2 * tp + fp + fn == 0, F.lit(0.0))
         .otherwise(rnd(2 * tp / (2 * tp + fp + fn))).alias("f1"),
-        rnd(F.greatest(npos, nneg) / n).alias("baseline_majority"),
-        F.lit(0.5).alias("baseline_coin"),
-        rnd((npos / n) * (npos / n) + (nneg / n) * (nneg / n)).alias(
-            "baseline_weighted"
-        ),
     ]
+    if include_baselines:
+        metrics.extend(
+            [
+                rnd(F.greatest(npos, nneg) / n).alias("baseline_majority"),
+                F.lit(0.5).alias("baseline_coin"),
+                rnd((npos / n) * (npos / n) + (nneg / n) * (nneg / n)).alias(
+                    "baseline_weighted"
+                ),
+            ]
+        )
     if score_col is not None:
         metrics.append(
             F.when((npos == 0) | (npos == n), F.lit(0.5))
@@ -277,61 +314,14 @@ def evaluate_binary_grouped(
     midrank windows partition by it, so every fold's tie-aware
     rank-sum AUC computes in the same pass. Same fp discipline as the
     ungrouped twin (integer cells, one division per metric, round at
-    the end)."""
-    lbl, prd = F.col(label_col), F.col(prediction_col)
-    df = predictions
-    aggs = [
-        F.count(F.lit(1)).alias("n_test"),
-        F.count(F.when(lbl == 1, 1)).alias("_npos"),
-        F.count(F.when((prd == 1) & (lbl == 1), 1)).alias("tp"),
-        F.count(F.when((prd == 0) & (lbl == 0), 1)).alias("tn"),
-        F.count(F.when((prd == 1) & (lbl == 0), 1)).alias("fp"),
-        F.count(F.when((prd == 0) & (lbl == 1), 1)).alias("fn"),
-    ]
-    if score_col is not None:
-        midrank = (
-            F.rank().over(Window.partitionBy(group_col).orderBy(score_col))
-            + (
-                F.count(F.lit(1)).over(
-                    Window.partitionBy(group_col, score_col)
-                )
-                - F.lit(1)
-            )
-            / F.lit(2.0)
-        )
-        df = df.withColumn("_midrank", midrank)
-        aggs.append(
-            F.sum(F.when(lbl == 1, F.col("_midrank"))).alias("_pos_ranksum")
-        )
-    cells = df.groupBy(group_col).agg(*aggs)
-
-    n = F.col("n_test")
-    npos, tp, tn, fp, fn = (
-        F.col("_npos"), F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")
+    the end); the baseline_* columns are class-balance properties of
+    the whole set, so they stay on the ungrouped form only."""
+    return _binary_eval(
+        predictions,
+        group_cols=[group_col],
+        label_col=label_col,
+        prediction_col=prediction_col,
+        score_col=score_col,
+        round_dp=round_dp,
+        include_baselines=False,
     )
-    nneg = n - npos
-    rnd = lambda c: F.round(c, round_dp)  # noqa: E731
-    metrics = [
-        F.col(group_col),
-        n.alias("n_test"),
-        tp.alias("tp"), tn.alias("tn"), fp.alias("fp"), fn.alias("fn"),
-        rnd((tp + tn) / n).alias("accuracy"),
-        F.when(tp + fp == 0, F.lit(0.0))
-        .otherwise(rnd(tp / (tp + fp))).alias("precision"),
-        F.when(tp + fn == 0, F.lit(0.0))
-        .otherwise(rnd(tp / (tp + fn))).alias("recall"),
-        F.when(2 * tp + fp + fn == 0, F.lit(0.0))
-        .otherwise(rnd(2 * tp / (2 * tp + fp + fn))).alias("f1"),
-    ]
-    if score_col is not None:
-        metrics.append(
-            F.when((npos == 0) | (npos == n), F.lit(0.5))
-            .otherwise(
-                rnd(
-                    (F.col("_pos_ranksum") - npos * (npos + 1) / F.lit(2.0))
-                    / (npos * nneg)
-                )
-            )
-            .alias("auc")
-        )
-    return cells.select(*metrics)

@@ -68,6 +68,13 @@ def scan_pruned(
     keep = (F.col(f"{col}_max") >= lo) & (F.col(f"{col}_min") <= hi)
     files = pruned_files(manifest, keep)
     if not files:
-        empty = spark.read.parquet(*pruned_files(manifest, F.lit(True))).limit(0)
+        # Synthesize the empty frame from ONE file's schema — planning
+        # a reader over every manifest file here would redo the exact
+        # listing work the pruning just skipped (and crash on an empty
+        # manifest, which instead errors explicitly).
+        any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("scan_pruned: empty manifest — no schema source")
+        empty = spark.read.parquet(any_file[0]).limit(0)
         return empty, 0
     return spark.read.parquet(*files), len(files)

@@ -57,8 +57,27 @@ def merge_scd2(
       (valid_from = eff_date);
     - no-op updates (every tracked attribute unchanged, NULL-safely)
       produce NO new version — the classic SCD2 correctness trap;
-    - keys new to the dimension insert an open row at eff_date.
+    - keys new to the dimension insert an open row at eff_date;
+    - a batch carrying SEVERAL rows for one key is collapsed to the
+      latest row per key (by eff_date, tracked-attribute tie-break)
+      before merging — MERGE semantics (Delta/Iceberg MERGE rejects
+      duplicate-key batches outright; collapsing is the deterministic
+      lenient form). Without the collapse, two same-key rows would
+      fan the current row into duplicate closed versions and emit two
+      open rows. Intermediate intra-batch states are NOT materialized
+      as versions; feed finer-grained batches if every transition
+      must appear in history.
     """
+    # collapse = max_by over a (eff_date, *tracked) ordering struct —
+    # a hash AGGREGATE, not a window, so the operator stays sort-free
+    # and its cost stays ∝ batch (plan-locked: no Window node).
+    payload = [*tracked, eff_date_col]
+    updates = updates.groupBy(key).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col(eff_date_col), *[F.col(c) for c in tracked]),
+        ).alias("_u")
+    ).select(F.col(key), *[F.col(f"_u.{c}").alias(c) for c in payload])
     cur_cmp = current.select(
         F.col(key),
         F.col("valid_from").alias("cur_valid_from"),

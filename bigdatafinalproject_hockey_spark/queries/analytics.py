@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
 from bigdatafinalproject_hockey_spark.functions.numeric import (
+    cents_expr,
     fixed_point_sum,
     fixed_point_sum_sql,
 )
@@ -531,9 +532,9 @@ def q_analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     cut = F.lit("1998-06-01").cast("timestamp")
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cut)
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > cut)
-    rev_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev_cents = cents_expr(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
@@ -635,7 +636,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     daily = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(cents_expr(F.col("value"))).alias("cents"))
     span = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -1080,7 +1081,7 @@ def q_analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            F.sum(cents_expr(F.col("o_totalprice"))).alias(
                 "monetary_cents"
             ),
         )
@@ -1261,7 +1262,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("raw_touch_id")).alias("touch_id"),
         F.when(in_window, F.col("raw_touch_type")).alias("touch_type"),
         F.when(in_window, F.col("raw_touch_ts")).alias("touch_ts"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        cents_expr(F.col("value")).alias("value_cents"),
     )
 
 
@@ -1308,7 +1309,7 @@ def q_ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        cents_expr(F.col("value")).alias("cents"),
     )
     wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     wd = Window.partitionBy("user_id", "day").orderBy(
@@ -1398,9 +1399,7 @@ def q_analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two exact integers beat one lossy double across engines)."""
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    rev = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev = cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(
@@ -1463,7 +1462,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        cents_expr(F.col("value")).alias("cents"),
     )
     med = base.groupBy("user_id").agg(
         F.expr("percentile(cents, 0.5)").alias("med_cents"),

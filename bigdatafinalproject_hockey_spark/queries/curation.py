@@ -1224,22 +1224,15 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per doc: token count, exact integer score_units, the
     normalized 6-dp score, and the keep decision.
     """
-    max63 = F.lit((1 << 63) - 1).cast("long")
-    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_WEIGHTS])
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokens_expr("text").alias("tk"))
-    bucket_w = F.transform(
-        F.col("tk"),
-        lambda t: F.element_at(
-            w_arr,
-            ((portable_hash64_expr(t).bitwiseAND(max63) % _QC_V) + 1).cast("int"),
-        ),
-    )
-    units = F.aggregate(bucket_w, F.lit(0).cast("long"), lambda a, x: a + x)
+    # the SHARED scorer (coalesce-to-0 on empty/null token arrays) —
+    # an inline copy here once diverged from the composed pipelines on
+    # NULL input (review r4): one definition, one semantics.
     scored = toks.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_tok"),
-        units.alias("score_units"),
+        _quality_units_expr(F.col("tk")).alias("score_units"),
     )
     return scored.select(
         "doc_id",

@@ -1155,10 +1155,17 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_phash_dedup",
     oracle="""
     WITH b AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
     ),
+    -- byte i of the UTF-8 payload via its hex expansion: character
+    -- indexing (ord/substr on text) would count CODE POINTS and
+    -- diverge from the engine's raw-byte hash on any non-ASCII text.
     bytes AS (
-      SELECT doc_id, n, ord(substr(text, i + 1, 1)) AS v,
+      SELECT doc_id, n,
+             (strpos('0123456789ABCDEF', substr(h, 2 * i + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2 * i + 2, 1)) - 1) AS v,
              (i * 60) // n AS k
       FROM b, unnest(range(0, n)) AS t(i)
       WHERE n > 0

@@ -615,10 +615,14 @@ def scd2_cdc_apply(
 
     Each batch OVERWRITES its own ``{store_path}_b<id>`` directory
     (the batch-id-keyed idempotent pattern shared with
-    foreach_batch_upsert), so a retried batch redoes exactly its own
-    output; the returned frame is the store after the final batch.
-    Finite-replay demo: a restarted deployment would re-derive the
-    latest pointer as the max existing batch directory."""
+    foreach_batch_upsert) and reads its input from the latest batch
+    directory STRICTLY EARLIER than its own id — so a RETRIED batch
+    re-reads the same input as its first attempt instead of its own
+    (possibly partial) output, which would both double-apply the
+    merge and overwrite a path being read. The returned frame is the
+    store after the final batch. Finite-replay demo: a restarted
+    deployment would re-derive the pointer map from the existing
+    batch directories."""
     import shutil
 
     from bigdatafinalproject_hockey_spark.operators.scd import merge_scd2
@@ -634,10 +638,11 @@ def scd2_cdc_apply(
         F.lit(None).cast(initial.schema["valid_from"].dataType).alias("valid_to"),
         F.lit(1).cast("long").alias("is_current"),
     ).write.mode("overwrite").parquet(init_path)
-    latest = {"path": init_path}
+    paths: dict[int, str] = {-1: init_path}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        store = spark.read.parquet(latest["path"])
+        src = paths[max(b for b in paths if b < batch_id)]
+        store = spark.read.parquet(src)
         open_rows = store.filter(F.col("is_current") == 1).select(
             key, *tracked, "valid_from"
         )
@@ -649,7 +654,7 @@ def scd2_cdc_apply(
         out = closed.unionByName(merged)
         p = f"{store_path}_b{batch_id}"
         out.write.mode("overwrite").parquet(p)
-        latest["path"] = p
+        paths[batch_id] = p
 
     q = (
         updates_stream.writeStream.foreachBatch(process)
@@ -661,7 +666,7 @@ def scd2_cdc_apply(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(latest["path"])
+    return spark.read.parquet(paths[max(paths)])
 
 
 def late_side_output_agg(
@@ -691,29 +696,39 @@ def late_side_output_agg(
 
     checkpoint = f"{store_path}_ckpt"
     shutil.rmtree(checkpoint, ignore_errors=True)
-    state: dict = {"max_ts": None, "late": 0, "path": None}
+    # Every piece of cross-batch state is keyed BY BATCH ID and
+    # assigned (never +=), and each batch derives its inputs only from
+    # batches strictly earlier than itself — so a RETRIED batch
+    # recomputes the identical ledger entry and store instead of
+    # double-counting its late rows or reading its own output while
+    # overwriting it (the same discipline as scd2_cdc_apply).
+    paths: dict[int, str] = {}
+    max_ts_by: dict[int, datetime.datetime] = {}
+    late_by: dict[int, int] = {}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        earlier = [b for b in paths if b < batch_id]
+        prior_max = max(
+            (max_ts_by[b] for b in earlier if max_ts_by[b] is not None),
+            default=None,
+        )
         wm = None
-        if state["max_ts"] is not None:
-            wm = state["max_ts"] - datetime.timedelta(
-                seconds=watermark_delay_seconds
-            )
+        if prior_max is not None:
+            wm = prior_max - datetime.timedelta(seconds=watermark_delay_seconds)
         batch_max = batch_df.agg(F.max("ts").alias("m")).first()["m"]
         if wm is not None:
             late = batch_df.filter(F.col("ts") < F.lit(wm))
             ontime = batch_df.filter(F.col("ts") >= F.lit(wm))
+            late_by[batch_id] = late.count()
         else:
-            late = None
             ontime = batch_df
-        if late is not None:
-            state["late"] += late.count()
+            late_by[batch_id] = 0
         part = ontime.groupBy(
             F.window("ts", "1 day").getField("start").alias("window_start"),
             "event_type",
         ).agg(F.count(F.lit(1)).alias("n"))
-        if state["path"] is not None:
-            prev = spark.read.parquet(state["path"])
+        if earlier:
+            prev = spark.read.parquet(paths[max(earlier)])
             part = (
                 prev.unionByName(part)
                 .groupBy("window_start", "event_type")
@@ -721,11 +736,8 @@ def late_side_output_agg(
             )
         p = f"{store_path}_b{batch_id}"
         part.write.mode("overwrite").parquet(p)
-        state["path"] = p
-        if batch_max is not None and (
-            state["max_ts"] is None or batch_max > state["max_ts"]
-        ):
-            state["max_ts"] = batch_max
+        paths[batch_id] = p
+        max_ts_by[batch_id] = batch_max
 
     q = (
         stream_df.writeStream.foreachBatch(process)
@@ -737,8 +749,8 @@ def late_side_output_agg(
         q.processAllAvailable()
     finally:
         q.stop()
-    assert state["path"] is not None
-    return spark.read.parquet(state["path"]), state["late"]
+    assert paths
+    return spark.read.parquet(paths[max(paths)]), sum(late_by.values())
 
 
 def read_events_stream_with_flush(

@@ -890,3 +890,55 @@ def test_late_side_output_rerun_is_idempotent(spark):
     assert a == b
     late = [r for r in a if r[0] == "late"]
     assert len(late) == 1 and late[0][2] > 0
+
+
+def test_merge_scd2_collapses_multi_update_batch(spark):
+    """A batch carrying SEVERAL rows for one key (normal CDC shape)
+    must collapse to the latest row per key — without the collapse the
+    current row fanned into duplicate closed versions and TWO open
+    rows per key (review r4)."""
+    from bigdatafinalproject_hockey_spark.operators.scd import merge_scd2
+
+    current = spark.createDataFrame(
+        [(1, "A", "2020-01-01")], "k int, seg string, valid_from string"
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+    updates = spark.createDataFrame(
+        [(1, "B", "2021-01-01"), (1, "C", "2021-06-01")],
+        "k int, seg string, eff_date string",
+    ).withColumn("eff_date", F.col("eff_date").cast("timestamp"))
+    out = merge_scd2(current, updates, key="k", tracked=["seg"]).collect()
+    open_rows = [r for r in out if r.is_current == 1]
+    closed_rows = [r for r in out if r.is_current == 0]
+    assert len(open_rows) == 1 and open_rows[0].seg == "C"
+    assert str(open_rows[0].valid_from)[:10] == "2021-06-01"
+    assert len(closed_rows) == 1 and closed_rows[0].seg == "A"
+
+
+def test_phash_oracle_handles_non_ascii(spark):
+    """The phash DuckDB oracle must iterate BYTES, not characters —
+    ord/substr counts code points and diverges from the engine's raw
+    UTF-8 byte hash on any non-ASCII text (review r4). Run both sides
+    over a corpus with multibyte characters and compare."""
+    import duckdb
+
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        attach_binary_payload,
+        phash_batched,
+    )
+    from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL
+
+    rows = [(1, "café au lait " * 30), (2, "naïve Übermaß 中文" * 20), (3, "plain ascii " * 25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = attach_binary_payload(df, "text", "doc_id")
+    got = {r.doc_id: r.phash for r in phash_batched(
+        media.select("doc_id", "media")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(ORACLE_SQL["multimodal_phash_dedup"]).fetchall()
+    }
+    con.close()
+    assert got == want
