@@ -256,9 +256,18 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
+    # One failing query must cost ONE entry, not the whole bench
+    # (round 2's BENCH was rc=1 and every number was lost): errors are
+    # recorded per query and the suite keeps going.
     for name in HEADLINE:
-        dt = run_warm(name, SF_DIR)
+        try:
+            dt = run_warm(name, SF_DIR)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.3f}s", file=sys.stderr)
@@ -269,7 +278,13 @@ def main() -> None:
     spark.catalog.clearCache()
     docs_x10: dict[str, dict] = {}
     for name in X10:
-        dt = run_warm(name, x10_dir)
+        if name not in timings:
+            continue  # headline run errored; skip its probe
+        try:
+            dt = run_warm(name, x10_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         docs_x10[name] = {
             "sec_1x": timings[name],
             "sec_10x": round(dt, 3),
@@ -287,12 +302,16 @@ def main() -> None:
     spark.catalog.clearCache()
     docs_x100: dict[str, dict] = {}
     for name in X100:
-        base = run_warm(name, SF_DIR)
-        t0 = time.perf_counter()
-        QUERIES[name](spark, x100_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = time.perf_counter() - t0
+        try:
+            base = run_warm(name, SF_DIR)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, x100_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         spark.catalog.clearCache()
         docs_x100[name] = {
             "sec_1x": round(base, 3),
@@ -308,8 +327,12 @@ def main() -> None:
     spark.catalog.clearCache()
     events_x10: dict[str, dict] = {}
     for name in X10_EVENTS:
-        base = timings.get(name) or round(run_warm(name, SF_DIR), 3)
-        dt = run_warm(name, ev_x10_dir)
+        try:
+            base = timings.get(name) or round(run_warm(name, SF_DIR), 3)
+            dt = run_warm(name, ev_x10_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"ev_x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         events_x10[name] = {
             "sec_1x": base,
             "sec_10x": round(dt, 3),
@@ -326,6 +349,7 @@ def main() -> None:
         "docs_x10": docs_x10,
         "docs_x100": docs_x100,
         "events_x10": events_x10,
+        "errors": errors,
     }
     print(json.dumps(out))
     spark.stop()
