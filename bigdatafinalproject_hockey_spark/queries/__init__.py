@@ -38,6 +38,7 @@ from bigdatafinalproject_hockey_spark.queries import analytics  # noqa: E402,F40
 from bigdatafinalproject_hockey_spark.queries import core  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import curation  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import extensions  # noqa: E402,F401
+from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
