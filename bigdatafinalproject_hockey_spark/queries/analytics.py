@@ -1564,3 +1564,162 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "analytics_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(rev_cents AS DOUBLE) / 100 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    """,
+)
+def q_analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — argmax-over-aggregate: quarterly discounted
+    revenue per supplier, then the supplier(s) achieving the maximum.
+    The classic two-phase pattern a view + scalar subquery expresses:
+    Spark computes the per-supplier aggregate ONCE, reduces it to a
+    1-row max, and broadcast-joins that scalar back against the same
+    aggregate (equality on exact integer cents, so "the" max is
+    well-defined — a double sum could make the argmax
+    partition-order-dependent). The shipdate range filter is pushed
+    into the lineitem scan; the supplier dimension joins broadcast.
+    At 100 TB the aggregate is one shuffle on l_suppkey and the max
+    is a 1-row reduction — nothing here scales super-linearly."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents_expr(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rev_cents")
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        rev.join(F.broadcast(mx), rev.rev_cents == mx.max_cents)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "analytics_idle_customers",
+    oracle="""
+    WITH bal AS (
+      SELECT c_custkey, right(c_name, 2) AS suffix,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    pos AS (
+      SELECT SUM(bal_cents) AS s, COUNT(*) AS n
+      FROM bal WHERE bal_cents > 0
+    )
+    SELECT suffix, COUNT(*) AS n_customers,
+           CAST(SUM(bal_cents) AS DOUBLE) / 100 AS total_acctbal
+    FROM bal, pos
+    WHERE bal_cents * n > s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = bal.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY suffix
+    """,
+)
+def q_analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average account balances with no
+    RECENT orders, grouped by customer-number suffix: a scalar
+    aggregate subquery (global average) plus a NOT EXISTS anti-join.
+    The average-balance comparison is EXACT: instead of comparing
+    against a double average, both sides stay in integer cents and
+    the predicate is bal_cents * n > sum_cents — algebraically the
+    same inequality, zero float divergence between engines. The
+    1-row (sum, count) aggregate broadcast-joins onto every customer;
+    the recency check is a left-anti join against the date-filtered
+    orders scan (never a per-row subquery). One shuffle for the final
+    suffix rollup; everything upstream is scan + broadcast."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.expr("right(c_name, 2)").alias("suffix"),
+        cents_expr(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    recent = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("suffix")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("bal_cents").cast("double") / 100).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "analytics_parts_supplier",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 50)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey < 3
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_analytics_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier-diversity count per part category
+    with a NOT IN exclusion list: how many distinct suppliers ship
+    each (brand, type, size) bucket, excluding a blacklisted supplier
+    set. The NOT IN subquery becomes a broadcast left-anti join (the
+    exclusion list is tiny and s_suppkey is non-null, so anti-join
+    and NOT IN agree); both part filters push into the part scan and
+    the part side broadcasts into the lineitem join. COUNT(DISTINCT)
+    runs as Spark's two-phase distinct aggregate — partial
+    de-duplication before the shuffle — which is the scalable layout
+    for high-cardinality distinct counts at 100 TB."""
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 50)
+    )
+    excluded = (
+        load_table(spark, "supplier", sf_dir)
+        .filter(F.col("s_nationkey") < 3)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
