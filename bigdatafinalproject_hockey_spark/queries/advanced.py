@@ -931,3 +931,68 @@ def q_ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
         ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
     )
+
+
+@register(
+    "stream_chained_agg",
+    oracle="""
+    WITH w1 AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(value_cents) AS DOUBLE) / 100 AS sum_value
+    FROM w1 GROUP BY ws
+    """,
+)
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations — two windowed
+    aggregates in one continuous query (Spark >= 3.4 multiple-
+    stateful-operator support): per-(day, event_type) count/sum, then
+    a second streaming aggregate rolling those finalized rows up to
+    per-day totals and type counts. The first agg's output carries
+    event-time through ``window_time``, so the second agg re-windows
+    on it and maintains its own watermark-bounded state — no batch
+    round-trip between the levels, which is the point: a metrics
+    pipeline (raw -> 1-min -> 1-day rollups) stays one query with one
+    failure domain instead of two jobs and an intermediate topic.
+
+    Append mode is required for chaining; finalized level-1 windows
+    flow into level 2 only once the watermark closes them. On the
+    finite replay the far-future flush batch
+    (read_events_stream_with_flush) closes every real window; the
+    flush sentinels' own 2035 window is never finalized, so it never
+    contaminates the output — no post-filter needed. Oracle: the
+    equivalent two-level batch rollup."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        read_events_stream_with_flush,
+    )
+
+    stream = read_events_stream_with_flush(spark, sf_dir)
+    w1 = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents_expr(F.col("value"))).alias("value_cents"),
+        )
+    )
+    w2 = (
+        w1.groupBy(F.window(F.window_time("window"), "1 day").alias("window2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n_events").alias("n_events"),
+            (F.sum("value_cents").cast("double") / 100).alias("sum_value"),
+        )
+    )
+    out = w2.select(
+        F.col("window2.start").alias("window_start"),
+        "n_types",
+        "n_events",
+        "sum_value",
+    )
+    return run_stream_to_table(spark, out, output_mode="append")
