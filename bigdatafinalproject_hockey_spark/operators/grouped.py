@@ -111,3 +111,53 @@ def pack_sequences(
     return narrow.groupBy(*[F.col(c) for c in shard_cols]).applyInPandas(
         pack, schema=out_fields
     )
+
+
+def ewma_half(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Exponentially weighted moving average with alpha = 1/2 over
+    each group's ``order_cols`` sequence: e_1 = x_1,
+    e_t = (e_{t-1} + x_t) * 0.5.
+
+    The recursion has no closed window-function form (a
+    capacity-style sequential fold, like pack_sequences), so it runs
+    as applyInPandas over metadata-width rows. alpha = 1/2 is chosen
+    deliberately: halving is EXACT in IEEE 754 (exponent decrement),
+    so each step is one correctly-rounded addition followed by an
+    exact scale — any engine that performs the same add-then-halve
+    sequence produces bit-identical doubles, which lets a recursive
+    SQL oracle pin the output value-for-value. (A general alpha
+    multiplies twice per step and rounds differently between
+    one-multiply and two-multiply formulations — deterministic within
+    an engine but not across formulations, so it would need an
+    epsilon check instead of a hash pin.)
+
+    Scale shape: groups are independent; each moves only
+    (keys, order, value) columns into one Arrow batch. Adds ``ewma``
+    (double) to the narrow projection.
+    """
+    import numpy as np
+
+    narrow = df.select(*group_cols, *order_cols, value_col)
+    out_fields = ", ".join(
+        [f"{c} {t}" for c, t in narrow.dtypes] + ["ewma double"]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(x), dtype="float64")
+        e = 0.0
+        for i, v in enumerate(x):
+            e = v if i == 0 else (e + v) * 0.5
+            out[i] = e
+        pdf["ewma"] = out
+        return pdf
+
+    return narrow.groupBy(*group_cols).applyInPandas(fold, out_fields)

@@ -1470,3 +1470,111 @@ def q_text_quality_classifier_fast(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("keep"),
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           (n_chars * 1099511627776)
+             // (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))
+                      AS BIGINT) + 1) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus subsampling via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM '07): each doc draws a
+    deterministic pseudo-uniform u from md5(doc_id) and gets priority
+    w/u (weight = n_chars, the usual length-proportional training
+    weight); the global top-k by priority is a weight-biased sample
+    whose inclusion probabilities are provably near-optimal for
+    subset-sum estimation. High-weight docs are likelier to be kept,
+    but every doc has a chance — unlike a plain top-k by length,
+    which is deterministic truncation.
+
+    All arithmetic is integer: priority = (w << 40) DIV u with
+    u in [1, 2^40] from the first 10 md5 hex chars — no float
+    division, so ranks (and the top-k cutoff, tie-broken by doc_id)
+    are bit-identical across engines. Spark executes the top-k as
+    TakeOrderedAndProject (never a global sort): at 100 TB each
+    partition keeps a local k-heap and only k rows per partition move
+    — the canonical one-pass distributed weighted sample."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+        + 1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("n_chars") * F.lit(1099511627776)).alias("_pw"),
+            u.alias("_u"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr("_pw div _u").alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn, CAST(cents AS DOUBLE) AS ewma
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, (r.ewma + e.cents) / 2.0
+      FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ewma FROM r
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 1/2)
+    over the event stream — the smoothing/trend primitive (monitoring
+    baselines, engagement decay) that NO window function expresses:
+    the recursion e_t = (e_{t-1} + x_t)/2 references its own output,
+    so it runs through the engine's custom-sequential-operator path
+    (operators/grouped.ewma_half, applyInPandas over per-user Arrow
+    batches) rather than a Catalyst window.
+
+    The oracle is the textbook recursive CTE. Cross-engine
+    bit-equality is engineered, not hoped for: values enter as exact
+    integer cents, and alpha = 1/2 makes every step one
+    correctly-rounded IEEE addition plus an exact halving — identical
+    in numpy and DuckDB — so even 100-step chains hash-match exactly
+    (see ewma_half's docstring for why a general alpha wouldn't).
+
+    Scale shape: one shuffle on user_id; each group moves only
+    (ids, ts, cents). Heavy-hitter users would pre-split by time
+    range with per-range seeds carried forward — the standard
+    sequential-scan sharding."""
+    from bigdatafinalproject_hockey_spark.operators.grouped import ewma_half
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        cents_expr(F.col("value")).alias("cents"),
+    )
+    return ewma_half(
+        ev, ["user_id"], ["ts", "event_id"], "cents"
+    ).select("user_id", "event_id", "ewma")
