@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 from bigdatafinalproject_hockey_spark.catalog import load_table
 from bigdatafinalproject_hockey_spark.dedup.components import dedup_components
 from bigdatafinalproject_hockey_spark.dedup.exact import dedup_exact_groups
-from bigdatafinalproject_hockey_spark.dedup.jaccard import jaccard_pairs
+from bigdatafinalproject_hockey_spark.dedup.jaccard import (
+    containment_pairs,
+    jaccard_pairs,
+)
 from bigdatafinalproject_hockey_spark.dedup.minhash import (
     minhash_candidate_pairs,
     minhash_candidate_pairs_portable,
@@ -114,6 +117,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join, integer-count division (deterministic)."""
     docs = load_table(spark, "documents", sf_dir)
     return jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct({_SQL_TOKS.format(c="text")})) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, ca.n_tok AS n_a, cb.n_tok AS n_b,
+             CAST(n_inter AS DOUBLE) / LEAST(ca.n_tok, cb.n_tok)
+               AS containment
+      FROM inter
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+    )
+    SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS contained,
+           CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS container,
+           containment
+    FROM scored
+    WHERE containment >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment dedup — near-SUPERSET detection that
+    Jaccard structurally misses: a document quoted whole inside a
+    much larger one has Jaccard |A|/|B| (arbitrarily low) but
+    containment |A∩B|/min(|A|,|B|) ≈ 1. This is the
+    boilerplate-wrapper / quotation case in LLM corpora, where policy
+    drops the CONTAINED side — hence the directed (contained,
+    container) output, smaller token set first. Same blocked
+    inverted-index candidate stage as dedup_ngram_jaccard (shared
+    code, one exchange reused across the self-join); the score is an
+    exact integer-count division, so the threshold cut is
+    engine-deterministic."""
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.9
+    )
 
 
 @register(
