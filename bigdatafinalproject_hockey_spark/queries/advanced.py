@@ -996,3 +996,25 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
     )
     return run_stream_to_table(spark, out, output_mode="append")
+
+
+@register(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text sink + typed text scan (sources/text.py): the
+    one-record-per-line flat-file format that still carries plenty of
+    corpus interchange. Round-trips the documents table losslessly —
+    nulls survive via an explicit sentinel (concat_ws alone would drop
+    them and misalign fields), and typing on read is split + casts,
+    all codegen'd at scan parallelism. Completes the format matrix
+    alongside the CSV, JSONL, ORC, and parquet round-trips."""
+    from bigdatafinalproject_hockey_spark.sources.text import scan_text, sink_text
+
+    path = os.path.join(TMP_DIR, "text_roundtrip_documents")
+    df = load_table(spark, "documents", sf_dir)
+    sink_text(df, path)
+    return scan_text(spark, path, SCHEMAS["documents"])

@@ -1723,3 +1723,54 @@ def q_analytics_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS n_occurrences
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining — the top 3-step behavioral paths across
+    all users (the "what do users do next" analysis behind sankey /
+    flow diagrams). Each user's event sequence is windowed with two
+    leads (one shuffle on user_id, no self-joins — the naive
+    formulation is a triple self-join on consecutiveness), trigrams
+    are counted globally, and the top 20 come out via
+    TakeOrderedAndProject with a deterministic (count, path)
+    tie-break. Window order is (ts, event_id) so simultaneous events
+    sequence identically in both engines.
+
+    Scale shape: lead() is a frame-free window — evaluated in one
+    pass over each user's sorted run; the trigram count is a standard
+    two-phase aggregate on a low-cardinality key space (|event
+    types|³ possible paths), so the final top-k costs nothing."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(20)
+    )

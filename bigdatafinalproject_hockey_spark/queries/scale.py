@@ -1196,3 +1196,67 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * 0.05 + F.lit(3)
         ).alias("within_bound"),
     )
+
+
+@register(
+    "mv_incremental_join",
+    oracle="""
+    SELECT event_id, user_id, c_mktsegment, value
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def q_mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join rule
+    (ΔA ⋈ B ∪ A ⋈ ΔB) that mv_incremental_agg's mergeable-aggregate
+    trick cannot express: when BOTH join sides receive batches, each
+    arriving delta joins only against the OTHER side's accumulated
+    store, and the union of all contributions reconstructs the full
+    join without ever re-joining history against history.
+
+    Replayed timeline: events arrive in 3 batches (ΔA, event_id mod
+    3) interleaved with the customer dimension in 2 batches (ΔB,
+    c_custkey mod 2). Every pair of batches meets exactly once —
+    the later-arriving side's delta picks it up — so the final view
+    equals the one-shot join EXACTLY (the oracle). The view store
+    round-trips through parquet each step (restart-safe like
+    mv_incremental_agg); per-step cost is O(Δ ⋈ store), never
+    O(A ⋈ B), which is the property that makes join views
+    maintainable at 100 TB ingest rates. Spark broadcasts the small
+    delta side of each step automatically."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    path = os.path.join(TMP_DIR, f"mv_join_view_{tag}")
+    events = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev_b = [events.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    cu_b = [cust.filter(F.col("c_custkey") % 2 == j) for j in range(2)]
+    timeline = [("A", 0), ("B", 0), ("A", 1), ("B", 1), ("A", 2)]
+    a_store = b_store = view = None
+    for step, (side, k) in enumerate(timeline):
+        if side == "A":
+            delta = ev_b[k]
+            contrib = (
+                None
+                if b_store is None
+                else delta.join(
+                    b_store, delta.user_id == b_store.c_custkey
+                )
+            )
+            a_store = delta if a_store is None else a_store.unionByName(delta)
+        else:
+            delta = cu_b[k]
+            contrib = a_store.join(delta, a_store.user_id == delta.c_custkey)
+            b_store = delta if b_store is None else b_store.unionByName(delta)
+        if contrib is None:
+            continue
+        contrib = contrib.select("event_id", "user_id", "c_mktsegment", "value")
+        merged = contrib if view is None else view.unionByName(contrib)
+        merged.write.mode("overwrite").parquet(f"{path}_s{step}")
+        view = spark.read.parquet(f"{path}_s{step}")
+    assert view is not None
+    return view
