@@ -942,3 +942,78 @@ def test_phash_oracle_handles_non_ascii(spark):
     }
     con.close()
     assert got == want
+
+
+def test_ewma_half_exact_recursion(spark):
+    """ewma_half must equal the hand-rolled add-then-halve recursion
+    bit-for-bit, order the groups however it likes."""
+    from bigdatafinalproject_hockey_spark.operators.grouped import ewma_half
+
+    rows = [(1, i, v) for i, v in enumerate([100, 50, 75, 300, 1])] + [
+        (2, 0, 7)
+    ]
+    df = spark.createDataFrame(rows, "g int, t int, x long")
+    out = {
+        (r.g, r.t): r.ewma
+        for r in ewma_half(df, ["g"], ["t"], "x").collect()
+    }
+    e = 0.0
+    for i, v in enumerate([100, 50, 75, 300, 1]):
+        e = float(v) if i == 0 else (e + v) * 0.5
+        assert out[(1, i)] == e  # exact, not approx
+    assert out[(2, 0)] == 7.0
+    # constant series stays constant forever (fixed point of the fold)
+    const = spark.createDataFrame(
+        [(1, t, 42) for t in range(60)], "g int, t int, x long"
+    )
+    vals = {r.ewma for r in ewma_half(const, ["g"], ["t"], "x").collect()}
+    assert vals == {42.0}
+
+
+def test_containment_pairs_directed_and_scored(spark):
+    """The contained side must be the smaller token set, and a strict
+    subset must score exactly 1.0 even when Jaccard is low."""
+    from bigdatafinalproject_hockey_spark.dedup.jaccard import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),                       # subset of doc 2
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "iota kappa"),                       # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.contained, row.container) == (1, 2)
+    assert row.containment == 1.0
+
+
+def test_text_sink_null_sentinel_roundtrip(spark, tmp_path):
+    """Null fields must survive the delimited-text round-trip — the
+    sentinel encoding exists because concat_ws silently drops nulls
+    and misaligns every following field."""
+    from pyspark.sql import types as TT
+
+    from bigdatafinalproject_hockey_spark.sources.text import scan_text, sink_text
+
+    schema = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType()),
+            TT.StructField("name", TT.StringType()),
+            TT.StructField("score", TT.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None, 2.5), (2, "b", None), (3, "", 0.0)], schema
+    )
+    path = str(tmp_path / "txt")
+    sink_text(df, path)
+    back = scan_text(spark, path, schema)
+    got = sorted(
+        [(r.id, r.name, r.score) for r in back.collect()]
+    )
+    # empty string is NOT null — the sentinel keeps the two distinct,
+    # unlike CSV's ambiguous empty field
+    assert got == [(1, None, 2.5), (2, "b", None), (3, "", 0.0)]

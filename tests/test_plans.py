@@ -510,3 +510,50 @@ def test_interval_binned_is_equi_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_triangle_count_no_cartesian(spark):
+    """The degree-oriented wedge join must stay an equi-join on the
+    apex — a refactor that loses the equi key degenerates into a
+    nested-loop/cartesian pairing, which is the quadratic blowup the
+    orientation exists to avoid."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_weighted_is_takeordered(spark):
+    """Priority sampling's top-k must run as TakeOrderedAndProject
+    (per-partition k-heaps, k rows moved per partition) — never a
+    global Sort, which would shuffle the whole corpus at 100 TB."""
+    plan = plan_of(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_top_paths_single_window_exchange(spark):
+    """Both lead() columns share one window spec: one hash Exchange
+    for the user window, one for the trigram aggregate, nothing else
+    before the final top-k."""
+    plan = plan_of(spark, "events_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_top_supplier_broadcasts_scalar_and_dim(spark):
+    """Q15 shape: the 1-row max and the supplier dimension must both
+    broadcast onto the per-supplier aggregate — no sort-merge joins
+    anywhere."""
+    plan = plan_of(spark, "analytics_top_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_parts_supplier_anti_join_broadcast(spark):
+    """Q16 shape: the exclusion list applies as a broadcast LEFT ANTI
+    join on the fact side, and the distinct count stays a two-phase
+    aggregate (partial_count(distinct ...) markers present)."""
+    plan = plan_of(spark, "analytics_parts_supplier")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
