@@ -81,6 +81,16 @@ HEADLINE = [
     "events_anomaly_mad",   # 4 user-keyed stages (median/MAD fences)
     "join_dpp",             # runtime partition pruning (fact ⋈ dim)
     "join_interval_binned", # non-broadcast interval join via binning
+    # new in round 4d:
+    "graph_triangle_count", # degree-oriented wedge join (O(m^1.5))
+    "graph_bfs_hops",       # frontier BFS, 4 checkpointed rounds
+    "ts_ewma",              # applyInPandas sequential fold per user
+    "events_top_paths",     # 2 lead() windows + trigram top-k
+    "sample_weighted",      # integer priority sampling (TakeOrdered)
+    "mv_incremental_join",  # delta-join view: 4 store round-trips
+    "analytics_top_supplier",    # Q15 argmax-over-aggregate
+    "analytics_idle_customers",  # Q22 anti-join + scalar avg
+    "analytics_parts_supplier",  # Q16 distinct-count + exclusion
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -121,6 +131,9 @@ X10_EVENTS = [
     "ts_downsample",        # 2 windows + reusing agg, one shuffle
     "events_anomaly_mad",   # agg→join→agg→join, all user-keyed
     "ts_gapfill",           # grid densify + forward-fill window
+    # round 4d — both user-keyed, should scale ~linearly in groups:
+    "ts_ewma",              # Arrow fold per user (10× the batches)
+    "events_top_paths",     # lead windows + low-cardinality agg
 ]
 
 

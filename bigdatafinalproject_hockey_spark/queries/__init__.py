@@ -134,7 +134,14 @@ _VERIFY_FIRST = [
 # analytics_promo_share, events_anomaly_mad, stream_stream_left_outer,
 # join_dpp, join_interval_binned, agg_sketch_rollup, ml_eval_pr_curve)
 # — oracle-green locally via tests/test_oracle_parity.py; front-load
-# them in round 5. Everything else is ≤1 round old after r4.
+# them in round 5. LIKEWISE never driver-verified: the twelve
+# round-4d queries (graph_triangle_count, graph_bfs_hops,
+# analytics_top_supplier, analytics_idle_customers,
+# analytics_parts_supplier, stream_chained_agg, sample_weighted,
+# ts_ewma, dedup_containment, scan_text_roundtrip, events_top_paths,
+# mv_incremental_join) — all oracle-green locally at sf0.001 AND
+# sf0.01 under a plain driver-style session; front-load them with the
+# round-4c ten. Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:

@@ -1018,3 +1018,36 @@ def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, "documents", sf_dir)
     sink_text(df, path)
     return scan_text(spark, path, SCHEMAS["documents"])
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-directory ingest via Spark's binaryFile source — how a
+    multimodal corpus actually enters the engine (files, not rows).
+    Each document's bytes are staged once as doc_<id>.bin; the
+    distributed scan lists the directory, reads each blob executor-
+    side (no driver I/O), parses the id from the filename, and emits
+    exact length + content digest. Values must equal the table the
+    files derive from — proving the bytes, not just the row count,
+    survived ingestion. See sources/binary.py for the 100 TB listing/
+    packing notes (parallelism = files; maxPartitionBytes packs small
+    blobs per task)."""
+    from bigdatafinalproject_hockey_spark.sources.binary import (
+        scan_binary_files,
+        stage_payload_files,
+    )
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    stage = os.path.join(TMP_DIR, f"binary_payloads_{tag}")
+    stage_payload_files(os.path.join(sf_dir, "documents.parquet"), stage)
+    return scan_binary_files(spark, stage)

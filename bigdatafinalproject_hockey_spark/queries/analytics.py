@@ -1774,3 +1774,65 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(20)
     )
+
+
+@register(
+    "ts_trend_slope",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(n * sxx - sx * sx, 0) AS slope_cents_per_day
+    FROM sums
+    """,
+)
+def q_ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope (cents/day) — the closed-form
+    regression every monitoring/engagement pipeline runs, computed so
+    the result is ENGINE-EXACT: x is an integer day index, y integer
+    cents, and the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are int64 sums — order-independent, overflow-safe at these
+    magnitudes — so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE
+    exactly-rounded double division. Single-day users get NULL
+    (denominator 0) instead of a fake slope.
+
+    Scale shape: one partial+final aggregate keyed on user_id — the
+    sufficient-statistics formulation is why regression over 100 TB
+    is a one-shuffle problem (same mergeable-partials principle as
+    mv_incremental_agg; a drifting fleet of 10⁹ users costs the same
+    shuffle as a count)."""
+    pts = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("x"),
+        cents_expr(F.col("value")).alias("y"),
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+            )
+        ).alias("slope_cents_per_day"),
+    )
