@@ -1836,3 +1836,138 @@ def q_ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("slope_cents_per_day"),
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+      FROM events
+    ),
+    seg AS (
+      SELECT event_id, s AS seg_s,
+             LEAST(e, CAST(CAST(s AS DATE) AS TIMESTAMP)
+                        + INTERVAL 1 DAY) AS seg_e
+      FROM iv
+      UNION ALL
+      SELECT event_id,
+             CAST(CAST(e AS DATE) AS TIMESTAMP) AS seg_s, e AS seg_e
+      FROM iv
+      WHERE CAST(e AS DATE) > CAST(s AS DATE)
+        AND e > CAST(CAST(e AS DATE) AS TIMESTAMP)
+    ),
+    bounds AS (
+      SELECT CAST(seg_s AS DATE) AS day, seg_s AS t, 1 AS delta, event_id
+      FROM seg
+      UNION ALL
+      SELECT CAST(seg_s AS DATE) AS day, seg_e AS t, -1 AS delta, event_id
+      FROM seg
+    ),
+    run AS (
+      SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM bounds
+    )
+    SELECT day, CAST(SUM(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+                  AS n_intervals,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY day
+    """,
+)
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day — the sweep-line algorithm as
+    dataflow: each event holds a resource for 10 minutes; the
+    question "what was the maximum simultaneous load" is answered by
+    exploding every interval into +1/-1 boundary rows, running-summing
+    them in time order, and taking the per-day max. The classic
+    capacity-planning query (concurrent sessions, connection pools,
+    license seats) that naive interval self-joins make quadratic —
+    this form is linear plus one sort.
+
+    Midnight-crossing intervals split into per-day segments (each
+    day's partition sees a self-contained +1/-1 multiset, so the
+    running sum never goes negative and never leaks across days);
+    at the same instant, ends sort before starts (delta ascending),
+    so back-to-back touching intervals don't double-count. The window
+    partitions by DAY, not globally — at 100 TB each day's sweep is
+    an independent partition sort, the standard time-sharded
+    formulation; ordering is fully keyed (t, delta, event_id) so the
+    prefix sums are engine-deterministic."""
+    iv = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    midnight_after_s = (
+        F.date_add(F.col("s").cast("date"), 1).cast("timestamp")
+    )
+    first = iv.select(
+        "event_id",
+        F.col("s").alias("seg_s"),
+        F.least(F.col("e"), midnight_after_s).alias("seg_e"),
+    )
+    spill = iv.filter(
+        (F.col("e").cast("date") > F.col("s").cast("date"))
+        & (F.col("e") > F.col("e").cast("date").cast("timestamp"))
+    ).select(
+        "event_id",
+        F.col("e").cast("date").cast("timestamp").alias("seg_s"),
+        F.col("e").alias("seg_e"),
+    )
+    seg = first.unionByName(spill)
+    bounds = seg.select(
+        F.col("seg_s").cast("date").alias("day"),
+        F.col("seg_s").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        seg.select(
+            F.col("seg_s").cast("date").alias("day"),
+            F.col("seg_e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = bounds.select("day", "delta", F.sum("delta").over(w).alias("running"))
+    return run.groupBy("day").agg(
+        F.count(F.when(F.col("delta") == 1, 1)).cast("long").alias("n_intervals"),
+        F.max("running").cast("long").alias("peak_concurrent"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, de-duplicated string aggregation (LISTAGG / string_agg
+    — the report-formatting aggregate): distinct sources per language
+    as one sorted CSV cell. Spark expresses it as collect_set →
+    array_sort → array_join; the explicit sort is what makes the
+    concatenated cell deterministic — collect_set order is
+    partition-arrival order and would differ run to run. Stays a
+    two-phase aggregate (sets union map-side); the per-group payload
+    is bounded by distinct-source cardinality, the usual LISTAGG
+    memory contract."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("source")), ","
+        ).alias("sources_csv"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
