@@ -1971,3 +1971,194 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sources_csv"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '2024-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, MIN(d) AS streak_start, COUNT(*) AS streak_days
+      FROM grp GROUP BY user_id, island
+    ),
+    ranked AS (
+      SELECT user_id, streak_start, streak_days,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+      FROM streaks
+    )
+    SELECT user_id, streak_start, streak_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    calendar days (login streaks, SLA uptime runs, sensor liveness).
+    The classic trick — day_index − row_number is CONSTANT within a
+    consecutive run, so grouping by that difference labels islands
+    without any self-join or iterative pass. Two window functions and
+    two aggregates, all partitioned by user_id: one shuffle, then
+    per-group sorted runs. Tie between equal-length streaks breaks to
+    the earliest start, so the per-user winner is deterministic.
+
+    At 100 TB this shape is why gaps-and-islands beats the
+    LAG-compare-and-flag alternative: no conditional cumulative sum
+    chain, just arithmetic on row_number — stays fully
+    whole-stage-codegen'd around the one per-user sort."""
+    days = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.min("d").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "streak_start"
+    )
+    ranked = streaks.select(
+        "user_id",
+        "streak_start",
+        "streak_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("long")
+        .alias("n_streaks"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id", "streak_start", "streak_days", "n_streaks"
+    )
+
+
+@register(
+    "analytics_small_qty_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    JOIN avg_qty ON avg_qty.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity * n * 5 < sq
+    """,
+)
+def q_analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated aggregate subquery
+    (l_quantity < 0.2 · AVG(l_quantity) per part) decorrelated into a
+    join against the per-part aggregate, computed ONCE instead of per
+    row. The average comparison stays integer — qty·n·5 < Σqty is
+    algebraically 'qty < 0.2·avg' with zero float division — so the
+    filter cut is engine-exact; revenue sums in cents. Spark
+    broadcasts the filtered part dimension and the per-part aggregate
+    rides the same l_partkey shuffle the aggregate itself needed: two
+    scans of lineitem total (one for the aggregate, one for the
+    probe), the canonical decorrelated form."""
+    li = load_table(spark, "lineitem", sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ak)
+        .filter(
+            F.col("l_quantity").cast("long") * F.col("n") * 5 < F.col("sq")
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        (
+            F.sum(cents_expr(F.col("l_extendedprice"))).cast("double")
+            / 100
+            / 7.0
+        ).alias("avg_yearly"),
+    )
+
+
+@register(
+    "diag_join_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_n
+      FROM per_key
+    )
+    SELECT k.key, k.n AS n_rows_key, s.n_keys, s.n_rows,
+           ROUND(CAST(k.n * s.n_keys AS DOUBLE) / s.n_rows, 6)
+             AS skew_factor
+    FROM per_key k CROSS JOIN stats s
+    ORDER BY k.n DESC, k.key
+    LIMIT 10
+    """,
+)
+def q_diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profiling query you run BEFORE
+    pointing a 100 TB join at a key: per-key row counts, the global
+    (n_keys, n_rows) context, and each heavy hitter's skew factor
+    (its count over the mean count, i.e. n·n_keys/n_rows — computed
+    from exact integers, one rounded division). The top-10 output is
+    the salt-list input for join_skew_salted and the evidence for
+    enabling AQE skew handling; a factor near 1 means the key is safe.
+
+    One aggregate over the key, a 1-row broadcast of the totals, and
+    a TakeOrderedAndProject — the diagnostic itself must stay cheap
+    enough to run casually against the full table."""
+    per_key = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    ).select("n_keys", "n_rows")
+    return (
+        per_key.join(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("n").alias("n_rows_key"),
+            "n_keys",
+            "n_rows",
+            F.round(
+                (F.col("n") * F.col("n_keys")).cast("double") / F.col("n_rows"),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows_key"), "key")
+        .limit(10)
+    )
