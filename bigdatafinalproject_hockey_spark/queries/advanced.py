@@ -1051,3 +1051,36 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(TMP_DIR, f"binary_payloads_{tag}")
     stage_payload_files(os.path.join(sf_dir, "documents.parquet"), stage)
     return scan_binary_files(spark, stage)
+
+
+@register(
+    "scan_custom_datasource",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST((i * 2654435761) % 4294967296 AS BIGINT) AS h,
+           ['alpha', 'beta', 'gamma', 'delta',
+            'epsilon'][((i * 2654435761) % 4294967296) % 5 + 1] AS label
+    FROM range(2000) t(i)
+    """,
+)
+def q_scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python Data Source API (Spark 4):
+    a pure-Python source whose ``partitions()`` splits the scan into
+    ranges Spark schedules as independent executor-side tasks — the
+    extension point for systems Spark has no reader for. The demo
+    generator derives every row from its id by Knuth's multiplicative
+    hash, so the oracle reproduces the scan value-for-value with
+    integer arithmetic — checking the full path (schema declaration,
+    partition planning, per-split reads, reassembly), not just row
+    counts. See sources/pyds.py for the connector anatomy."""
+    from bigdatafinalproject_hockey_spark.sources.pyds import (
+        register_range_rows,
+    )
+
+    register_range_rows(spark)
+    return (
+        spark.read.format("range_rows")
+        .option("n_rows", "2000")
+        .option("n_parts", "8")
+        .load()
+    )

@@ -879,3 +879,37 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE count-distincts over DIFFERENT columns in one
+    aggregate — the query shape that trips engines up: each distinct
+    needs its own de-duplication, so Spark plans an Expand (one
+    replicated row-stream per distinct column, tagged by gid) feeding
+    a single two-phase aggregate, instead of N separate jobs glued by
+    joins. Plain aggregates (count, fixed-point sum) ride along in
+    the same pass. One logical statement, one shuffle family — at
+    100 TB the Expand's constant-factor row amplification (×2 here)
+    is the entire cost of asking two distinct questions at once."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(cents_expr(F.col("value"))).cast("double") / 100).alias(
+            "sum_value"
+        ),
+    )
