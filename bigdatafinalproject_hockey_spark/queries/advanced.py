@@ -1084,3 +1084,62 @@ def q_scan_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_parts", "8")
         .load()
     )
+
+
+@register(
+    "stream_custom_datasource",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST((i * 2654435761) % 4294967296 AS BIGINT) AS h,
+           ['alpha', 'beta', 'gamma', 'delta',
+            'epsilon'][((i * 2654435761) % 4294967296) % 5 + 1] AS label
+    FROM range(2000) t(i)
+    """,
+)
+def q_stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom connector (Python Data Source API,
+    simpleStreamReader): the same deterministic generator delivered
+    as micro-batches through user-defined OFFSETS — initialOffset →
+    read(start) advancing 500 rows per batch, readBetweenOffsets
+    replaying committed ranges on recovery. This is the shape of a
+    real Python connector to an offset-addressable system (a queue,
+    a change log) when no JVM connector exists. The query drains the
+    stream to a memory sink and must reproduce the full row set
+    value-for-value — offsets lost or double-read would show as
+    missing/duplicate ids against the arithmetic oracle.
+
+    The drain uses a continuous trigger polled to the known terminal
+    count (the simple-reader prefetch model exposes only one pending
+    batch to availableNow, which would stop after 500 rows)."""
+    import time
+    import uuid
+
+    from bigdatafinalproject_hockey_spark.sources.pyds import (
+        register_range_rows_stream,
+    )
+
+    register_range_rows_stream(spark)
+    n_rows = 2000
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("range_rows_stream")
+        .option("n_rows", str(n_rows))
+        .option("batch_rows", "500")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -25,7 +25,12 @@ reproduces exactly, so the scan is value-checkable end to end.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 KNUTH = 2654435761
 MOD32 = 1 << 32
@@ -73,3 +78,55 @@ class RangeRowsDataSource(DataSource):
 def register_range_rows(spark) -> None:
     """Idempotent registration (re-registering is a no-op overwrite)."""
     spark.dataSource.register(RangeRowsDataSource)
+
+
+class RangeRowsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic generator: the
+    offset is simply the next unread row position, advanced
+    ``batch_rows`` per micro-batch. ``readBetweenOffsets`` replays any
+    committed range on recovery — the method a real connector backs
+    with its retention window (kafka offsets, log sequence numbers);
+    here replay is pure recomputation, so recovery is always exact."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", "2000"))
+        self.batch = int(options.get("batch_rows", "500"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # Materialized list, not a generator: the runtime's prefetch
+        # cache copy.copy()s the returned iterator, and generators
+        # aren't copyable (TypeError: cannot pickle 'generator').
+        return [
+            (i, (i * KNUTH) % MOD32, LABELS[((i * KNUTH) % MOD32) % 5])
+            for i in range(start, end)
+        ]
+
+    def read(self, start):
+        s = start["pos"]
+        e = min(s + self.batch, self.n_rows)
+        return iter(self._rows(s, e)), {"pos": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+class RangeRowsStreamDataSource(DataSource):
+    """``spark.readStream.format("range_rows_stream")`` — the
+    streaming face of the connector."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "range_rows_stream"
+
+    def schema(self) -> str:
+        return "id bigint, h bigint, label string"
+
+    def simpleStreamReader(self, schema) -> RangeRowsStreamReader:
+        return RangeRowsStreamReader(self.options)
+
+
+def register_range_rows_stream(spark) -> None:
+    spark.dataSource.register(RangeRowsStreamDataSource)
