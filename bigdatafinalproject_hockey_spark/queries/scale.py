@@ -1260,3 +1260,133 @@ def q_mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = spark.read.parquet(f"{path}_s{step}")
     assert view is not None
     return view
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS pts,
+             {fixed_point_sum_sql("value")} AS pvalue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    prev AS (
+      SELECT c.user_id, c.event_id, c.ts,
+             p.pts AS prev_ts, p.pvalue AS prev_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.pts
+    ),
+    nxt AS (
+      SELECT c.user_id, c.event_id,
+             p.pts AS next_ts, p.pvalue AS next_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts <= p.pts
+    )
+    SELECT p.user_id, p.event_id, p.ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN 'prev'
+             WHEN prev_ts IS NULL THEN 'next'
+             WHEN epoch_us(p.ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(p.ts) THEN 'prev'
+             ELSE 'next'
+           END AS direction,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN epoch_us(p.ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(p.ts) THEN prev_ts
+             ELSE next_ts
+           END AS nearest_ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN next_ts IS NULL THEN prev_value
+             WHEN prev_ts IS NULL THEN next_value
+             WHEN epoch_us(p.ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(p.ts) THEN prev_value
+             ELSE next_value
+           END AS nearest_value
+    FROM prev p JOIN nxt n ON p.user_id = n.user_id
+                          AND p.event_id = n.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — each click matches its closest
+    purchase in EITHER direction (sensor alignment, quote matching
+    where the fresher of before/after wins), ties broken toward the
+    earlier (prev) row. Composed from the linear as-of operator run
+    twice: backward as-is, forward by running the SAME backward
+    operator over negated epoch-micros (order reversal turns
+    carry-forward into carry-backward — no second code path to trust),
+    then one equi-join picks the smaller |Δt| per click with integer
+    microsecond arithmetic. Cost: two sort-shuffles + one equi-join,
+    all linear; a fused single-sort variant (both frames over one
+    window) would halve the sorts if this ever dominates a pipeline.
+    The oracle runs DuckDB's native ASOF in both directions and
+    applies the same tie rule."""
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id", F.col("ts").alias("pts")
+    ).agg(fixed_point_sum(F.col("value")).alias("pvalue"))
+
+    prev = join_ops.join_asof(
+        clicks,
+        purchases.select(
+            "user_id",
+            F.col("pts").alias("prev_ts"),
+            F.col("pvalue").alias("prev_value"),
+        ),
+        on=["user_id"],
+        left_time="ts",
+        right_time="prev_ts",
+    ).select("user_id", "event_id", "ts", "prev_ts", "prev_value")
+
+    clicks_neg = clicks.select(
+        "user_id", "event_id", (-F.unix_micros("ts")).alias("nts")
+    )
+    purch_neg = purchases.select(
+        "user_id",
+        (-F.unix_micros("pts")).alias("pnts"),
+        F.col("pts").alias("next_ts"),
+        F.col("pvalue").alias("next_value"),
+    )
+    nxt = join_ops.join_asof(
+        clicks_neg,
+        purch_neg,
+        on=["user_id"],
+        left_time="nts",
+        right_time="pnts",
+    ).select("user_id", "event_id", "next_ts", "next_value")
+
+    j = prev.join(nxt, ["user_id", "event_id"])
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    both_null = F.col("prev_ts").isNull() & F.col("next_ts").isNull()
+    pick_prev = F.col("next_ts").isNull() | (
+        F.col("prev_ts").isNotNull() & (d_prev <= d_next)
+    )
+
+    def pick(prev_col, next_col):
+        return F.when(both_null, F.lit(None)).when(
+            pick_prev, F.col(prev_col)
+        ).otherwise(F.col(next_col))
+
+    return j.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(pick_prev, F.lit("prev"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+        pick("prev_ts", "next_ts").alias("nearest_ts"),
+        pick("prev_value", "next_value").alias("nearest_value"),
+    )
