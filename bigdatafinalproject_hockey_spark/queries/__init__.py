@@ -141,7 +141,12 @@ _VERIFY_FIRST = [
 # ts_ewma, dedup_containment, scan_text_roundtrip, events_top_paths,
 # mv_incremental_join) — all oracle-green locally at sf0.001 AND
 # sf0.01 under a plain driver-style session; front-load them with the
-# round-4c ten. Everything else is ≤1 round old after r4.
+# round-4c ten, together with the round-4e closers
+# (scan_binary_files, ts_trend_slope, events_peak_concurrency,
+# agg_listagg, events_activity_streaks, analytics_small_qty_revenue,
+# diag_join_key_skew, scan_custom_datasource, agg_multi_distinct,
+# stream_custom_datasource, join_asof_nearest — same local-green
+# status). Everything else is ≤1 round old after r4.
 
 
 def _rotate(window: list[str]) -> None:
