@@ -1390,3 +1390,150 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("prev_ts", "next_ts").alias("nearest_ts"),
         pick("prev_value", "next_value").alias("nearest_value"),
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o,
+    LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+             WHERE l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — top-2 priciest line items
+    PER qualifying order, written the way an analyst writes it
+    (per-row subquery with ORDER BY ... LIMIT) and decorrelated by
+    Catalyst into a set-based plan instead of executing per row.
+    This is the SQL-surface twin of topk_per_group: same semantics,
+    but arriving via the optimizer's DecorrelateInnerQuery /
+    RewriteLateralSubquery path — worth covering separately because
+    it's the shape migrated warehouse SQL actually contains. The
+    deterministic ORDER BY tie-break (price, then line number) makes
+    the LIMIT cut engine-exact; DuckDB runs the identical LATERAL
+    text."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lat_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lat_li")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM lat_orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lat_li
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        WHERE o.o_totalprice > 400000
+        """
+    )
+
+
+@register(
+    "analytics_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 4)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        (SELECT n_users FROM v WHERE variant = 'A') AS n_a,
+        (SELECT n_converted FROM v WHERE variant = 'A') AS c_a,
+        (SELECT n_users FROM v WHERE variant = 'B') AS n_b,
+        (SELECT n_converted FROM v WHERE variant = 'B') AS c_b
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND(
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)),
+             6) AS z_score
+    FROM wide
+    """,
+)
+def q_analytics_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test evaluation — the experimentation
+    primitive: users assigned to variants by a deterministic md5 hash
+    bit (the engine-portable twin of a production bucketing hash, so
+    assignment is reproducible across engines AND across reruns —
+    never RAND()), conversion = any purchase above 150 (every user purchases
+    SOMETHING in this fixture, so the raw any-purchase rate is a
+    degenerate 100% — the thresholded goal is the realistic readout),
+    and the pooled
+    two-proportion z-statistic computed from exact integer counts
+    with the identical expression tree on both engines (IEEE division
+    and sqrt are exactly rounded, so even before the 6-dp rounding the
+    doubles agree).
+
+    Scale shape: one per-user aggregate (the conversion flag), then
+    ONE conditional global aggregate produces the whole 2×2 table in
+    a single row (no per-variant filter branches to re-join) —
+    experiment readouts over 100 TB of raw events reduce to the same
+    two shuffles as a count."""
+    ev = load_table(spark, "events", sf_dir)
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    is_a = F.col("variant") == "A"
+    wide = assign.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.sum(F.when(is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(~is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
