@@ -1578,3 +1578,58 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_half(
         ev, ["user_id"], ["ts", "event_id"], "cents"
     ).select("user_id", "event_id", "ewma")
+
+
+@register(
+    "text_bigrams_udtf",
+    oracle=f"""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+             AS bigram
+    FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks
+          FROM documents) t,
+    LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+    """,
+)
+def q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bigram expansion through a PYTHON UDTF (Spark 3.5+
+    user-defined table function, Arrow-optimized): one input document
+    yields one row per adjacent token pair, joined laterally — the
+    1→N generator API for logic that outgrows a single expression.
+    This engine's production n-gram paths stay relational (exploded
+    JVM expressions — see text_bigram_logprob); the UDTF exists to
+    cover the API surface, and does it the right way: Arrow batch
+    transfer (ArrowEvalPythonUDTF in the plan), tokenization
+    identical to functions.text.tokens_expr so the rows are
+    value-checkable against the SQL oracle, and a terminating
+    generator (no state across rows).
+
+    Scale note: a UDTF is a map-side operator — no shuffle, scales
+    with input partitions — but each output row crosses the
+    Python/Arrow boundary; at 100 TB you budget it like mapInPandas,
+    not like an expression."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [
+                t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+            ]
+            for i in range(len(toks) - 1):
+                yield (i, toks[i] + " " + toks[i + 1])
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM docs_for_udtf d, LATERAL bigrams_udtf(d.text) b
+        """
+    )
