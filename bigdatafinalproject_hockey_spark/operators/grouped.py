@@ -161,3 +161,55 @@ def ewma_half(
         return pdf
 
     return narrow.groupBy(*group_cols).applyInPandas(fold, out_fields)
+
+
+def holt_linear_half(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing with
+    alpha = beta = 1/2, reduced per group to its final state:
+    l_1 = x_1, b_1 = 0, then
+      l_t = (x_t + (l_{t-1} + b_{t-1})) / 2
+      b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+    Output per group: n_points, level, trend, and the one-step
+    forecast level + trend.
+
+    Same cross-engine exactness contract as ewma_half: every step is
+    a fixed sequence of correctly-rounded IEEE adds/subtracts plus
+    exact halvings, so any engine replaying the identical recursion
+    (e.g. a recursive SQL CTE) reproduces the doubles bit-for-bit.
+    Same scale shape too: one shuffle on the group key, metadata-width
+    Arrow batches, sequential only WITHIN a group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    narrow = df.select(*group_cols, *order_cols, value_col)
+    key_fields = [
+        f"{c} {t}" for c, t in narrow.dtypes if c in group_cols
+    ]
+    out_fields = ", ".join(
+        key_fields
+        + ["n_points bigint", "level double", "trend double", "forecast double"]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        lvl, trend = x[0], 0.0
+        for v in x[1:]:
+            prev = lvl
+            lvl = (v + (lvl + trend)) * 0.5
+            trend = ((lvl - prev) + trend) * 0.5
+        head = pdf.iloc[[0]][[c for c in pdf.columns if c in set(group_cols)]]
+        head = head.reset_index(drop=True)
+        head["n_points"] = np.int64(len(x))
+        head["level"] = lvl
+        head["trend"] = trend
+        head["forecast"] = lvl + trend
+        return head
+
+    return narrow.groupBy(*group_cols).applyInPandas(fold, out_fields)

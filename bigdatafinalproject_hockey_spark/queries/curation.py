@@ -1633,3 +1633,60 @@ def q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM docs_for_udtf d, LATERAL bigrams_udtf(d.text) b
         """
     )
+
+
+@register(
+    "ts_holt_forecast",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, rn, n,
+             CAST(cents AS DOUBLE) AS lvl, CAST(0 AS DOUBLE) AS trend
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.n,
+             (e.cents + (r.lvl + r.trend)) / 2.0,
+             (((e.cents + (r.lvl + r.trend)) / 2.0 - r.lvl) + r.trend) / 2.0
+      FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           lvl AS level, trend, lvl + trend AS forecast
+    FROM r WHERE rn = n
+    """,
+)
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user, reduced
+    to the final (level, trend) state and the one-step-ahead forecast
+    — the trend-aware upgrade of ts_ewma that a plain EWMA can't give
+    (it lags any drifting series by design). TWO mutually-recursive
+    state variables, so even less window-expressible than EWMA; runs
+    through the same applyInPandas sequential-fold path
+    (operators/grouped.holt_linear_half).
+
+    alpha = beta = 1/2 keeps the cross-engine bit-exactness argument:
+    each step is a fixed tree of correctly-rounded adds/subtracts and
+    exact halvings, replayed identically by the recursive-CTE oracle
+    — note the oracle textually repeats the l_t expression inside b_t
+    so both engines evaluate the SAME operation sequence. Inputs are
+    exact integer cents; output doubles hash-match with no rounding
+    slack."""
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        holt_linear_half,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        cents_expr(F.col("value")).alias("cents"),
+    )
+    return holt_linear_half(
+        ev, ["user_id"], ["ts", "event_id"], "cents"
+    ).select("user_id", "n_points", "level", "trend", "forecast")
