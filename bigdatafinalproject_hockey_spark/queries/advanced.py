@@ -1143,3 +1143,93 @@ def q_stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_fanout_multi_sink",
+    oracle="""
+    SELECT event_type AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__raw_total__',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+    FROM events
+    """,
+)
+def q_stream_fanout_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink FANOUT from one stream — the write-once/serve-twice
+    pattern every ingest pipeline ends up needing: each micro-batch is
+    computed ONCE inside foreachBatch (persisted so both consumers see
+    the same evaluation) and lands in TWO stores — the raw archive
+    (replay/audit) and a pre-aggregated per-type partials store
+    (serving). Both writes are batch-id-keyed directory overwrites
+    (``ingest_batch=<id>``), the same crash-consistency pattern as
+    foreach_batch_upsert: a retried batch redoes exactly its own
+    directories in both sinks, so the two stores can never diverge
+    permanently — without needing a cross-store transaction.
+
+    The aggregate store holds MERGEABLE partials (count + int64
+    cents) per batch; serving re-aggregates partials, never raw rows
+    — at 100 TB the serving read is O(batches × types), not
+    O(events). The result checks BOTH sinks against one oracle: the
+    per-type rollup from the partials store plus a raw-archive total
+    row."""
+    import shutil
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    base = os.path.join(TMP_DIR, f"fanout_{tag}")
+    raw_path, agg_path = base + "_raw", base + "_agg"
+    ckpt = base + "_ckpt"
+    for p in (raw_path, agg_path, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            b.write.mode("overwrite").parquet(
+                f"{raw_path}/ingest_batch={batch_id}"
+            )
+            b.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents_expr(F.col("value"))).alias("cents"),
+            ).write.mode("overwrite").parquet(
+                f"{agg_path}/ingest_batch={batch_id}"
+            )
+        finally:
+            b.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    served = (
+        spark.read.parquet(agg_path)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("cents").cast("double") / 100).alias("sum_value"),
+        )
+        .select(F.col("event_type").alias("grp"), "n_events", "sum_value")
+    )
+    raw_total = spark.read.parquet(raw_path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(cents_expr(F.col("value"))).cast("double") / 100).alias(
+            "sum_value"
+        ),
+    ).select(F.lit("__raw_total__").alias("grp"), "n_events", "sum_value")
+    return served.unionByName(raw_total)
