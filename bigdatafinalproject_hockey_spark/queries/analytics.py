@@ -2162,3 +2162,65 @@ def q_diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows_key"), "key")
         .limit(10)
     )
+
+
+@register(
+    "analytics_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total
+      FROM per_cust
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(n // 5 AS BIGINT) AS top_20pct_customers,
+           CAST(SUM(CASE WHEN rn <= n // 5 THEN cents ELSE 0 END)
+                AS DOUBLE) / 100 AS top_20pct_revenue,
+           CAST(total AS DOUBLE) / 100 AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN rn <= n // 5 THEN cents ELSE 0 END)
+                      AS DOUBLE) / total, 6) AS top_20pct_share
+    FROM ranked
+    GROUP BY n, total
+    """,
+)
+def q_analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration readout — what share of revenue comes from
+    the top 20% of customers (the 80/20 check behind account
+    prioritization and risk concentration limits). Per-customer
+    revenue in exact cents, ranked with a deterministic (revenue,
+    custkey) tie-break so the 20% cutoff is engine-exact, one
+    conditional sum against rank <= n/5, one rounded division at the
+    end. The global rank is a single-partition window over the
+    CUSTOMER aggregate — fine at any scale where per-key aggregates
+    fit a partition (they're |customers| rows, not |orders|); beyond
+    that the cutoff comes from a quantile of the revenue distribution
+    instead of an exact rank."""
+    per_cust = load_table(spark, "orders", sf_dir).groupBy("o_custkey").agg(
+        F.sum(cents_expr(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    top = F.when(F.col("rn") <= F.expr("n div 5"), F.col("cents")).otherwise(0)
+    return ranked.groupBy("n", "total").agg(
+        F.sum(top).alias("top_cents")
+    ).select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.expr("n div 5").cast("long").alias("top_20pct_customers"),
+        (F.col("top_cents").cast("double") / 100).alias("top_20pct_revenue"),
+        (F.col("total").cast("double") / 100).alias("total_revenue"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total"), 6
+        ).alias("top_20pct_share"),
+    )
