@@ -1017,3 +1017,25 @@ def test_text_sink_null_sentinel_roundtrip(spark, tmp_path):
     # empty string is NOT null — the sentinel keeps the two distinct,
     # unlike CSV's ambiguous empty field
     assert got == [(1, None, 2.5), (2, "b", None), (3, "", 0.0)]
+
+
+def test_holt_linear_half_fixed_point_and_two_step(spark):
+    """A constant series is a fixed point of Holt (level = x, trend =
+    0, forecast = x); a two-point series must match the hand-rolled
+    recursion exactly."""
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        holt_linear_half,
+    )
+
+    const = spark.createDataFrame(
+        [(1, t, 42) for t in range(50)], "g int, t int, x long"
+    )
+    row = holt_linear_half(const, ["g"], ["t"], "x").collect()[0]
+    assert (row.level, row.trend, row.forecast) == (42.0, 0.0, 42.0)
+
+    two = spark.createDataFrame([(1, 0, 100), (1, 1, 200)], "g int, t int, x long")
+    r = holt_linear_half(two, ["g"], ["t"], "x").collect()[0]
+    lvl = (200 + (100.0 + 0.0)) * 0.5          # 150.0
+    trend = ((lvl - 100.0) + 0.0) * 0.5        # 25.0
+    assert (r.level, r.trend, r.forecast) == (lvl, trend, lvl + trend)
+    assert r.n_points == 2

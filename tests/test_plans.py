@@ -557,3 +557,20 @@ def test_parts_supplier_anti_join_broadcast(spark):
     plan = plan_of(spark, "analytics_parts_supplier")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bitmap_distinct_two_aggregates_no_expand(spark):
+    """The bitmap formulation must NOT fall back to Spark's
+    Expand-based distinct: two plain hash aggregates (word merge,
+    popcount sum), zero Expand operators."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_ab_test_two_shuffles(spark):
+    """Experiment readout must reduce to the per-user aggregate plus
+    one global conditional aggregate — two exchanges, no joins."""
+    plan = plan_of(spark, "analytics_ab_test")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
