@@ -146,7 +146,11 @@ _VERIFY_FIRST = [
 # agg_listagg, events_activity_streaks, analytics_small_qty_revenue,
 # diag_join_key_skew, scan_custom_datasource, agg_multi_distinct,
 # stream_custom_datasource, join_asof_nearest — same local-green
-# status). Everything else is ≤1 round old after r4.
+# status), and the round-4f sweep (join_lateral_topn,
+# analytics_ab_test, analytics_pareto, text_bigrams_udtf,
+# ts_holt_forecast, stream_fanout_multi_sink, agg_bitmap_distinct —
+# same local-green status). Everything else is ≤1 round old after
+# r4.
 
 
 def _rotate(window: list[str]) -> None:
