@@ -91,6 +91,12 @@ HEADLINE = [
     "analytics_top_supplier",    # Q15 argmax-over-aggregate
     "analytics_idle_customers",  # Q22 anti-join + scalar avg
     "analytics_parts_supplier",  # Q16 distinct-count + exclusion
+    # new in rounds 4e/4f:
+    "events_peak_concurrency",   # sweep-line: explode + day-window sum
+    "events_activity_streaks",   # gaps-and-islands, two windows
+    "ts_holt_forecast",          # Arrow fold per user (2-var recursion)
+    "join_lateral_topn",         # decorrelated LATERAL top-n
+    "agg_bitmap_distinct",       # bitmap-rollup distinct (no Expand)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
