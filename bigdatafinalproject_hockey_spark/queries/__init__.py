@@ -148,8 +148,8 @@ _VERIFY_FIRST = [
 # stream_custom_datasource, join_asof_nearest — same local-green
 # status), and the round-4f sweep (join_lateral_topn,
 # analytics_ab_test, analytics_pareto, text_bigrams_udtf,
-# ts_holt_forecast, stream_fanout_multi_sink, agg_bitmap_distinct —
-# same local-green status). Everything else is ≤1 round old after
+# ts_holt_forecast, stream_fanout_multi_sink, agg_bitmap_distinct,
+# events_dau_wau_mau — same local-green status). Everything else is ≤1 round old after
 # r4.
 
 
