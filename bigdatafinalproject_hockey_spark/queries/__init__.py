@@ -149,7 +149,8 @@ _VERIFY_FIRST = [
 # status), and the round-4f sweep (join_lateral_topn,
 # analytics_ab_test, analytics_pareto, text_bigrams_udtf,
 # ts_holt_forecast, stream_fanout_multi_sink, agg_bitmap_distinct,
-# events_dau_wau_mau — same local-green status). Everything else is ≤1 round old after
+# events_dau_wau_mau, stream_session_dynamic_gap — same local-green
+# status). Everything else is ≤1 round old after
 # r4.
 
 

@@ -1233,3 +1233,74 @@ def q_stream_fanout_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(F.lit("__raw_total__").alias("grp"), "n_events", "sum_value")
     return served.unionByName(raw_total)
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS e_end
+      FROM events
+    ),
+    o AS (
+      SELECT *, MAX(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e
+    ),
+    s AS (
+      SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max
+                     THEN 1 ELSE 0 END AS ns
+      FROM o
+    ),
+    g AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM s
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(e_end) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM g GROUP BY user_id, sess
+    """,
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event gap — purchases hold
+    a session open for 60 minutes, everything else 30 — run as a real
+    streaming query (session_window with a gap EXPRESSION, Spark
+    3.2+). Fixed-gap sessionization treats a user mid-checkout the
+    same as one idly browsing; per-event-type gaps are how production
+    funnels actually define engagement. Each event claims the
+    interval [ts, ts + gap(event)); overlapping claims merge, and the
+    merged session's end is the max claimed end.
+
+    The oracle is the interval-merge formulation in plain SQL: a
+    running max of claimed ends per user (an event starts a new
+    session iff its ts reaches every previous claim's end — note >=,
+    matching Spark's half-open windows), islands numbered by the
+    cumulative new-session flag. Session bounds, counts, and cent
+    sums all hash-match exactly."""
+    stream = read_events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents_expr(F.col("value"))).cast("double") / 100).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(spark, agg, output_mode="complete")
