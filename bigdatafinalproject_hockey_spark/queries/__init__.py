@@ -16,18 +16,19 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-4 window (VERDICT r3 items 1-2, 4-5, 7): (a) the three queries
-converted/added to oracle-backed this round (`ml_eval_deterministic`,
-`agg_approx`, `sink_console`); (b) the 11 queries whose only green row
-is from round 1 — two-round-old rows on a testdata set that has
-drifted once already; (c) the earliest round-2 greens in their r2
-verification order, so every green row in the registry stays ≤2 rounds
-old; (d) — the ONE deliberate exception to the no-rows-only rule —
-the four never-driver-executed entries (`ml_train_eval_rf/_gbt/_mlp`,
-`split_random`) pinned at the window TAIL per VERDICT r3 item 4: they
-can only ever earn `err: no_oracle` + a row count, which is exactly
-the driver-smoke evidence the judge asked for, and at the tail they
-displace the minimum number of oracle-backed re-verifications.
+Round-5 window (VERDICT r4 items 1 and 5 — the consolidation round):
+(a) the 42 oracle-backed queries registered in rounds 4c-4f AFTER the
+round-4 window was frozen — the entire driver-verification debt
+called out in VERDICT r4 item 1, in registration order (r4c ten, r4d
+twelve, r4e eleven, r4f nine); (b) the 7 oldest still-standing
+round-2 greens (VERDICT r4 item 5 — spend the spare slots on the
+two-round-old tier, oldest first per the rotation-debt list below);
+(c) WINDOW TAIL: `text_quality_classifier_fast`, the one rows-only
+newcomer (xxhash64 fast path; semantics pinned by its oracle-green
+portable twin) — expected outcome is `err: no_oracle` + a row count,
+the driver-smoke evidence, displacing zero oracle re-verifications.
+The round-4 window's occupants (all green in CORRECTNESS_r04) rotate
+out; their rows are 1 round old and stay valid.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -46,112 +47,92 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 # The driver's window is the first ~50 entries (50 in every round so
 # far) — this list is sized to exactly 50.
 _VERIFY_FIRST = [
-    # (a) converted/added to oracle-backed in round 4 — never had a
-    # green row; ml_eval_deterministic is the first possible green for
-    # the §2.14 evaluation surface, agg_approx the first for sketches;
-    # text_quality_classifier / corpus_snapshot_diff are the round-4
-    # curation additions (hashed-feature model filter, snapshot diff)
-    "ml_eval_deterministic",
-    "agg_approx",
-    "sink_console",
-    "text_quality_classifier",
-    "corpus_snapshot_diff",
-    "stream_dedup_within_watermark",
-    "join_bloom_pruned",
-    "mv_incremental_agg",
-    "scan_schema_evolution",
-    # (a2) added later in round 4 — never verified: SCD2 merge +
-    # point-in-time lookup, calibration eval, int8 quantization,
-    # z-order clustering, manifest file skipping
-    "merge_scd2",
-    "join_scd2_pointintime",
-    "ml_eval_calibration",
-    "embedding_quantize",
-    "sort_zorder",
-    "scan_files_pruned",
-    "events_retention_cohort",
-    "pipeline_incremental_curation",
-    "analytics_shipping_priority",
-    "analytics_large_orders",
-    "stream_scd2_cdc",
-    "ts_gapfill",
-    "dq_expectations",
-    "graph_pagerank",
-    "join_null_safe",
-    "scan_csv_quarantine",
-    "sim_hybrid_rrf",
-    "events_markov_transitions",
-    "multimodal_phash_dedup",
-    "ml_eval_kfold",
-    "win_rolling_median",
-    "stream_late_data_accounting",
-    "analytics_rfm_segments",
-    "analytics_basket_lift",
-    # (b) the 11 queries green only in round 1 (VERDICT r3 item 2) —
-    # their rows are two rounds old
-    "agg_count_filter",
-    "agg_global_max",
-    "agg_group_multi",
-    "anti_join",
-    "join_equi_3key",
-    "join_self_matchup",
-    "join_star",
-    "lookup_with_fallback",
-    "map_literal_lookup",
-    "semi_join_isin",
-    "str_fuzzy_match",
-    # (c) earliest r2 greens in their CORRECTNESS_r02 order — oldest
-    # still-standing rows first (the r2 greens re-earned in r3 and the
-    # r3 greens are current and stay out of the window)
-    "split_temporal",
-    "dedup_exact",
-    # (d) WINDOW TAIL — deliberate rows-only driver smoke (VERDICT r3
-    # item 4): these four have never been executed by the driver;
-    # err=no_oracle + a row count is the expected, wanted outcome.
-    "ml_train_eval_rf",
-    "ml_train_eval_gbt",
-    "ml_train_eval_mlp",
-    "split_random",
+    # (a) the round-4c ten — registered after the r4 window froze,
+    # never driver-verified (oracle-green locally at sf0.01 via
+    # tests/test_oracle_parity.py)
+    "events_attribution",
+    "ts_downsample",
+    "agg_histogram",
+    "analytics_promo_share",
+    "events_anomaly_mad",
+    "stream_stream_left_outer",
+    "join_dpp",
+    "join_interval_binned",
+    "agg_sketch_rollup",
+    "ml_eval_pr_curve",
+    # (a) the round-4d twelve — same status
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    "analytics_top_supplier",
+    "analytics_idle_customers",
+    "analytics_parts_supplier",
+    "stream_chained_agg",
+    "sample_weighted",
+    "ts_ewma",
+    "dedup_containment",
+    "scan_text_roundtrip",
+    "events_top_paths",
+    "mv_incremental_join",
+    # (a) the round-4e eleven — same status
+    "scan_binary_files",
+    "ts_trend_slope",
+    "events_peak_concurrency",
+    "agg_listagg",
+    "events_activity_streaks",
+    "analytics_small_qty_revenue",
+    "diag_join_key_skew",
+    "scan_custom_datasource",
+    "agg_multi_distinct",
+    "stream_custom_datasource",
+    "join_asof_nearest",
+    # (a) the round-4f nine — same status
+    "join_lateral_topn",
+    "analytics_ab_test",
+    "analytics_pareto",
+    "text_bigrams_udtf",
+    "ts_holt_forecast",
+    "stream_fanout_multi_sink",
+    "agg_bitmap_distinct",
+    "events_dau_wau_mau",
+    "stream_session_dynamic_gap",
+    # (b) the 7 oldest round-2 greens (two-round-old rows; VERDICT r4
+    # item 5) — oldest first per the r2 verification order
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pipeline_features",
+    "join_range",
+    "agg_rollup",
+    "agg_cube",
+    # (c) WINDOW TAIL — rows-only driver smoke: the xxhash64 fast path
+    # (no portable oracle BY DESIGN; semantics pinned by the green
+    # `text_quality_classifier` twin). err=no_oracle + a row count is
+    # the expected, wanted outcome.
+    "text_quality_classifier_fast",
 ]
 
-# ROUND-5 ROTATION DEBT (write the next window from this): r2 greens
-# not re-verified since round 2 — multimodal_meta,
-# multimodal_frame_sample, multimodal_resize, pipeline_features,
-# join_range, agg_rollup, agg_cube, agg_grouping_sets, sim_ann_ivf,
-# stream_stateful_totals, sink_parquet_partitioned, grouped_zscore,
-# array_functions, doc_fingerprint, text_lang_id, agg_quantile_report,
-# text_bpe_token_count, plus sim_knn_classify, text_token_count,
+# ROUND-6 ROTATION DEBT (write the next window from this): r2 greens
+# still not re-verified since round 2, in their r2 order —
+# agg_grouping_sets, sim_ann_ivf, stream_stateful_totals,
+# sink_parquet_partitioned, grouped_zscore, array_functions,
+# doc_fingerprint, text_lang_id, agg_quantile_report,
+# text_bpe_token_count, sim_knn_classify, text_token_count,
 # text_repetition_score, text_top_tokens, text_quality_score,
 # pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
 # dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
 # agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
 # dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
 # topk_global, union_all, text_contamination, split_hash,
-# sample_by_key, text_unigram_logprob, text_pii_scrub (displaced from
-# this window by the twenty-four late-round-4 queries). ALSO never
-# driver-verified: the ten round-4c queries added after the window was
-# frozen (events_attribution, ts_downsample, agg_histogram,
-# analytics_promo_share, events_anomaly_mad, stream_stream_left_outer,
-# join_dpp, join_interval_binned, agg_sketch_rollup, ml_eval_pr_curve)
-# — oracle-green locally via tests/test_oracle_parity.py; front-load
-# them in round 5. LIKEWISE never driver-verified: the twelve
-# round-4d queries (graph_triangle_count, graph_bfs_hops,
-# analytics_top_supplier, analytics_idle_customers,
-# analytics_parts_supplier, stream_chained_agg, sample_weighted,
-# ts_ewma, dedup_containment, scan_text_roundtrip, events_top_paths,
-# mv_incremental_join) — all oracle-green locally at sf0.001 AND
-# sf0.01 under a plain driver-style session; front-load them with the
-# round-4c ten, together with the round-4e closers
-# (scan_binary_files, ts_trend_slope, events_peak_concurrency,
-# agg_listagg, events_activity_streaks, analytics_small_qty_revenue,
-# diag_join_key_skew, scan_custom_datasource, agg_multi_distinct,
-# stream_custom_datasource, join_asof_nearest — same local-green
-# status), and the round-4f sweep (join_lateral_topn,
-# analytics_ab_test, analytics_pareto, text_bigrams_udtf,
-# ts_holt_forecast, stream_fanout_multi_sink, agg_bitmap_distinct,
-# events_dau_wau_mau, stream_session_dynamic_gap — same local-green
-# status). Everything else is ≤1 round old after
-# r4.
+# sample_by_key, text_unigram_logprob, text_pii_scrub (34 queries —
+# fits one window with ~16 slots left for the oldest r3 rows:
+# map_functions, json_extract, sessionize_events, win_first_last,
+# win_lag, win_running_sum, win_range_interval, reshape_unpivot,
+# sample_stratified, stream_tumbling_agg, stream_sliding_agg,
+# stream_dedup, stream_session_window, stream_static_enrich,
+# stream_foreachbatch_upsert, join_full_outer). After the round-5
+# window lands, every registered query will have ≥1 driver row and no
+# green row will be older than 3 rounds; round 6 restores the ≤2-round
+# freshness invariant.
 
 
 def _rotate(window: list[str]) -> None:
