@@ -5,6 +5,16 @@ Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+Output protocol (round 5 — VERDICT r4 item 2): the driver records
+only the LAST ~2000 characters of stdout and parses a JSON line out
+of that tail; round 4's single all-detail line outgrew the window and
+the official record became an unparseable fragment (`parsed: null`).
+So the LAST stdout line is now a size-capped summary — wall-clock +
+every headline timing (2 dp, compact separators), with the scale-probe
+ratios appended only if the line stays under the cap — and the full
+uncapped result (probe sec values, error text) is written to
+`BENCH_FULL.json` next to this script and echoed to stderr.
+
 Each query is forced through the noop sink so the FULL plan executes
 (count() would let Catalyst prune window/projection work).
 
@@ -140,6 +150,11 @@ X10_EVENTS = [
     # round 4d — both user-keyed, should scale ~linearly in groups:
     "ts_ewma",              # Arrow fold per user (10× the batches)
     "events_top_paths",     # lead windows + low-cardinality agg
+    # round 4f tier (VERDICT r4 item 7 — newest ops had correctness
+    # evidence but no scale measurement):
+    "events_dau_wau_mau",   # ×30 contribution explosion + distincts
+    "agg_bitmap_distinct",  # bitmap words over a 10×-sparser id domain
+    "stream_session_dynamic_gap",  # streaming session windows, 10× keys
 ]
 
 
@@ -300,14 +315,22 @@ def main() -> None:
         if name not in timings:
             continue  # headline run errored; skip its probe
         try:
+            # Re-measure the 1× base ADJACENT to the probe under the
+            # same warm protocol (round 5, VERDICT r4 item 3): r4's
+            # ratios divided a probe taken minutes later by the
+            # headline timing, and that cross-session-state division
+            # produced the spurious 3.25× portable-minhash ratio
+            # (clean-box re-runs: 2.3-2.7×). Same-moment pairs make
+            # the ratio a measurement, not an artifact.
+            base = run_warm(name, SF_DIR)
             dt = run_warm(name, x10_dir)
         except Exception as exc:  # noqa: BLE001
             errors[f"x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         docs_x10[name] = {
-            "sec_1x": timings[name],
+            "sec_1x": round(base, 3),
             "sec_10x": round(dt, 3),
-            "ratio": round(dt / timings[name], 2) if timings[name] else None,
+            "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [x10] {name}: {dt:.3f}s", file=sys.stderr)
     # round-3 tier at 100× documents with DISJOINT vocab (input
@@ -347,7 +370,8 @@ def main() -> None:
     events_x10: dict[str, dict] = {}
     for name in X10_EVENTS:
         try:
-            base = timings.get(name) or round(run_warm(name, SF_DIR), 3)
+            # Adjacent same-protocol base, as for docs_x10 above.
+            base = round(run_warm(name, SF_DIR), 3)
             dt = run_warm(name, ev_x10_dir)
         except Exception as exc:  # noqa: BLE001
             errors[f"ev_x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -370,8 +394,70 @@ def main() -> None:
         "events_x10": events_x10,
         "errors": errors,
     }
-    print(json.dumps(out))
+    # Full uncapped record → file + stderr (humans, SURVEY, judge).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh)
+    print(json.dumps(out), file=sys.stderr)
+    # Driver-facing record → the LAST stdout line, capped so it fits
+    # entirely inside the driver's ~2000-char stdout tail capture
+    # (see module docstring). Wall + all headline timings always;
+    # probe RATIOS appended only while the line stays under the cap.
+    print(build_summary_line(out))
     spark.stop()
+
+
+def build_summary_line(out: dict, cap: int = 1900) -> str:
+    """Serialize the driver-facing summary to one JSON line ≤ ``cap``
+    characters: metric/value/unit/measure/sf + every headline timing
+    at 2 dp, then (budget permitting) per-probe scale ratios and the
+    error count. Separated from main() for direct unit testing."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "measure": out["measure"],
+        "sf": out["sf"],
+        "n_queries": len(out["queries"]),
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+    }
+    if out.get("errors"):
+        compact["n_errors"] = len(out["errors"])
+
+    def dumps(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    line = dumps(compact)
+    # Append probe ratio dicts one section at a time while they fit.
+    for key in ("docs_x10", "docs_x100", "events_x10"):
+        probes = out.get(key) or {}
+        ratios = {
+            name: rec.get("ratio")
+            for name, rec in probes.items()
+            if rec.get("ratio") is not None
+        }
+        if not ratios:
+            continue
+        trial = dict(compact)
+        trial[f"{key}_ratio"] = ratios
+        if len(dumps(trial)) <= cap:
+            compact = trial
+            line = dumps(compact)
+    # Last-resort degradation (should not trigger at current suite
+    # size — asserted by tests): drop per-query detail rather than
+    # ever emitting an unparseable over-cap line.
+    while len(line) > cap and compact["queries"]:
+        slowest = sorted(
+            compact["queries"], key=compact["queries"].get, reverse=True
+        )
+        compact["queries"] = {
+            k: compact["queries"][k] for k in slowest[: len(slowest) // 2]
+        }
+        compact["queries_truncated"] = True
+        line = dumps(compact)
+    return line
 
 
 if __name__ == "__main__":

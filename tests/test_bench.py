@@ -1,0 +1,80 @@
+"""Locks on bench.py's driver-facing output protocol.
+
+The driver records only the LAST ~2000 characters of bench stdout and
+parses a JSON line from that tail; round 4's single all-detail line
+outgrew the window and the official record became `parsed: null`
+(VERDICT r4 item 2). These tests pin the fix: the final stdout line is
+a complete JSON document that fits the capture window at the CURRENT
+suite size, carries the wall-clock value and every headline timing,
+and degrades (rather than overruns) if the suite ever outgrows it.
+"""
+
+import json
+
+import bench
+from bench import HEADLINE, X10, X100, X10_EVENTS, build_summary_line
+
+DRIVER_TAIL_CHARS = 2000
+
+
+def _fake_out(n_extra: int = 0) -> dict:
+    queries = {n: 0.1 + (i % 40) / 10 for i, n in enumerate(HEADLINE)}
+    for i in range(n_extra):
+        queries[f"hypothetical_future_query_number_{i:03d}"] = 1.234
+    return {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "measure": "warm_second_run",
+        "sf": 0.1,
+        "queries": queries,
+        "docs_x10": {n: {"sec_1x": 1.0, "sec_10x": 2.5, "ratio": 2.5} for n in X10},
+        "docs_x100": {n: {"sec_1x": 1.0, "sec_100x": 7.5, "ratio": 7.5} for n in X100},
+        "events_x10": {
+            n: {"sec_1x": 1.0, "sec_10x": 1.8, "ratio": 1.8} for n in X10_EVENTS
+        },
+        "errors": {},
+    }
+
+
+def test_summary_line_fits_driver_tail_with_full_detail():
+    line = build_summary_line(_fake_out())
+    assert len(line) + 1 <= DRIVER_TAIL_CHARS  # +1 trailing newline
+    parsed = json.loads(line)
+    # Wall + ALL headline timings survive (the VERDICT item-2 "done"
+    # condition), plus at least one probe-ratio section.
+    assert parsed["value"] == _fake_out()["value"]
+    assert set(parsed["queries"]) == set(HEADLINE)
+    assert "queries_truncated" not in parsed
+    assert any(k.endswith("_ratio") for k in parsed)
+
+
+def test_summary_line_degrades_never_overruns():
+    """A 3×-size suite must shed detail, not emit an over-cap line."""
+    line = build_summary_line(_fake_out(n_extra=2 * len(HEADLINE)))
+    assert len(line) + 1 <= DRIVER_TAIL_CHARS
+    parsed = json.loads(line)
+    assert parsed["queries_truncated"] is True
+    assert parsed["n_queries"] == 3 * len(HEADLINE)  # true count survives
+
+
+def test_summary_line_is_valid_json_with_errors_counted():
+    out = _fake_out()
+    out["errors"] = {"some_query": "Boom"}
+    parsed = json.loads(build_summary_line(out))
+    assert parsed["n_errors"] == 1
+
+
+def test_probe_lists_reference_registered_queries():
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    for name in HEADLINE + X10 + X100 + X10_EVENTS:
+        assert name in QUERIES, name
+
+
+def test_headline_cap_guard():
+    """At ~34 chars/query serialized, the full-detail line stops
+    fitting near 55 headline queries; grow past that and the probe
+    ratios silently drop out of the driver record — prefer trimming
+    the suite (or raising this lock consciously) to silent data loss."""
+    assert len(bench.HEADLINE) <= 55
