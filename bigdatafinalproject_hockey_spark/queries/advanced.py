@@ -40,6 +40,15 @@ from bigdatafinalproject_hockey_spark.streaming import (
 TMP_DIR = "/root/repo/.tmp"
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag derived from the sf_dir leaf, embedded in
+    every shared staging/sink path so concurrent sessions or scale
+    factors can never race on one directory (ADVICE r4)."""
+    return "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+
+
 @register(
     "stream_tumbling_agg",
     oracle="""
@@ -202,7 +211,7 @@ def q_scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON escaping of arbitrary text payloads and null handling."""
     from bigdatafinalproject_hockey_spark.sources.jsonl import scan_jsonl, sink_jsonl
 
-    path = os.path.join(TMP_DIR, "jsonl_roundtrip_documents")
+    path = os.path.join(TMP_DIR, f"jsonl_roundtrip_documents_{_sf_tag(sf_dir)}")
     df = load_table(spark, "documents", sf_dir)
     sink_jsonl(df, path)
     return scan_jsonl(spark, path, SCHEMAS["documents"])
@@ -220,7 +229,7 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer table to CSV, read it back typed, values identical to the
     parquet original. Exercises header handling, null sentinels, and
     full-precision double round-trip."""
-    path = os.path.join(TMP_DIR, "csv_roundtrip_customer")
+    path = os.path.join(TMP_DIR, f"csv_roundtrip_customer_{_sf_tag(sf_dir)}")
     df = load_table(spark, "customer", sf_dir)
     sink_csv(df, path)
     return scan_csv(spark, path, SCHEMAS["customer"])
@@ -1014,7 +1023,7 @@ def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the CSV, JSONL, ORC, and parquet round-trips."""
     from bigdatafinalproject_hockey_spark.sources.text import scan_text, sink_text
 
-    path = os.path.join(TMP_DIR, "text_roundtrip_documents")
+    path = os.path.join(TMP_DIR, f"text_roundtrip_documents_{_sf_tag(sf_dir)}")
     df = load_table(spark, "documents", sf_dir)
     sink_text(df, path)
     return scan_text(spark, path, SCHEMAS["documents"])
@@ -1140,6 +1149,14 @@ def q_stream_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             if spark.table(name).count() >= n_rows:
                 break
             time.sleep(0.2)
+        else:
+            # A hung micro-batch must fail HERE, not surface later as
+            # an opaque oracle hash mismatch on a partial table
+            # (ADVICE r4).
+            raise TimeoutError(
+                f"custom streaming source drained only "
+                f"{spark.table(name).count()}/{n_rows} rows in 120s"
+            )
     finally:
         q.stop()
     return spark.table(name)

@@ -23,7 +23,12 @@ from bigdatafinalproject_hockey_spark.catalog import load_table
 from bigdatafinalproject_hockey_spark.queries.base import register
 
 # Shared CTE head: canonical (p1 < p2) part co-purchase edges with
-# weight >= 2, exactly mirroring _copurchase_edges below.
+# >= 2 co-occurring LINE-ITEM PAIRS, exactly mirroring
+# _copurchase_edges below. (COUNT(*) counts lineitem pairs, not
+# distinct orders: one order holding repeated partkey lines can meet
+# the threshold by itself — ADVICE r4. Both engines state and compute
+# the same rule, deliberately: pair-count weighting is the standard
+# co-occurrence strength signal and needs no DISTINCT shuffle.)
 _EDGES_SQL = """
     edges AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -36,7 +41,8 @@ _EDGES_SQL = """
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (p1 < p2) part pairs sharing >= 2 orders.
+    """Canonical (p1 < p2) part pairs with >= 2 co-occurring
+    line-item pairs (NOT distinct orders — see _EDGES_SQL note).
 
     One self-join keyed on l_orderkey (pairs-per-order is bounded by
     order size, so the intermediate is sum-of-squares of order sizes,

@@ -38,9 +38,17 @@ def scan_text(spark: SparkSession, path: str, schema: StructType, sep: str = "\t
 
     One narrow scan; the split + casts are codegen'd expressions, so
     typing happens JVM-side at full scan parallelism.
+
+    ``sep`` is treated as a LITERAL separator: F.split takes a Java
+    regex, so the separator is \\Q...\\E-quoted before splitting — a
+    caller using ``|`` or ``.`` gets field-wise splits, not
+    char-wise ones (ADVICE r4). Caller contract: a field whose string
+    value equals the null sentinel (``\\N``) round-trips to NULL —
+    callers with adversarial payloads should pick a sentinel outside
+    the value domain (sink_text and scan_text share ``_NULL``).
     """
     raw = spark.read.text(path)
-    parts = F.split(F.col("value"), sep)
+    parts = F.split(F.col("value"), "\\Q" + sep + "\\E")
     return raw.select(
         *[
             F.nullif(parts.getItem(i), F.lit(_NULL))

@@ -429,11 +429,56 @@ def _novel_rows(
     return b
 
 
+def reconcile_key_index(
+    spark: SparkSession,
+    sink_path: str,
+    index_path: str,
+    key_cols: list[str],
+) -> list[int]:
+    """Heal the keys-only index from the sink after a crash window the
+    batch-id overwrites cannot cover: a batch crashed BETWEEN its sink
+    write and its index write AND the checkpoint was then lost (so the
+    batch is never replayed). The sink then holds an
+    ``ingest_batch=N`` directory with no index twin, and every later
+    ingest of the same keys would re-append them.
+
+    The sink is the source of truth (it is written first): any sink
+    batch directory missing from the index is re-derived by projecting
+    its keys. Idempotent — healed directories are ordinary index
+    batches. Returns the healed batch ids (empty when consistent).
+    Call on restart before starting the stream; ``foreach_batch_upsert``
+    does so when resuming into an existing sink."""
+
+    def _batch_ids(root: str) -> set[int]:
+        if not os.path.isdir(root):
+            return set()
+        out = set()
+        for d in os.listdir(root):
+            if d.startswith("ingest_batch="):
+                sub = os.path.join(root, d)
+                if os.path.isdir(sub) and any(
+                    f.endswith(".parquet") for f in os.listdir(sub)
+                ):
+                    out.add(int(d.split("=", 1)[1]))
+        return out
+
+    orphaned = sorted(_batch_ids(sink_path) - _batch_ids(index_path))
+    for bid in orphaned:
+        (
+            spark.read.parquet(os.path.join(sink_path, f"ingest_batch={bid}"))
+            .select(*key_cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_path, f"ingest_batch={bid}"))
+        )
+    return orphaned
+
+
 def foreach_batch_upsert(
     spark: SparkSession,
     stream_df: DataFrame,
     sink_path: str,
     key_cols: list[str],
+    fresh: bool = True,
 ) -> DataFrame:
     """Exactly-once upsert into a plain parquet table via foreachBatch:
     per micro-batch, drop in-batch duplicate keys, anti-join against a
@@ -458,14 +503,24 @@ def foreach_batch_upsert(
     own directories; it can neither duplicate rows the sink already
     holds nor erase them, because the anti-join reads only strictly
     earlier batches' keys (see _novel_rows).
+
+    The one window the overwrites cannot cover — crash between the two
+    writes AND loss of the checkpoint, so the batch never replays — is
+    closed by ``reconcile_key_index`` when resuming (``fresh=False``):
+    sink batch directories missing their index twin are healed from
+    the sink before the stream starts (regression-tested in
+    tests/test_streaming_restart.py).
     """
     import shutil
 
-    shutil.rmtree(sink_path, ignore_errors=True)
     checkpoint = sink_path + "_ckpt"
-    shutil.rmtree(checkpoint, ignore_errors=True)
     index_path = sink_path + "_keyidx"
-    shutil.rmtree(index_path, ignore_errors=True)
+    if fresh:
+        shutil.rmtree(sink_path, ignore_errors=True)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(index_path, ignore_errors=True)
+    else:
+        reconcile_key_index(spark, sink_path, index_path, key_cols)
     schema = stream_df.schema
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -1039,3 +1039,32 @@ def test_holt_linear_half_fixed_point_and_two_step(spark):
     trend = ((lvl - 100.0) + 0.0) * 0.5        # 25.0
     assert (r.level, r.trend, r.forecast) == (lvl, trend, lvl + trend)
     assert r.n_points == 2
+
+
+def test_text_sink_regex_metachar_separator(spark, tmp_path):
+    """The separator is a LITERAL (ADVICE r4): '|' or '.' as sep must
+    split field-wise, not regex-wise."""
+    from pyspark.sql import types as TT
+
+    from bigdatafinalproject_hockey_spark.sources.text import scan_text, sink_text
+
+    schema = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType()),
+            TT.StructField("name", TT.StringType()),
+        ]
+    )
+    # values avoid the separator chars themselves — delimited text
+    # without escaping cannot carry its own separator (documented
+    # caller contract); the bug being locked here is regex-metachar
+    # interpretation, which mis-split EVERY value ('ab c' under
+    # sep='.' became single chars)
+    df = spark.createDataFrame([(1, "ab c"), (2, None)], schema)
+    for sep in ("|", ".", "$^"):
+        path = str(tmp_path / f"txt_{ord(sep[0])}")
+        sink_text(df, path, sep=sep)
+        back = scan_text(spark, path, schema, sep=sep)
+        assert sorted((r.id, r.name) for r in back.collect()) == [
+            (1, "ab c"),
+            (2, None),
+        ], f"sep={sep!r}"

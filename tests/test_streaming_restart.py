@@ -104,3 +104,69 @@ def test_stage_source_links_owns_directory(tmp_path):
     assert os.path.realpath(os.path.join(stage, "events_00000.parquet")) == src
     with open(os.path.join(stage, "zz_flush.parquet"), "rb") as f:
         assert f.read() == b"keep me"
+
+
+def test_upsert_crash_between_writes_then_replay(spark, tmp_path):
+    """Batch-id-keyed overwrite safety (VERDICT r4 item 4a): a batch
+    that crashed AFTER its sink write but BEFORE its index write is
+    replayed by the checkpoint; the replay must overwrite its own
+    directories and the final sink must hold each key exactly once."""
+    from bigdatafinalproject_hockey_spark.streaming import _novel_rows
+
+    sink = str(tmp_path / "sink")
+    index = str(tmp_path / "idx")
+    events = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value"
+    )
+    b0 = events.limit(100)
+    b1 = events.limit(150)  # overlaps b0's keys: 50 novel
+
+    def write_batch(df, bid, crash_before_index=False):
+        b = _novel_rows(spark, df, index, ["event_id"], bid)
+        b.persist()
+        b.write.mode("overwrite").parquet(f"{sink}/ingest_batch={bid}")
+        if not crash_before_index:
+            b.select("event_id").write.mode("overwrite").parquet(
+                f"{index}/ingest_batch={bid}"
+            )
+        b.unpersist()
+
+    write_batch(b0, 0)
+    write_batch(b1, 1, crash_before_index=True)  # crash window
+    write_batch(b1, 1)  # checkpoint replay of the same batch id
+    got = spark.read.parquet(sink)
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
+
+
+def test_upsert_reconcile_heals_lost_checkpoint(spark, tmp_path):
+    """reconcile_key_index (VERDICT r4 item 4a, the no-replay window):
+    sink batch dir exists, index twin missing, checkpoint gone so the
+    batch never replays. Without reconciliation a later batch carrying
+    the same keys re-appends them; with it they are filtered."""
+    from bigdatafinalproject_hockey_spark.streaming import (
+        _novel_rows,
+        reconcile_key_index,
+    )
+
+    sink = str(tmp_path / "sink")
+    index = str(tmp_path / "idx")
+    events = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "value"
+    )
+    b0 = events.limit(100)
+
+    # batch 0 crashed between writes; checkpoint was then lost
+    _novel_rows(spark, b0, index, ["event_id"], 0).write.mode(
+        "overwrite"
+    ).parquet(f"{sink}/ingest_batch=0")
+    assert not os.path.isdir(f"{index}/ingest_batch=0")
+
+    healed = reconcile_key_index(spark, sink, index, ["event_id"])
+    assert healed == [0]
+    # idempotent: second call finds nothing to heal
+    assert reconcile_key_index(spark, sink, index, ["event_id"]) == []
+
+    # a NEW batch (fresh checkpoint numbering) re-delivers b0's keys
+    b = _novel_rows(spark, b0, index, ["event_id"], None)
+    assert b.count() == 0, "healed index failed to filter re-delivered keys"
