@@ -129,10 +129,12 @@ _VERIFY_FIRST = [
 # win_lag, win_running_sum, win_range_interval, reshape_unpivot,
 # sample_stratified, stream_tumbling_agg, stream_sliding_agg,
 # stream_dedup, stream_session_window, stream_static_enrich,
-# stream_foreachbatch_upsert, join_full_outer). After the round-5
-# window lands, every registered query will have ≥1 driver row and no
-# green row will be older than 3 rounds; round 6 restores the ≤2-round
-# freshness invariant.
+# stream_foreachbatch_upsert, join_full_outer). ALSO front-load the
+# one round-5 newcomer: multimodal_decode_ppm (the real-PPM-codec
+# query, VERDICT r4 item 8 — registered after the round-5 window was
+# frozen; local oracle-green). After the round-5 window lands, every
+# pre-r5 query will have ≥1 driver row and no green row will be older
+# than 3 rounds; round 6 restores the ≤2-round freshness invariant.
 
 
 def _rotate(window: list[str]) -> None:
