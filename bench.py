@@ -208,7 +208,16 @@ def ensure_docs_x10(spark, sf_dir: str) -> str:
 def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
     """Materialize a ``copies``×-amplified events table under .tmp
     (once): per-copy user_id/event_id offsets keep users DISJOINT, so
-    the probe isolates group-count scaling (per-group work constant)."""
+    the probe isolates group-count scaling (per-group work constant).
+
+    Written as ONE part file to match the driver testdata's layout
+    (sf0.1 events.parquet is a single file): the file-stream source
+    turns each staged file into its own micro-batch, so a 32-part
+    amplified table made the streaming session probe replay 32
+    micro-batches against the 1× run's one — its first measured
+    "ratio" (20×) was batch-count amplification, not operator
+    scaling. Equal layout ⇒ equal batch count ⇒ the probe measures
+    the 10× key-space, which is the question being asked."""
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -236,7 +245,7 @@ def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
             )
             for k in range(copies)
         ]
-        reduce(DataFrame.unionByName, parts).repartition(32).write.mode(
+        reduce(DataFrame.unionByName, parts).coalesce(1).write.mode(
             "overwrite"
         ).parquet(target)
     return out_dir
