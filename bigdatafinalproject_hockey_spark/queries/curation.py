@@ -1666,19 +1666,25 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the final (level, trend) state and the one-step-ahead forecast
     — the trend-aware upgrade of ts_ewma that a plain EWMA can't give
     (it lags any drifting series by design). TWO mutually-recursive
-    state variables, so even less window-expressible than EWMA; runs
-    through the same applyInPandas sequential-fold path
-    (operators/grouped.holt_linear_half).
+    state variables, so not window-expressible — but because only the
+    FINAL state is needed, the recursion IS a fold, and since round 5
+    it runs as a pure-JVM ``F.aggregate`` higher-order function over
+    the sorted per-user sequence
+    (operators/grouped.holt_linear_half_hof): no Python worker, no
+    Arrow round-trip, one shuffle, ~5× faster than the applyInPandas
+    twin (which remains in operators/grouped.py as the general
+    sequential path — per-step outputs like ts_ewma still need it).
 
     alpha = beta = 1/2 keeps the cross-engine bit-exactness argument:
     each step is a fixed tree of correctly-rounded adds/subtracts and
     exact halvings, replayed identically by the recursive-CTE oracle
-    — note the oracle textually repeats the l_t expression inside b_t
-    so both engines evaluate the SAME operation sequence. Inputs are
-    exact integer cents; output doubles hash-match with no rounding
-    slack."""
+    — the HOF step textually repeats the l_t expression inside b_t
+    exactly as the oracle does, so both engines evaluate the SAME
+    operation sequence. Inputs are exact integer cents; output doubles
+    hash-match with no rounding slack (locked by the parity gate AND
+    a direct HOF-vs-Arrow equality test in tests/test_modules.py)."""
     from bigdatafinalproject_hockey_spark.operators.grouped import (
-        holt_linear_half,
+        holt_linear_half_hof,
     )
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -1687,6 +1693,6 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cents_expr(F.col("value")).alias("cents"),
     )
-    return holt_linear_half(
+    return holt_linear_half_hof(
         ev, ["user_id"], ["ts", "event_id"], "cents"
     ).select("user_id", "n_points", "level", "trend", "forecast")

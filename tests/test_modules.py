@@ -1122,3 +1122,33 @@ def test_decode_features_reads_header_not_id(spark):
     row = decode_features_batched(df).collect()[0]
     assert (row.width, row.height) == (9, 2)
     assert row.sum_r == row.sum_g == row.sum_b == 7 * 18
+
+
+def test_holt_hof_equals_arrow_fold_bitexact(spark):
+    """The JVM aggregate() HOF fold and the applyInPandas fold must
+    produce bit-identical doubles — same IEEE operation sequence, two
+    execution paths (round 5; the registered ts_holt_forecast rides
+    the HOF, the Arrow twin stays as the general sequential path)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        holt_linear_half,
+        holt_linear_half_hof,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "ts", "event_id", cents_expr(F.col("value")).alias("cents")
+    )
+    cols = ["user_id", "n_points", "level", "trend", "forecast"]
+    a = (
+        holt_linear_half(ev, ["user_id"], ["ts", "event_id"], "cents")
+        .toPandas().sort_values("user_id").reset_index(drop=True)[cols]
+    )
+    b = (
+        holt_linear_half_hof(ev, ["user_id"], ["ts", "event_id"], "cents")
+        .toPandas().sort_values("user_id").reset_index(drop=True)[cols]
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)

@@ -620,3 +620,14 @@ def test_graph_bfs_rounds_reuse_bucketed_edges(spark):
     for frag in plan.split("SortMergeJoin"):
         if "Bucketed: true" in frag and "Exchange hashpartitioning(s#" in frag:
             raise AssertionError("edge side reshuffled despite bucketing")
+
+
+def test_holt_forecast_is_jvm_only(spark):
+    """ts_holt_forecast must stay on the aggregate() HOF path: no
+    Python evaluation anywhere in the plan (the fold runs inside
+    Catalyst), exactly one shuffle (the user groupBy)."""
+    plan = plan_of(spark, "ts_holt_forecast")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
