@@ -1552,9 +1552,13 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the event stream — the smoothing/trend primitive (monitoring
     baselines, engagement decay) that NO window function expresses:
     the recursion e_t = (e_{t-1} + x_t)/2 references its own output,
-    so it runs through the engine's custom-sequential-operator path
-    (operators/grouped.ewma_half, applyInPandas over per-user Arrow
-    batches) rather than a Catalyst window.
+    so it runs through the engine's custom-sequential-operator path —
+    since round 5 the PARTITION-amortized form
+    (operators/grouped.ewma_half_partitioned): repartition+sort on the
+    user key, then one mapInPandas pass folding across group
+    boundaries, so the Python cost is per-partition, not
+    per-tiny-group (~10× at sf0.1; the per-group applyInPandas twin
+    stays in operators/grouped.py, equality-locked).
 
     The oracle is the textbook recursive CTE. Cross-engine
     bit-equality is engineered, not hoped for: values enter as exact
@@ -1567,7 +1571,9 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ids, ts, cents). Heavy-hitter users would pre-split by time
     range with per-range seeds carried forward — the standard
     sequential-scan sharding."""
-    from bigdatafinalproject_hockey_spark.operators.grouped import ewma_half
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        ewma_half_partitioned,
+    )
 
     ev = load_table(spark, "events", sf_dir).select(
         "user_id",
@@ -1575,7 +1581,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         cents_expr(F.col("value")).alias("cents"),
     )
-    return ewma_half(
+    return ewma_half_partitioned(
         ev, ["user_id"], ["ts", "event_id"], "cents"
     ).select("user_id", "event_id", "ewma")
 

@@ -1152,3 +1152,85 @@ def test_holt_hof_equals_arrow_fold_bitexact(spark):
         .toPandas().sort_values("user_id").reset_index(drop=True)[cols]
     )
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_ewma_partitioned_equals_grouped_bitexact(spark):
+    """The partition-amortized mapInPandas EWMA must equal the
+    per-group applyInPandas fold bit-for-bit — same numpy operation
+    sequence, group boundaries respected across Arrow batches
+    (round 5; the registered ts_ewma rides the partitioned form)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.functions.numeric import cents_expr
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        ewma_half,
+        ewma_half_partitioned,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_id", "ts", cents_expr(F.col("value")).alias("cents")
+    )
+    cols = ["user_id", "event_id", "ewma"]
+    a = (
+        ewma_half(ev, ["user_id"], ["ts", "event_id"], "cents")
+        .select(*cols).toPandas()
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    b = (
+        ewma_half_partitioned(ev, ["user_id"], ["ts", "event_id"], "cents")
+        .select(*cols).toPandas()
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_ewma_partitioned_state_survives_batch_boundary(spark):
+    """One group's rows split across Arrow batches within a partition
+    must continue the SAME fold (the accumulator carries over), and a
+    new group at a batch boundary must reset it."""
+    import pandas as pd
+
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        ewma_half_partitioned,
+    )
+
+    n = 5000  # far beyond one Arrow batch at the configured batch size
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        pdf = pd.DataFrame(
+            {"g": [1] * n + [2] * n, "t": list(range(n)) * 2,
+             "x": [100.0] * (2 * n)}
+        )
+        df = spark.createDataFrame(pdf, schema="g long, t long, x double")
+        out = (
+            ewma_half_partitioned(df, ["g"], ["t"], "x")
+            .toPandas().sort_values(["g", "t"]).reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # constant series: e is exactly 100.0 at every step IFF the fold
+    # never restarts mid-group (a restart would also yield 100.0...
+    # so use a two-value series instead for a real signal)
+    assert (out["ewma"] == 100.0).all()
+    # alternating series: e_t depends on the whole prefix; spot-check
+    # the recursion against a local replay for group 1
+    pdf2 = pd.DataFrame(
+        {"g": [1] * 300, "t": list(range(300)),
+         "x": [float(100 + (i % 7)) for i in range(300)]}
+    )
+    df2 = spark.createDataFrame(pdf2, schema="g long, t long, x double")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = (
+            ewma_half_partitioned(df2, ["g"], ["t"], "x")
+            .toPandas().sort_values("t")["ewma"].to_numpy()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    e = None
+    for i, v in enumerate(pdf2["x"]):
+        e = v if i == 0 else (e + v) * 0.5
+        assert got[i] == e, i
