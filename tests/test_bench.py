@@ -25,7 +25,7 @@ def _fake_out(n_extra: int = 0) -> dict:
         "metric": "headline_suite_wall_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "measure": "warm_second_run",
+        "measure": "warm_best_of_2",
         "sf": 0.1,
         "queries": queries,
         "docs_x10": {n: {"sec_1x": 1.0, "sec_10x": 2.5, "ratio": 2.5} for n in X10},
