@@ -163,6 +163,70 @@ X10_EVENTS = [
     "stream_session_dynamic_gap",  # streaming session windows, 10× keys
 ]
 
+# Graph tier re-run against a 4×-amplified lineitem/part/supplier set
+# (disjoint key offsets per copy → 4 disjoint replicas of the
+# co-purchase graph: 4× nodes, 4× edges, 4× BFS seeds). The round-5
+# bucketed edge ingest claims graph queries pay ITERATION cost only —
+# this probe measures that cost's scaling in edges. The ingest itself
+# (the lineitem self-join) runs during the first 4× run and is
+# excluded by the best-of-2 protocol, exactly as a per-source-version
+# ingest is excluded from per-query cost in deployment.
+X4_GRAPH = [
+    "graph_pagerank",       # 3 power iterations over 4× edges
+    "graph_triangle_count", # wedge join over 4× oriented edges
+    "graph_bfs_hops",       # 4 frontier rounds from 4× seeds
+]
+
+
+def _ensure_graph_amplified(spark, sf_dir: str, copies: int) -> str:
+    """Materialize a ``copies``×-amplified graph source set under
+    .tmp (once): lineitem with per-copy offsets on l_orderkey,
+    l_partkey, AND l_suppkey (orders never span copies, so the
+    co-purchase graph is ``copies`` disjoint replicas — clean
+    ``copies``× nodes and edges), plus part/supplier with matching
+    key offsets so BFS seed selection and the pagerank node set scale
+    with the graph."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp",
+        f"bench_graph_x{copies}_{tag}",
+    )
+    offsets = {
+        "l_orderkey": 1_000_000_000,
+        "l_partkey": 100_000_000,
+        "l_suppkey": 100_000_000,
+        "p_partkey": 100_000_000,
+        "s_suppkey": 100_000_000,
+    }
+    for table in ("lineitem", "part", "supplier"):
+        target = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            continue
+        src = load_table(spark, table, sf_dir)
+        parts = [
+            src.select(
+                *[
+                    (F.col(c) + F.lit(k * offsets[c])).alias(c)
+                    if c in offsets
+                    else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            for k in range(copies)
+        ]
+        reduce(DataFrame.unionByName, parts).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(target)
+    return out_dir
+
 
 def _ensure_docs_amplified(
     spark, sf_dir: str, copies: int, disjoint_vocab: bool
@@ -399,6 +463,24 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [ev_x10] {name}: {dt:.3f}s", file=sys.stderr)
+    # Graph tier at 4× edges: does iteration cost scale with the
+    # graph, now that edge derivation is an amortized bucketed ingest?
+    gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)
+    spark.catalog.clearCache()
+    graph_x4: dict[str, dict] = {}
+    for name in X4_GRAPH:
+        try:
+            base = round(run_warm(name, SF_DIR), 3)
+            dt = run_warm(name, gr_x4_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"gr_x4:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        graph_x4[name] = {
+            "sec_1x": base,
+            "sec_4x": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+        print(f"  [gr_x4] {name}: {dt:.3f}s", file=sys.stderr)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 3),
@@ -409,6 +491,7 @@ def main() -> None:
         "docs_x10": docs_x10,
         "docs_x100": docs_x100,
         "events_x10": events_x10,
+        "graph_x4": graph_x4,
         "errors": errors,
     }
     # Full uncapped record → file + stderr (humans, SURVEY, judge).
@@ -448,7 +531,7 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
 
     line = dumps(compact)
     # Append probe ratio dicts one section at a time while they fit.
-    for key in ("docs_x10", "docs_x100", "events_x10"):
+    for key in ("docs_x10", "docs_x100", "events_x10", "graph_x4"):
         probes = out.get(key) or {}
         ratios = {
             name: rec.get("ratio")
