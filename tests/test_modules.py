@@ -1234,3 +1234,29 @@ def test_ewma_partitioned_state_survives_batch_boundary(spark):
     for i, v in enumerate(pdf2["x"]):
         e = v if i == 0 else (e + v) * 0.5
         assert got[i] == e, i
+
+
+def test_mv_join_view_store_is_contribution_log(spark):
+    """The insert-only join view's store must hold each step's DELTA
+    contribution only — never the accumulated view (a per-step
+    O(history) rewrite is a rebuild wearing an incremental costume).
+    Pins: step dirs partition the view (sum of step rows == view
+    rows, no overlap) and no single step dir holds the whole view."""
+    import glob as _glob
+    import os as _os
+
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+    from bigdatafinalproject_hockey_spark.queries.scale import TMP_DIR
+
+    sf_dir = "/root/testdata/sf0.001"
+    view = QUERIES["mv_incremental_join"](spark, sf_dir)
+    n_view = view.count()
+    assert n_view > 0
+    tag = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    step_dirs = sorted(_glob.glob(_os.path.join(TMP_DIR, f"mv_join_view_{tag}_s*")))
+    assert len(step_dirs) == 4  # steps 1..4 contribute; step 0 has no B side
+    per_step = [spark.read.parquet(d).count() for d in step_dirs]
+    assert sum(per_step) == n_view
+    assert max(per_step) < n_view  # no dir holds the accumulated view
