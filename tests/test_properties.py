@@ -376,3 +376,71 @@ def test_minhash_portable_matches_fast_variant_semantics(spark):
     near = {(r["doc_a"], r["doc_b"]) for r in pairs if r["jaccard_dist"] > 0.0}
     assert (20_000, 20_001) in near
     assert len(pairs) < n_copies + 10
+
+
+# --- PPM codec: roundtrip + header-whitespace tolerance (no Spark) ---
+
+_dims = st.integers(min_value=1, max_value=9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=_dims,
+    h=_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ws=st.sampled_from([b"\n", b" ", b"\t", b"\n\n ", b" \t\n"]),
+)
+def test_ppm_roundtrip_any_dims_any_header_whitespace(w, h, seed, ws):
+    """decode(encode(arr)) == arr for arbitrary dims/content, and the
+    parser accepts any whitespace run between header fields (netpbm
+    allows it) while still requiring EXACTLY one byte after maxval."""
+    import numpy as np
+
+    from bigdatafinalproject_hockey_spark.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    # same raster behind a reformatted (still-legal) header
+    loose = b"P6" + ws + b"%d" % w + ws + b"%d" % h + ws + b"255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(loose), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_holt_hof_matches_local_replay(spark, n, seed):
+    """The pure-JVM aggregate() Holt fold must equal a local Python
+    replay of the α=β=½ recursion BIT-FOR-BIT on arbitrary integer
+    series — the half-coefficient recursion is a fixed tree of
+    correctly-rounded IEEE ops, so any drift means the HOF reordered
+    an operation."""
+    import random as _random
+
+    from bigdatafinalproject_hockey_spark.operators.grouped import (
+        holt_linear_half_hof,
+    )
+
+    rng = _random.Random(seed)
+    xs = [float(rng.randint(-10_000, 10_000)) for _ in range(n)]
+    pdf = pd.DataFrame({"g": [1] * n, "t": list(range(n)), "x": xs})
+    df = spark.createDataFrame(pdf, schema="g long, t long, x double")
+    row = (
+        holt_linear_half_hof(df, ["g"], ["t"], "x")
+        .collect()[0]
+        .asDict()
+    )
+    lvl = trend = 0.0
+    for i, v in enumerate(xs):
+        if i == 0:
+            lvl, trend = v, 0.0
+        else:
+            new_lvl = (v + (lvl + trend)) / 2.0
+            trend = ((((v + (lvl + trend)) / 2.0) - lvl) + trend) / 2.0
+            lvl = new_lvl
+    assert row["n_points"] == n
+    assert row["level"] == lvl
+    assert row["trend"] == trend
+    assert row["forecast"] == lvl + trend
