@@ -10,7 +10,11 @@ patterns that sink a 100 TB run —
 - ``Exchange SinglePartition``everything through one task
 
 and fail (exit 1) if any query outside the known-intentional
-allowlist trips one. The allowlist entries are all the SAME shape:
+allowlist trips one. A second sweep checks COLUMN PRUNING: any
+FileScan over a catalog table (width >= 5) whose ReadSchema carries
+the table's full width is flagged — a projection that stops reaching
+the scan is invisible at sf0.01 and a full-table read at 100 TB.
+Round-5 baseline: zero full-width reads. The allowlist entries are all the SAME shape:
 a ``crossJoin(F.broadcast(...))`` against a SCALAR aggregate (one
 row: ref date, total count, fence thresholds) or a BOUNDED metadata
 table (IVF centroids, top-V vocab, band table) — the cases where a
@@ -60,7 +64,25 @@ ALLOWED: dict[str, set[str]] = {
 SF = "/root/testdata/sf0.01"
 
 
+_SCAN_RX = re.compile(
+    r"Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>", re.S
+)
+
+
+def _full_width_reads(plan: str, widths: dict[str, int]) -> list[str]:
+    """FileScans over catalog tables that read every column (tables
+    narrower than 5 columns are exempt: nation/region are all-key)."""
+    out = []
+    for m in _SCAN_RX.finditer(plan):
+        table, schema = m.group(1), m.group(2)
+        ncols = len([c for c in schema.split(",") if ":" in c])
+        if table in widths and widths[table] >= 5 and ncols >= widths[table]:
+            out.append(f"full_width_read:{table}")
+    return out
+
+
 def main() -> int:
+    from bigdatafinalproject_hockey_spark.catalog import SCHEMAS
     from bigdatafinalproject_hockey_spark.queries import QUERIES
     from bigdatafinalproject_hockey_spark.session import get_session
 
@@ -69,6 +91,7 @@ def main() -> int:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
+    widths = {t: len(s.fields) for t, s in SCHEMAS.items()}
     violations: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         try:
@@ -78,9 +101,10 @@ def main() -> int:
             violations[name] = [f"PLAN_ERROR {type(exc).__name__}: {exc}"[:120]]
             continue
         hits = {k for k, rx in FLAGS.items() if rx.search(plan)}
-        bad = hits - ALLOWED.get(name, set())
+        bad = sorted(hits - ALLOWED.get(name, set()))
+        bad += _full_width_reads(plan, widths)
         if bad:
-            violations[name] = sorted(bad)
+            violations[name] = bad
     for name, flags in sorted(violations.items()):
         print(f"VIOLATION {name}: {flags}")
     n = len(QUERIES)
