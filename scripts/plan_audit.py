@@ -14,7 +14,15 @@ allowlist trips one. A second sweep checks COLUMN PRUNING: any
 FileScan over a catalog table (width >= 5) whose ReadSchema carries
 the table's full width is flagged — a projection that stops reaching
 the scan is invisible at sf0.01 and a full-table read at 100 TB.
-Round-5 baseline: zero full-width reads. The allowlist entries are all the SAME shape:
+Round-5 baseline: zero full-width reads.
+
+A third sweep locks each query's SHUFFLE BUDGET: the number of
+``Exchange`` nodes in the physical plan is recorded in
+``scripts/shuffle_baseline.json`` on the first run and compared on
+every later one — a query whose exchange count GROWS fails the audit
+(the docstrings state shuffle budgets; this makes them enforceable).
+A count that shrinks is reported and auto-recorded as the new
+baseline. The allowlist entries are all the SAME shape:
 a ``crossJoin(F.broadcast(...))`` against a SCALAR aggregate (one
 row: ref date, total count, fence thresholds) or a BOUNDED metadata
 table (IVF centroids, top-V vocab, band table) — the cases where a
@@ -31,6 +39,8 @@ Run from the repo root:  python scripts/plan_audit.py
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import sys
 
@@ -39,26 +49,47 @@ sys.path.insert(0, ".")
 FLAGS = {
     "cartesian": re.compile(r"CartesianProduct", re.I),
     "bnl_join": re.compile(r"BroadcastNestedLoopJoin", re.I),
-    "single_part_exchange": re.compile(r"Exchange SinglePartition", re.I),
+    # formatted mode puts an Exchange's partitioning on its own
+    # "Arguments:" line, NOT adjacent to the node name — matching the
+    # legacy "Exchange SinglePartition" substring silently checks
+    # nothing (a false negative this audit itself shipped with first).
+    "single_part_exchange": re.compile(r"Arguments: SinglePartition", re.I),
 }
 
-# query -> the flags it is ALLOWED to trip, with the broadcast-small
-# rationale enforced by review (each is scalar-or-bounded broadcast).
+# query -> the flags it is ALLOWED to trip, with the rationale
+# enforced by review. Two benign patterns only:
+#   bnl_join              crossJoin(broadcast(X)) where X is a SCALAR
+#                         aggregate (one row) or a BOUNDED metadata
+#                         table (centroids, top-V vocab, band table)
+#   single_part_exchange  the final merge of a GLOBAL scalar
+#                         aggregate (partial_* map-side, ONE ROW per
+#                         partition to one task) or a global window
+#                         over a per-key aggregate whose docstring
+#                         states the |keys|-fit-a-partition bound
 ALLOWED: dict[str, set[str]] = {
-    "analytics_basket_lift": {"bnl_join"},    # scalar n_orders
-    "analytics_idle_customers": {"bnl_join"}, # scalar avg acctbal
-    "analytics_rfm_segments": {"bnl_join"},   # scalar ref_date
+    "agg_count_filter": {"single_part_exchange"},      # global scalar count
+    "agg_global_max": {"single_part_exchange"},        # global scalar max
+    "analytics_ab_test": {"single_part_exchange"},     # two-proportion scalars
+    "analytics_basket_lift": {"bnl_join", "single_part_exchange"},  # scalar n_orders
+    "analytics_idle_customers": {"bnl_join", "single_part_exchange"},  # scalar avg acctbal
+    "analytics_pareto": {"single_part_exchange"},      # rank over per-customer agg (docstring bound)
+    "analytics_rfm_segments": {"bnl_join", "single_part_exchange"},  # scalar ref_date; ntile over per-customer agg
+    "analytics_small_qty_revenue": {"single_part_exchange"},  # global revenue scalar
+    "analytics_top_supplier": {"single_part_exchange"},  # global argmax scalar
     "corpus_drift": {"bnl_join"},             # top-V vocab table
-    "diag_join_key_skew": {"bnl_join"},       # scalar skew thresholds
-    "dq_expectations": {"bnl_join"},          # scalar check counts
+    "diag_join_key_skew": {"bnl_join", "single_part_exchange"},  # scalar skew thresholds
+    "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts
     "join_range": {"bnl_join"},               # band table (by design;
-                                              # scale path: join_interval_binned
+                                              # scale path: join_interval_binned)
+    "ml_eval_deterministic": {"single_part_exchange"},  # global confusion scalars
+    "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "sim_ann_ivf": {"bnl_join"},              # centroid table
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)
     "sim_knn_classify": {"bnl_join"},         # centroid table
-    "text_tfidf_top_terms": {"bnl_join"},     # scalar corpus doc count
-    "text_unigram_logprob": {"bnl_join"},     # scalar vocab total
+    "stream_fanout_multi_sink": {"single_part_exchange"},  # global readout scalars
+    "text_tfidf_top_terms": {"bnl_join", "single_part_exchange"},  # scalar corpus doc count
+    "text_unigram_logprob": {"bnl_join", "single_part_exchange"},  # scalar vocab total
 }
 
 SF = "/root/testdata/sf0.01"
@@ -67,6 +98,8 @@ SF = "/root/testdata/sf0.01"
 _SCAN_RX = re.compile(
     r"Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>", re.S
 )
+# formatted-mode Exchange node detail headers: "(5) Exchange"
+_EXCHANGE_RX = re.compile(r"(?m)^\(\d+\) Exchange\b")
 
 
 def _full_width_reads(plan: str, widths: dict[str, int]) -> list[str]:
@@ -92,6 +125,12 @@ def main() -> int:
         "formatted"
     )
     widths = {t: len(s.fields) for t, s in SCHEMAS.items()}
+    baseline_path = os.path.join(os.path.dirname(__file__), "shuffle_baseline.json")
+    baseline: dict[str, int] = {}
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+    observed: dict[str, int] = {}
     violations: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         try:
@@ -103,10 +142,28 @@ def main() -> int:
         hits = {k for k, rx in FLAGS.items() if rx.search(plan)}
         bad = sorted(hits - ALLOWED.get(name, set()))
         bad += _full_width_reads(plan, widths)
+        observed[name] = len(_EXCHANGE_RX.findall(plan))
+        if name in baseline and observed[name] > baseline[name]:
+            bad.append(
+                f"shuffle_regression:{baseline[name]}->{observed[name]}"
+            )
         if bad:
             violations[name] = bad
     for name, flags in sorted(violations.items()):
         print(f"VIOLATION {name}: {flags}")
+    improved = {
+        n: (baseline[n], c)
+        for n, c in observed.items()
+        if n in baseline and c < baseline[n]
+    }
+    for n, (old, new) in sorted(improved.items()):
+        print(f"IMPROVED {n}: {old} -> {new} exchanges")
+    if not violations:
+        # Record: first run seeds the baseline; later runs fold in
+        # improvements and newly registered queries.
+        merged = {**baseline, **observed}
+        with open(baseline_path, "w") as fh:
+            json.dump(dict(sorted(merged.items())), fh, indent=0, sort_keys=True)
     n = len(QUERIES)
     print(f"{n} queries audited, {len(violations)} violations")
     return 1 if violations else 0
