@@ -178,6 +178,29 @@ X4_GRAPH = [
 ]
 
 
+def _amplified_is_fresh(target: str, src: str) -> bool:
+    """Staleness gate for a cached amplified table (the repo's staged-
+    sink convention): fresh only while a ``_source_token`` sidecar
+    matches the source file's size+mtime. ``_SUCCESS`` alone would
+    serve STALE amplified data after a driver testdata regeneration —
+    probe ratios would silently divide new 1× timings by old 10×
+    ones (the ADVICE-r4 stage_payload_files bug class)."""
+    st = os.stat(src)
+    token = f"{st.st_size}:{st.st_mtime_ns}"
+    tok_path = os.path.join(target, "_source_token")
+    if os.path.exists(os.path.join(target, "_SUCCESS")) and os.path.isfile(tok_path):
+        with open(tok_path) as fh:
+            if fh.read() == token:
+                return True
+    return False
+
+
+def _record_amplified_token(target: str, src: str) -> None:
+    st = os.stat(src)
+    with open(os.path.join(target, "_source_token"), "w") as fh:
+        fh.write(f"{st.st_size}:{st.st_mtime_ns}")
+
+
 def _ensure_graph_amplified(spark, sf_dir: str, copies: int) -> str:
     """Materialize a ``copies``×-amplified graph source set under
     .tmp (once): lineitem with per-copy offsets on l_orderkey,
@@ -208,7 +231,8 @@ def _ensure_graph_amplified(spark, sf_dir: str, copies: int) -> str:
     }
     for table in ("lineitem", "part", "supplier"):
         target = os.path.join(out_dir, f"{table}.parquet")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        src_path = os.path.join(sf_dir, f"{table}.parquet")
+        if _amplified_is_fresh(target, src_path):
             continue
         src = load_table(spark, table, sf_dir)
         parts = [
@@ -225,6 +249,7 @@ def _ensure_graph_amplified(spark, sf_dir: str, copies: int) -> str:
         reduce(DataFrame.unionByName, parts).repartition(8).write.mode(
             "overwrite"
         ).parquet(target)
+        _record_amplified_token(target, src_path)
     return out_dir
 
 
@@ -245,7 +270,8 @@ def _ensure_docs_amplified(
         f"bench_x{copies}{flavor}_{tag}",
     )
     target = os.path.join(out_dir, "documents.parquet")
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    if not _amplified_is_fresh(target, src_path):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
         def text_of(k: int):
@@ -267,6 +293,7 @@ def _ensure_docs_amplified(
         reduce(DataFrame.unionByName, parts).repartition(32).write.mode(
             "overwrite"
         ).parquet(target)
+        _record_amplified_token(target, src_path)
     return out_dir
 
 
@@ -302,7 +329,8 @@ def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
         f"bench_ev_x{copies}_{tag}",
     )
     target = os.path.join(out_dir, "events.parquet")
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+    src_path = os.path.join(sf_dir, "events.parquet")
+    if not _amplified_is_fresh(target, src_path):
         ev = load_table(spark, "events", sf_dir)
         parts = [
             ev.select(
@@ -318,6 +346,7 @@ def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
         reduce(DataFrame.unionByName, parts).coalesce(1).write.mode(
             "overwrite"
         ).parquet(target)
+        _record_amplified_token(target, src_path)
     return out_dir
 
 

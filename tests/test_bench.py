@@ -81,3 +81,36 @@ def test_headline_cap_guard():
     ratios silently drop out of the driver record — prefer trimming
     the suite (or raising this lock consciously) to silent data loss."""
     assert len(bench.HEADLINE) <= 55
+
+
+def test_amplified_corpus_staleness_gate(tmp_path):
+    """The bench's amplified probe corpora must rebuild when the
+    SOURCE testdata changes (it has drifted across driver rounds):
+    freshness is keyed on the source's size+mtime token, never on
+    _SUCCESS alone — stale amplified data would silently produce
+    ratios dividing new 1x timings by old 10x ones."""
+    import os
+    import time
+
+    from bench import _amplified_is_fresh, _record_amplified_token
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"v1-bytes")
+    target = tmp_path / "amplified"
+    target.mkdir()
+    (target / "_SUCCESS").write_text("")
+
+    # _SUCCESS alone is NOT fresh (no token recorded yet)
+    assert not _amplified_is_fresh(str(target), str(src))
+    _record_amplified_token(str(target), str(src))
+    assert _amplified_is_fresh(str(target), str(src))
+
+    # source regenerated (content/size change) -> stale
+    src.write_bytes(b"v2-bytes-longer")
+    assert not _amplified_is_fresh(str(target), str(src))
+    _record_amplified_token(str(target), str(src))
+    assert _amplified_is_fresh(str(target), str(src))
+
+    # same size, different mtime (an in-place rewrite) -> stale
+    os.utime(src, (time.time() + 5, time.time() + 5))
+    assert not _amplified_is_fresh(str(target), str(src))
