@@ -16,19 +16,19 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-5 window (VERDICT r4 items 1 and 5 — the consolidation round):
-(a) the 42 oracle-backed queries registered in rounds 4c-4f AFTER the
-round-4 window was frozen — the entire driver-verification debt
-called out in VERDICT r4 item 1, in registration order (r4c ten, r4d
-twelve, r4e eleven, r4f nine); (b) the 7 oldest still-standing
-round-2 greens (VERDICT r4 item 5 — spend the spare slots on the
-two-round-old tier, oldest first per the rotation-debt list below);
-(c) WINDOW TAIL: `text_quality_classifier_fast`, the one rows-only
-newcomer (xxhash64 fast path; semantics pinned by its oracle-green
-portable twin) — expected outcome is `err: no_oracle` + a row count,
-the driver-smoke evidence, displacing zero oracle re-verifications.
-The round-4 window's occupants (all green in CORRECTNESS_r04) rotate
-out; their rows are 1 round old and stay valid.
+Round-6 window (VERDICT r5 item 1 — the freshness round, exactly the
+pre-staged rotation plan recorded here last round): (a) FRONT:
+`multimodal_decode_ppm`, the single registry query with zero driver
+evidence (registered in round 5 after that window froze; local
+oracle-green via tests/test_oracle_parity.py); (b) the 34 round-2
+greens never re-verified since round 2, in their r2 verification
+order — after two testdata drifts these are the stalest rows in the
+record; (c) 15 of the 16 round-3 rows, oldest first
+(`join_full_outer` is the one r3 row deferred to round 7 — the
+window is exactly 50 slots). The round-5 window's occupants (49/50
+green in CORRECTNESS_r05) rotate out; their rows are 1 round old and
+stay valid. After this window lands, every registry query has ≥1
+driver row and no green row is older than 3 rounds.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -47,94 +47,76 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 # The driver's window is the first ~50 entries (50 in every round so
 # far) — this list is sized to exactly 50.
 _VERIFY_FIRST = [
-    # (a) the round-4c ten — registered after the r4 window froze,
-    # never driver-verified (oracle-green locally at sf0.01 via
-    # tests/test_oracle_parity.py)
-    "events_attribution",
-    "ts_downsample",
-    "agg_histogram",
-    "analytics_promo_share",
-    "events_anomaly_mad",
-    "stream_stream_left_outer",
-    "join_dpp",
-    "join_interval_binned",
-    "agg_sketch_rollup",
-    "ml_eval_pr_curve",
-    # (a) the round-4d twelve — same status
-    "graph_triangle_count",
-    "graph_bfs_hops",
-    "analytics_top_supplier",
-    "analytics_idle_customers",
-    "analytics_parts_supplier",
-    "stream_chained_agg",
-    "sample_weighted",
-    "ts_ewma",
-    "dedup_containment",
-    "scan_text_roundtrip",
-    "events_top_paths",
-    "mv_incremental_join",
-    # (a) the round-4e eleven — same status
-    "scan_binary_files",
-    "ts_trend_slope",
-    "events_peak_concurrency",
-    "agg_listagg",
-    "events_activity_streaks",
-    "analytics_small_qty_revenue",
-    "diag_join_key_skew",
-    "scan_custom_datasource",
-    "agg_multi_distinct",
-    "stream_custom_datasource",
-    "join_asof_nearest",
-    # (a) the round-4f nine — same status
-    "join_lateral_topn",
-    "analytics_ab_test",
-    "analytics_pareto",
-    "text_bigrams_udtf",
-    "ts_holt_forecast",
-    "stream_fanout_multi_sink",
-    "agg_bitmap_distinct",
-    "events_dau_wau_mau",
-    "stream_session_dynamic_gap",
-    # (b) the 7 oldest round-2 greens (two-round-old rows; VERDICT r4
-    # item 5) — oldest first per the r2 verification order
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pipeline_features",
-    "join_range",
-    "agg_rollup",
-    "agg_cube",
-    # (c) WINDOW TAIL — rows-only driver smoke: the xxhash64 fast path
-    # (no portable oracle BY DESIGN; semantics pinned by the green
-    # `text_quality_classifier` twin). err=no_oracle + a row count is
-    # the expected, wanted outcome.
-    "text_quality_classifier_fast",
+    # (a) FRONT: the one registry query with zero driver evidence —
+    # the real-PPM-codec decode (registered round 5 after that
+    # window froze; VERDICT r5 item 1 orders it first).
+    "multimodal_decode_ppm",
+    # (b) the 34 round-2 greens never re-verified since round 2, in
+    # their r2 verification order — the stalest rows in the record
+    # after two testdata drifts.
+    "agg_grouping_sets",
+    "sim_ann_ivf",
+    "stream_stateful_totals",
+    "sink_parquet_partitioned",
+    "grouped_zscore",
+    "array_functions",
+    "doc_fingerprint",
+    "text_lang_id",
+    "agg_quantile_report",
+    "text_bpe_token_count",
+    "sim_knn_classify",
+    "text_token_count",
+    "text_repetition_score",
+    "text_top_tokens",
+    "text_quality_score",
+    "pipeline_document_curation",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "scan_orc_roundtrip",
+    "agg_corr_stats",
+    "sink_parquet_compacted",
+    "pipeline_training_mix",
+    "dedup_segments",
+    "text_bigram_logprob",
+    "text_tfidf_top_terms",
+    "topk_global",
+    "union_all",
+    "text_contamination",
+    "split_hash",
+    "sample_by_key",
+    "text_unigram_logprob",
+    "text_pii_scrub",
+    # (c) 15 of the 16 round-3 rows, oldest first (`join_full_outer`
+    # is the one r3 row deferred to round 7 — the window is exactly
+    # 50 slots).
+    "map_functions",
+    "json_extract",
+    "sessionize_events",
+    "win_first_last",
+    "win_lag",
+    "win_running_sum",
+    "win_range_interval",
+    "reshape_unpivot",
+    "sample_stratified",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_static_enrich",
+    "stream_foreachbatch_upsert",
 ]
 
-# ROUND-6 ROTATION DEBT (write the next window from this): r2 greens
-# still not re-verified since round 2, in their r2 order —
-# agg_grouping_sets, sim_ann_ivf, stream_stateful_totals,
-# sink_parquet_partitioned, grouped_zscore, array_functions,
-# doc_fingerprint, text_lang_id, agg_quantile_report,
-# text_bpe_token_count, sim_knn_classify, text_token_count,
-# text_repetition_score, text_top_tokens, text_quality_score,
-# pipeline_document_curation, dedup_embedding_cosine, sim_cosine_topk,
-# dedup_ngram_jaccard, dedup_components, scan_orc_roundtrip,
-# agg_corr_stats, sink_parquet_compacted, pipeline_training_mix,
-# dedup_segments, text_bigram_logprob, text_tfidf_top_terms,
-# topk_global, union_all, text_contamination, split_hash,
-# sample_by_key, text_unigram_logprob, text_pii_scrub (34 queries —
-# fits one window with ~16 slots left for the oldest r3 rows:
-# map_functions, json_extract, sessionize_events, win_first_last,
-# win_lag, win_running_sum, win_range_interval, reshape_unpivot,
-# sample_stratified, stream_tumbling_agg, stream_sliding_agg,
-# stream_dedup, stream_session_window, stream_static_enrich,
-# stream_foreachbatch_upsert, join_full_outer). ALSO front-load the
-# one round-5 newcomer: multimodal_decode_ppm (the real-PPM-codec
-# query, VERDICT r4 item 8 — registered after the round-5 window was
-# frozen; local oracle-green). After the round-5 window lands, every
-# pre-r5 query will have ≥1 driver row and no green row will be older
-# than 3 rounds; round 6 restores the ≤2-round freshness invariant.
+# ROUND-7 ROTATION DEBT (write the next window from this): after the
+# round-6 window lands, the freshness ledger is — r3-green (3 rounds
+# old at r7): join_full_outer (the one r3 row the 50-slot r6 window
+# could not fit — front-load it in r7); r4-green (3 rounds old at
+# r7): the CORRECTNESS_r04 occupants (clean_types → stream_cdc_upsert
+# window, ~50 rows); any round-6 newcomers registered after this
+# window froze. Round 7 should front-load join_full_outer + newcomers,
+# then rotate through the r4 block oldest-first; the r5 and r6 blocks
+# stay ≤2 rounds old through round 8.
 
 
 def _rotate(window: list[str]) -> None:
