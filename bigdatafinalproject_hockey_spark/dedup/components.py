@@ -65,6 +65,8 @@ def connected_components(
 def _propagate_min_labels(
     edges: DataFrame, src: str, dst: str, max_iter: int
 ) -> DataFrame:
+    from bigdatafinalproject_hockey_spark.plancapture import capture
+
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Eager localCheckpoint: materializes AND truncates lineage, so
     # every round's plan is (checkpointed edges ⋈ checkpointed labels)
@@ -80,7 +82,7 @@ def _propagate_min_labels(
         )
     ).localCheckpoint()
     changed = 0
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         # min label among each node's neighbors this round
         neighbor_min = (
             und.join(labels, und.b == labels.node)
@@ -88,15 +90,20 @@ def _propagate_min_labels(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("a").alias("nm_node"), "nbr_label")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.nm_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        ).localCheckpoint()
+        new_labels_pre = labels.join(
+            neighbor_min, labels.node == neighbor_min.nm_node, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        if round_no == 0:
+            # every round shares this plan shape; the checkpoint hides
+            # it from the audit, so surface round 1's pre-checkpoint
+            # plan (round count is data-dependent — one stable label)
+            capture("propagate_round", new_labels_pre)
+        new_labels = new_labels_pre.localCheckpoint()
         changed = (
             new_labels.select("node", F.col("label").alias("new_label"))
             .join(labels, "node")

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from bigdatafinalproject_hockey_spark.catalog import load_table
 from bigdatafinalproject_hockey_spark.operators import bucketing as bucket_ops
+from bigdatafinalproject_hockey_spark.plancapture import capture
 from bigdatafinalproject_hockey_spark.functions.numeric import (
     cents_expr,
     fixed_point_sum,
@@ -879,6 +880,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("s1").agg(F.count(F.lit(1)).alias("d"))
+    # the ingest job (lineitem self-join + degree join) executes
+    # inside write_bucketed — surface its plan to the audit
+    capture("edges_ingest", edges.join(outdeg, "s1"))
     bucket_ops.write_bucketed(
         edges.join(outdeg, "s1"),
         table,

@@ -27,6 +27,7 @@ from bigdatafinalproject_hockey_spark.operators import (
     bucketing as bucket_ops,
     joins as join_ops,
 )
+from bigdatafinalproject_hockey_spark.plancapture import capture
 from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.similarity import ivf_cosine_topk
 from bigdatafinalproject_hockey_spark.sources.parquet import (
@@ -403,6 +404,9 @@ def q_mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").alias("cents"),
             )
         )
+        # each batch's merge job plan never reaches the returned
+        # DataFrame (it executes at this write) — audit it
+        capture(f"b{k}", merged)
         merged.write.mode("overwrite").parquet(f"{path}_b{k}")
         store = spark.read.parquet(f"{path}_b{k}")
     assert store is not None
@@ -1266,9 +1270,11 @@ def q_mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if contrib is None:
             continue
         step_dir = f"{path}_s{step}"
-        contrib.select(
-            "event_id", "user_id", "c_mktsegment", "value"
-        ).write.mode("overwrite").parquet(step_dir)
+        out = contrib.select("event_id", "user_id", "c_mktsegment", "value")
+        # per-step delta-join plans execute at this write, invisible
+        # to the returned multi-path read — audit each one
+        capture(f"s{step}", out)
+        out.write.mode("overwrite").parquet(step_dir)
         step_dirs.append(step_dir)
     assert step_dirs
     return spark.read.parquet(*step_dirs)

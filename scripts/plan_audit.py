@@ -34,6 +34,20 @@ pattern.
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
 single-partition exchanges, 187 queries.
 
+COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
+plan cannot see stages a query executes eagerly while being built —
+a ``localCheckpoint`` truncates lineage and a per-step parquet write
+runs a whole job whose plan never reaches the returned frame. Round 6
+closes the known cases through the plancapture hook
+(bigdatafinalproject_hockey_spark/plancapture.py): the iterative /
+MV / ingest queries call ``capture(label, df)`` on each eager stage,
+this audit installs a sink, and every captured plan is audited under
+``<query>#<label>`` with the same flag/pruning/shuffle-ratchet rules
+(tests/test_plan_audit.py asserts the expected capture keys exist, so
+a removed hook fails the suite). Eager stages in code that does NOT
+call capture() remain invisible — fixture staging writes
+(roundtrip sources, amplified corpora) are deliberately out of scope.
+
 Run from the repo root:  python scripts/plan_audit.py
 """
 
@@ -95,20 +109,32 @@ ALLOWED: dict[str, set[str]] = {
 SF = "/root/testdata/sf0.01"
 
 
-_SCAN_RX = re.compile(
-    r"Location:.*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>", re.S
-)
+# formatted-mode node detail blocks start "(N) NodeName"
+_NODE_RX = re.compile(r"(?m)^\(\d+\) ")
+_LOCATION_RX = re.compile(r"Location:.*?/(\w+)\.parquet")
+_READSCHEMA_RX = re.compile(r"ReadSchema: struct<([^>]*)>")
 # formatted-mode Exchange node detail headers: "(5) Exchange"
 _EXCHANGE_RX = re.compile(r"(?m)^\(\d+\) Exchange\b")
 
 
 def _full_width_reads(plan: str, widths: dict[str, int]) -> list[str]:
     """FileScans over catalog tables that read every column (tables
-    narrower than 5 columns are exempt: nation/region are all-key)."""
+    narrower than 5 columns are exempt: nation/region are all-key).
+
+    Location and ReadSchema are matched WITHIN one node detail block
+    (split on the "(N) NodeName" headers): a single cross-plan
+    non-greedy match (the original shape) let a scan whose Location
+    didn't fit the parquet pattern swallow the following nodes'
+    ReadSchema lines, silently exempting catalog scans from the sweep
+    (ADVICE r5 — false negatives only, but still a hole)."""
     out = []
-    for m in _SCAN_RX.finditer(plan):
-        table, schema = m.group(1), m.group(2)
-        ncols = len([c for c in schema.split(",") if ":" in c])
+    for block in _NODE_RX.split(plan):
+        loc = _LOCATION_RX.search(block)
+        schema = _READSCHEMA_RX.search(block)
+        if not loc or not schema:
+            continue
+        table = loc.group(1)
+        ncols = len([c for c in schema.group(1).split(",") if ":" in c])
         if table in widths and widths[table] >= 5 and ncols >= widths[table]:
             out.append(f"full_width_read:{table}")
     return out
@@ -132,23 +158,48 @@ def main() -> int:
             baseline = json.load(fh)
     observed: dict[str, int] = {}
     violations: dict[str, list[str]] = {}
+
+    def _audit_one(key: str, qname: str, plan: str) -> None:
+        """Apply flags, pruning sweep, and the shuffle ratchet to one
+        rendered plan. ``key`` is the baseline entry (query name, or
+        query#stage for a captured eager stage); the flag allowlist is
+        the owning QUERY's — a stage needing its own exemption should
+        be its own named pattern, not a silent pass."""
+        hits = {k for k, rx in FLAGS.items() if rx.search(plan)}
+        bad = sorted(hits - ALLOWED.get(qname, set()))
+        bad += _full_width_reads(plan, widths)
+        observed[key] = len(_EXCHANGE_RX.findall(plan))
+        if key in baseline and observed[key] > baseline[key]:
+            bad.append(f"shuffle_regression:{baseline[key]}->{observed[key]}")
+        if bad:
+            violations[key] = bad
+
+    from bigdatafinalproject_hockey_spark import plancapture
+
     for name, fn in QUERIES.items():
+        captured: list[tuple[str, str]] = []
+
+        def _sink(label, df, _cap=captured):
+            # render NOW — the DataFrame is about to be checkpointed
+            # or written; rendering later would see truncated lineage
+            _cap.append(
+                (label, df._jdf.queryExecution().explainString(mode))
+            )
+
+        plancapture.install(_sink)
         try:
             df = fn(spark, SF)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # noqa: BLE001
             violations[name] = [f"PLAN_ERROR {type(exc).__name__}: {exc}"[:120]]
             continue
-        hits = {k for k, rx in FLAGS.items() if rx.search(plan)}
-        bad = sorted(hits - ALLOWED.get(name, set()))
-        bad += _full_width_reads(plan, widths)
-        observed[name] = len(_EXCHANGE_RX.findall(plan))
-        if name in baseline and observed[name] > baseline[name]:
-            bad.append(
-                f"shuffle_regression:{baseline[name]}->{observed[name]}"
-            )
-        if bad:
-            violations[name] = bad
+        finally:
+            plancapture.uninstall()
+        _audit_one(name, name, plan)
+        # eager intermediate stages (ADVICE r5's blind spot): same
+        # rules, keyed query#stage so each holds its own budget
+        for label, cplan in captured:
+            _audit_one(f"{name}#{label}", name, cplan)
     for name, flags in sorted(violations.items()):
         print(f"VIOLATION {name}: {flags}")
     improved = {

@@ -1103,6 +1103,103 @@ def test_ppm_codec_roundtrip_and_strictness():
         decode_ppm(b"P6\nx y\n255\n")
 
 
+def test_png_codec_roundtrip_and_strictness():
+    """decode_png is a real stdlib-zlib PNG decoder: exact round-trip
+    through every scanline filter type, CRC enforcement, profile
+    enforcement, truncation detection (round 6, VERDICT r5 item 7)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ft in range(5):
+        payload = encode_png(arr, filter_type=ft)
+        assert payload.startswith(_PNG_SIG)
+        assert np.array_equal(decode_png(payload), arr), f"filter {ft}"
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"P6\n5 7\n255\n" + arr.tobytes())
+    # flip one raster byte inside IDAT → chunk CRC must catch it
+    good = bytearray(encode_png(arr, filter_type=2))
+    good[len(good) // 2] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(good))
+    with _pytest.raises(ValueError, match="missing IHDR or IEND"):
+        decode_png(encode_png(arr)[:-12])  # IEND stripped
+    # unsupported profile: 16-bit depth in an otherwise-valid stream
+    ihdr = struct.pack(">IIBBBBB", 5, 7, 16, 2, 0, 0, 0)
+    bad_profile = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (7 * 31)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG profile"):
+        decode_png(bad_profile)
+    # decompressed raster shorter than h*(1+stride)
+    short = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="raster length"):
+        decode_png(short)
+
+
+def test_decode_image_dispatches_on_magic():
+    """decode_image routes P6 → PPM parser, PNG signature → PNG
+    pipeline, and anything else → the permanent compressed-codec
+    stub (NotImplementedError, not silence)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        decode_image,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+    assert np.array_equal(decode_image(encode_png(arr, filter_type=4)), arr)
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_decode_features_reads_png_header_not_id(spark):
+    """PNG twin of the header-not-id check: a PNG whose IHDR disagrees
+    with the id-derived law must be reported as the IHDR says, through
+    the same batched decode stage the registered query uses."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdatafinalproject_hockey_spark.multimodal import (
+        decode_features_batched,
+        encode_png,
+    )
+
+    arr = np.full((2, 9, 3), 7, dtype=np.uint8)
+    pdf = pd.DataFrame(
+        {"doc_id": [123], "media": [encode_png(arr, filter_type=3)]}
+    )
+    df = spark.createDataFrame(pdf, schema="doc_id long, media binary")
+    row = decode_features_batched(df).collect()[0]
+    assert (row.width, row.height) == (9, 2)
+    assert row.sum_r == row.sum_g == row.sum_b == 7 * 18
+
+
 def test_decode_features_reads_header_not_id(spark):
     """The decoded dimensions must come from the PARSED HEADER: a
     payload whose header disagrees with the id-derived law must be

@@ -1,0 +1,69 @@
+"""Wires scripts/plan_audit.py into the suite (VERDICT r5 item 3).
+
+The audit enforces three scale invariants across every registry
+query's physical plan — no unlisted CartesianProduct / BNL /
+single-partition exchange, full column pruning at every catalog scan,
+and the per-query shuffle-budget ratchet. Until round 6 those only
+fired when someone ran the script; a regression could land while the
+test suite stayed green. This test runs the audit in-process (same
+get_session config the script uses) and fails the suite on any
+violation.
+
+It also pins the eager-stage capture contract (ADVICE r5's blind
+spot): the iterative / MV / ingest queries must surface their
+checkpoint-truncated and write-executed stages through
+plancapture.capture — if a hook is dropped, the expected ``#stage``
+keys disappear and this test fails, not just the sweep's coverage.
+"""
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Eager-stage plans the audit must see (qname#label). Keep in sync
+# with the capture() call sites — this is the anti-rot lock.
+EXPECTED_CAPTURE_KEYS = {
+    # bucketed edge ingests (executed inside write_bucketed)
+    "graph_pagerank#edges_ingest",
+    "graph_triangle_count#edges_ingest",
+    "graph_bfs_hops#edges_ingest",
+    # checkpoint-truncated iteration stages
+    "graph_triangle_count#oriented",
+    "graph_bfs_hops#round1",
+    "graph_bfs_hops#round2",
+    "graph_bfs_hops#round3",
+    "graph_bfs_hops#round4",
+    "dedup_components#propagate_round",
+    # per-step MV store writes
+    "mv_incremental_agg#b0",
+    "mv_incremental_agg#b1",
+    "mv_incremental_agg#b2",
+    "mv_incremental_join#s1",
+    "mv_incremental_join#s2",
+    "mv_incremental_join#s3",
+    "mv_incremental_join#s4",
+}
+
+
+def _load_audit():
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(REPO, "scripts", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_audit_green_and_captures_eager_stages(spark, capsys):
+    mod = _load_audit()
+    rc = mod.main()
+    out = capsys.readouterr().out
+    assert rc == 0, f"plan audit found violations:\n{out}"
+    with open(os.path.join(REPO, "scripts", "shuffle_baseline.json")) as fh:
+        baseline = json.load(fh)
+    missing = EXPECTED_CAPTURE_KEYS - set(baseline)
+    assert not missing, (
+        f"eager-stage capture hooks dropped (plans now unaudited): {missing}"
+    )

@@ -406,6 +406,28 @@ def test_ppm_roundtrip_any_dims_any_header_whitespace(w, h, seed, ws):
     assert np.array_equal(decode_ppm(loose), arr)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    w=_dims,
+    h=_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ft=st.integers(min_value=0, max_value=4),
+)
+def test_png_roundtrip_any_dims_any_filter(w, h, seed, ft):
+    """decode_png(encode_png(arr, ft)) == arr for arbitrary dims and
+    content under EVERY scanline filter type — the unfilter paths
+    (Sub/Up/Average/Paeth) are exact inverses of the filter paths by
+    the PNG spec's mod-256 arithmetic, so any mismatch is a decoder
+    bug, not tolerance."""
+    import numpy as np
+
+    from bigdatafinalproject_hockey_spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr, filter_type=ft)), arr)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     n=st.integers(min_value=1, max_value=40),

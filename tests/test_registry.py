@@ -1,48 +1,46 @@
 """Locks on the driver-contract registry ordering.
 
 The driver's per-round CORRECTNESS check covers the first ~50 registry
-entries (exactly 50 in rounds 1-4). These tests pin the round-5
-rotation contract (VERDICT r4 items 1 and 5): the 42 oracle-backed
-round-4c-f queries that were registered after the round-4 window froze
-and have never received a driver row lead the window in registration
-order; the 7 oldest still-standing round-2 greens take the spare
-slots; and the one rows-only newcomer (`text_quality_classifier_fast`,
-no oracle BY DESIGN — semantics pinned by its oracle-green portable
-twin) sits at the window TAIL where err=no_oracle + a row count is the
-wanted driver-smoke evidence.
+entries (exactly 50 in rounds 1-5). These tests pin the round-6
+rotation contract (VERDICT r5 item 1 — the freshness round): the one
+query with zero driver evidence (`multimodal_decode_ppm`) leads; the
+34 round-2 greens never re-verified since round 2 follow in their r2
+verification order; then 15 of the 16 round-3 rows, oldest first
+(`join_full_outer` defers to round 7 — the window is exactly 50
+slots). Every round-6 window entry is oracle-backed: no rows-only
+smoke tail this round.
 """
 
 from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL, QUERIES
 from bigdatafinalproject_hockey_spark.queries.__init__ import _VERIFY_FIRST
 
-# Queries whose green rows from earlier rounds are still valid against
-# the CURRENT testdata: every CORRECTNESS_r04 green (1 round old) and
-# every r3 green not re-verified since (2 rounds old — at the freshness
-# limit but valid). These must NOT occupy round-5 window slots.
+# Queries whose green rows from recent rounds are still valid against
+# the CURRENT testdata: every CORRECTNESS_r05 green (1 round old) and
+# every r4 green not re-verified since (2 rounds old — at the
+# freshness limit but valid). These must NOT occupy round-6 slots.
 STILL_GREEN = {
-    # r1 singles replaced by composites (their green stands; the
-    # composites re-verified green in r3)
-    "rename_col", "cast_types", "parse_date", "filter_range",
-    "filter_eq", "filter_notnull", "drop_nulls_any", "filter_compound",
-    "project_alias", "derive_arith", "case_when", "fill_default",
-    "str_normalize_ws", "str_strip_charset",
-    # r3 greens (CORRECTNESS_r03 rows not re-run in r4 — 2 rounds old)
-    "pack_sequences", "join_bucketed", "cap_per_source", "corpus_drift",
-    "chunk_overlap", "dedup_incremental", "scan_chunked", "clean_types",
-    "filter_clean", "derive_features", "str_clean", "dedup_simhash",
-    "sim_ann_lsh", "sample_stratified", "dedup_minhash_lsh_portable",
-    "multimodal_features", "stream_static_enrich", "join_skew_salted",
-    "tokenize_to_ids", "dedup_incremental_near", "topk_per_group",
-    "json_extract", "events_funnel", "join_asof", "stream_session_window",
-    "stream_foreachbatch_upsert", "agg_count_group", "win_row_number",
-    "win_expanding_avg", "win_sliding_avg", "win_running_sum", "win_lag",
-    "win_first_last", "win_range_interval", "agg_pivot",
-    "agg_windowed_distinct", "map_functions", "join_full_outer",
-    "sessionize_events", "stream_tumbling_agg", "stream_sliding_agg",
-    "stream_dedup", "stream_stream_join", "scan_jsonl_roundtrip",
-    "scan_csv_roundtrip", "set_intersect", "set_except",
-    "win_rank_family", "reshape_unpivot", "date_functions",
-    # r4 greens (all 46 green CORRECTNESS_r04 rows — 1 round old)
+    # r5 window occupants (49/50 green in CORRECTNESS_r05; the 50th,
+    # text_quality_classifier_fast, got its wanted rows-only smoke)
+    "events_attribution", "ts_downsample", "agg_histogram",
+    "analytics_promo_share", "events_anomaly_mad",
+    "stream_stream_left_outer", "join_dpp", "join_interval_binned",
+    "agg_sketch_rollup", "ml_eval_pr_curve", "graph_triangle_count",
+    "graph_bfs_hops", "analytics_top_supplier",
+    "analytics_idle_customers", "analytics_parts_supplier",
+    "stream_chained_agg", "sample_weighted", "ts_ewma",
+    "dedup_containment", "scan_text_roundtrip", "events_top_paths",
+    "mv_incremental_join", "scan_binary_files", "ts_trend_slope",
+    "events_peak_concurrency", "agg_listagg", "events_activity_streaks",
+    "analytics_small_qty_revenue", "diag_join_key_skew",
+    "scan_custom_datasource", "agg_multi_distinct",
+    "stream_custom_datasource", "join_asof_nearest", "join_lateral_topn",
+    "analytics_ab_test", "analytics_pareto", "text_bigrams_udtf",
+    "ts_holt_forecast", "stream_fanout_multi_sink", "agg_bitmap_distinct",
+    "events_dau_wau_mau", "stream_session_dynamic_gap",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
+    "pipeline_features", "join_range", "agg_rollup", "agg_cube",
+    "text_quality_classifier_fast",
+    # r4 greens (CORRECTNESS_r04 rows not re-run since — 2 rounds old)
     "ml_eval_deterministic", "agg_approx", "sink_console",
     "text_quality_classifier", "corpus_snapshot_diff",
     "stream_dedup_within_watermark", "join_bloom_pruned",
@@ -59,47 +57,46 @@ STILL_GREEN = {
     "agg_group_multi", "anti_join", "join_equi_3key", "join_self_matchup",
     "join_star", "lookup_with_fallback", "map_literal_lookup",
     "semi_join_isin", "str_fuzzy_match", "split_temporal", "dedup_exact",
-    # r4 driver smokes (rows-only by nature; smoked is their terminal
+    # driver smokes (rows-only by nature; smoked is their terminal
     # evidence state — re-smoking buys nothing)
     "ml_train_eval_rf", "ml_train_eval_gbt", "ml_train_eval_mlp",
     "split_random",
 }
 
-# The deliberate rows-only tail (round 5): the xxhash64 fast path.
-SMOKE_TAIL = ["text_quality_classifier_fast"]
+# FRONT: the one registry query with zero driver evidence going into
+# round 6 (registered round 5 after that window froze).
+NEVER_VERIFIED = ["multimodal_decode_ppm"]
 
-# The 42 never-driver-verified oracle-backed r4c-f queries
-# (VERDICT r4 item 1's debt list), in registration order.
-NEVER_VERIFIED = [
-    # r4c
-    "events_attribution", "ts_downsample", "agg_histogram",
-    "analytics_promo_share", "events_anomaly_mad",
-    "stream_stream_left_outer", "join_dpp", "join_interval_binned",
-    "agg_sketch_rollup", "ml_eval_pr_curve",
-    # r4d
-    "graph_triangle_count", "graph_bfs_hops", "analytics_top_supplier",
-    "analytics_idle_customers", "analytics_parts_supplier",
-    "stream_chained_agg", "sample_weighted", "ts_ewma",
-    "dedup_containment", "scan_text_roundtrip", "events_top_paths",
-    "mv_incremental_join",
-    # r4e
-    "scan_binary_files", "ts_trend_slope", "events_peak_concurrency",
-    "agg_listagg", "events_activity_streaks",
-    "analytics_small_qty_revenue", "diag_join_key_skew",
-    "scan_custom_datasource", "agg_multi_distinct",
-    "stream_custom_datasource", "join_asof_nearest",
-    # r4f
-    "join_lateral_topn", "analytics_ab_test", "analytics_pareto",
-    "text_bigrams_udtf", "ts_holt_forecast", "stream_fanout_multi_sink",
-    "agg_bitmap_distinct", "events_dau_wau_mau",
-    "stream_session_dynamic_gap",
+# The 34 round-2 greens never re-verified since round 2, in their r2
+# verification order (VERDICT r5 item 1's staleness list).
+R2_STALE = [
+    "agg_grouping_sets", "sim_ann_ivf", "stream_stateful_totals",
+    "sink_parquet_partitioned", "grouped_zscore", "array_functions",
+    "doc_fingerprint", "text_lang_id", "agg_quantile_report",
+    "text_bpe_token_count", "sim_knn_classify", "text_token_count",
+    "text_repetition_score", "text_top_tokens", "text_quality_score",
+    "pipeline_document_curation", "dedup_embedding_cosine",
+    "sim_cosine_topk", "dedup_ngram_jaccard", "dedup_components",
+    "scan_orc_roundtrip", "agg_corr_stats", "sink_parquet_compacted",
+    "pipeline_training_mix", "dedup_segments", "text_bigram_logprob",
+    "text_tfidf_top_terms", "topk_global", "union_all",
+    "text_contamination", "split_hash", "sample_by_key",
+    "text_unigram_logprob", "text_pii_scrub",
 ]
 
-# The 7 oldest round-2 greens (two-round-old at r4; VERDICT r4 item 5).
-R2_OLDEST = [
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_resize",
-    "pipeline_features", "join_range", "agg_rollup", "agg_cube",
+# 15 of the 16 round-3 rows, oldest first; `join_full_outer` is the
+# one r3 row deferred to round 7 (the window is exactly 50 slots).
+R3_STALE = [
+    "map_functions", "json_extract", "sessionize_events",
+    "win_first_last", "win_lag", "win_running_sum", "win_range_interval",
+    "reshape_unpivot", "sample_stratified", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_dedup", "stream_session_window",
+    "stream_static_enrich", "stream_foreachbatch_upsert",
 ]
+
+# Round-6 newcomers registered AFTER this window froze — round-7
+# front-load debt alongside join_full_outer.
+R6_NEWCOMERS = {"multimodal_decode_png"}
 
 
 def test_window_is_first_in_registry():
@@ -115,26 +112,42 @@ def test_window_avoids_still_green_queries():
     assert not overlap, f"window wastes slots on still-green queries: {overlap}"
 
 
-def test_window_oracle_backed_except_smoke_tail():
+def test_window_fully_oracle_backed():
+    """No rows-only smoke tail this round: every round-6 window entry
+    must carry a DuckDB oracle so all 50 driver rows can hash-match."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == SMOKE_TAIL, (
-        f"unexpected rows-only queries in window: {rows_only}"
-    )
+    assert rows_only == [], f"rows-only queries in window: {rows_only}"
 
 
-def test_smoke_tail_is_the_tail():
-    assert _VERIFY_FIRST[-len(SMOKE_TAIL):] == SMOKE_TAIL
-
-
-def test_never_verified_queries_lead_the_window():
-    """VERDICT r4 item 1: every oracle-backed query that has never had
-    a driver row must lead the window, in registration order."""
+def test_never_verified_query_leads_the_window():
+    """VERDICT r5 item 1: the one query with zero driver evidence
+    goes first."""
     assert _VERIFY_FIRST[: len(NEVER_VERIFIED)] == NEVER_VERIFIED
 
 
-def test_r2_oldest_tier_fills_spare_slots():
-    """VERDICT r4 item 5: the spare slots go to the oldest r2 greens."""
-    assert _VERIFY_FIRST[len(NEVER_VERIFIED):-len(SMOKE_TAIL)] == R2_OLDEST
+def test_r2_stale_tier_follows_in_r2_order():
+    n0 = len(NEVER_VERIFIED)
+    assert _VERIFY_FIRST[n0 : n0 + len(R2_STALE)] == R2_STALE
+
+
+def test_r3_stale_tier_fills_remaining_slots():
+    assert _VERIFY_FIRST[-len(R3_STALE) :] == R3_STALE
+
+
+def test_deferred_r3_row_is_exactly_join_full_outer():
+    """The only r3 row not in this window must be the documented
+    deferral, not an accidental omission."""
+    r3_all = set(R3_STALE) | {"join_full_outer"}
+    missing = r3_all - set(_VERIFY_FIRST)
+    assert missing == {"join_full_outer"}, missing
+
+
+def test_newcomers_are_outside_the_window():
+    """Round-6 additions land BEHIND the frozen window (they become
+    round-7 front-load debt) — they must not silently displace a
+    staleness slot."""
+    overlap = R6_NEWCOMERS & set(_VERIFY_FIRST)
+    assert not overlap, f"newcomers displaced window slots: {overlap}"
 
 
 def test_every_oracle_name_is_registered():
