@@ -17,15 +17,19 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-6 window (VERDICT r5 item 1 — the freshness round, exactly the
-pre-staged rotation plan recorded here last round): (a) FRONT:
-`multimodal_decode_ppm`, the single registry query with zero driver
-evidence (registered in round 5 after that window froze; local
-oracle-green via tests/test_oracle_parity.py); (b) the 34 round-2
-greens never re-verified since round 2, in their r2 verification
-order — after two testdata drifts these are the stalest rows in the
-record; (c) 15 of the 16 round-3 rows, oldest first
-(`join_full_outer` is the one r3 row deferred to round 7 — the
-window is exactly 50 slots). The round-5 window's occupants (49/50
+pre-staged rotation plan recorded here last round, amended once
+in-round): (a) FRONT: `multimodal_decode_ppm`, the single registry
+query with zero driver evidence at round-6 start (registered in
+round 5 after that window froze; local oracle-green via
+tests/test_oracle_parity.py), immediately followed by
+`multimodal_decode_png` — the round-6 newcomer, front-loaded NOW so
+it does not repeat decode_ppm's registered-after-the-window-froze
+gap; (b) the 34 round-2 greens never re-verified since round 2, in
+their r2 verification order — after two testdata drifts these are
+the stalest rows in the record; (c) 14 of the 16 round-3 rows,
+oldest first (`join_full_outer` and `stream_foreachbatch_upsert`
+are the two r3 rows deferred to round 7 — the window is exactly 50
+slots and the PNG newcomer takes one). The round-5 window's occupants (49/50
 green in CORRECTNESS_r05) rotate out; their rows are 1 round old and
 stay valid. After this window lands, every registry query has ≥1
 driver row and no green row is older than 3 rounds.
@@ -49,8 +53,11 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _VERIFY_FIRST = [
     # (a) FRONT: the one registry query with zero driver evidence —
     # the real-PPM-codec decode (registered round 5 after that
-    # window froze; VERDICT r5 item 1 orders it first).
+    # window froze; VERDICT r5 item 1 orders it first), then the
+    # round-6 PNG newcomer so it gets a driver row the round it
+    # lands instead of inheriting the same gap.
     "multimodal_decode_ppm",
+    "multimodal_decode_png",
     # (b) the 34 round-2 greens never re-verified since round 2, in
     # their r2 verification order — the stalest rows in the record
     # after two testdata drifts.
@@ -88,9 +95,10 @@ _VERIFY_FIRST = [
     "sample_by_key",
     "text_unigram_logprob",
     "text_pii_scrub",
-    # (c) 15 of the 16 round-3 rows, oldest first (`join_full_outer`
-    # is the one r3 row deferred to round 7 — the window is exactly
-    # 50 slots).
+    # (c) 14 of the 16 round-3 rows, oldest first (`join_full_outer`
+    # and `stream_foreachbatch_upsert` are the r3 rows deferred to
+    # round 7 — the window is exactly 50 slots and the PNG newcomer
+    # takes one).
     "map_functions",
     "json_extract",
     "sessionize_events",
@@ -105,18 +113,18 @@ _VERIFY_FIRST = [
     "stream_dedup",
     "stream_session_window",
     "stream_static_enrich",
-    "stream_foreachbatch_upsert",
 ]
 
 # ROUND-7 ROTATION DEBT (write the next window from this): after the
 # round-6 window lands, the freshness ledger is — r3-green (3 rounds
-# old at r7): join_full_outer (the one r3 row the 50-slot r6 window
-# could not fit — front-load it in r7); r4-green (3 rounds old at
-# r7): the CORRECTNESS_r04 occupants (clean_types → stream_cdc_upsert
-# window, ~50 rows); any round-6 newcomers registered after this
-# window froze. Round 7 should front-load join_full_outer + newcomers,
-# then rotate through the r4 block oldest-first; the r5 and r6 blocks
-# stay ≤2 rounds old through round 8.
+# old at r7): join_full_outer and stream_foreachbatch_upsert (the two
+# r3 rows the 50-slot r6 window could not fit — front-load them in
+# r7); r4-green (3 rounds old at r7): the CORRECTNESS_r04 occupants
+# (clean_types → stream_cdc_upsert window, ~50 rows); any round-6
+# newcomers registered after this window froze. Round 7 should
+# front-load the two deferred r3 rows + newcomers, then rotate
+# through the r4 block oldest-first; the r5 and r6 blocks stay ≤2
+# rounds old through round 8.
 
 
 def _rotate(window: list[str]) -> None:

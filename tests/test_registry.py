@@ -2,13 +2,16 @@
 
 The driver's per-round CORRECTNESS check covers the first ~50 registry
 entries (exactly 50 in rounds 1-5). These tests pin the round-6
-rotation contract (VERDICT r5 item 1 — the freshness round): the one
-query with zero driver evidence (`multimodal_decode_ppm`) leads; the
-34 round-2 greens never re-verified since round 2 follow in their r2
-verification order; then 15 of the 16 round-3 rows, oldest first
-(`join_full_outer` defers to round 7 — the window is exactly 50
-slots). Every round-6 window entry is oracle-backed: no rows-only
-smoke tail this round.
+rotation contract (VERDICT r5 item 1 — the freshness round): the
+queries with zero driver evidence lead (`multimodal_decode_ppm`,
+then the round-6 newcomer `multimodal_decode_png`, front-loaded in
+the round it landed so it does not inherit decode_ppm's
+registered-after-the-window-froze gap); the 34 round-2 greens never
+re-verified since round 2 follow in their r2 verification order;
+then 14 of the 16 round-3 rows, oldest first (`join_full_outer` and
+`stream_foreachbatch_upsert` defer to round 7 — the window is
+exactly 50 slots). Every round-6 window entry is oracle-backed: no
+rows-only smoke tail this round.
 """
 
 from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL, QUERIES
@@ -63,9 +66,10 @@ STILL_GREEN = {
     "split_random",
 }
 
-# FRONT: the one registry query with zero driver evidence going into
-# round 6 (registered round 5 after that window froze).
-NEVER_VERIFIED = ["multimodal_decode_ppm"]
+# FRONT: the queries with zero driver evidence — the one carried
+# into round 6 (registered round 5 after that window froze) plus the
+# round-6 newcomer, front-loaded the round it landed.
+NEVER_VERIFIED = ["multimodal_decode_ppm", "multimodal_decode_png"]
 
 # The 34 round-2 greens never re-verified since round 2, in their r2
 # verification order (VERDICT r5 item 1's staleness list).
@@ -84,19 +88,20 @@ R2_STALE = [
     "text_unigram_logprob", "text_pii_scrub",
 ]
 
-# 15 of the 16 round-3 rows, oldest first; `join_full_outer` is the
-# one r3 row deferred to round 7 (the window is exactly 50 slots).
+# 14 of the 16 round-3 rows, oldest first; `join_full_outer` and
+# `stream_foreachbatch_upsert` are the r3 rows deferred to round 7
+# (the window is exactly 50 slots and the PNG newcomer takes one).
 R3_STALE = [
     "map_functions", "json_extract", "sessionize_events",
     "win_first_last", "win_lag", "win_running_sum", "win_range_interval",
     "reshape_unpivot", "sample_stratified", "stream_tumbling_agg",
     "stream_sliding_agg", "stream_dedup", "stream_session_window",
-    "stream_static_enrich", "stream_foreachbatch_upsert",
+    "stream_static_enrich",
 ]
 
-# Round-6 newcomers registered AFTER this window froze — round-7
-# front-load debt alongside join_full_outer.
-R6_NEWCOMERS = {"multimodal_decode_png"}
+# The r3 rows the 50-slot window could not fit — round-7 front-load
+# debt (documented in queries/__init__.py's rotation-debt note).
+R3_DEFERRED = {"join_full_outer", "stream_foreachbatch_upsert"}
 
 
 def test_window_is_first_in_registry():
@@ -119,9 +124,10 @@ def test_window_fully_oracle_backed():
     assert rows_only == [], f"rows-only queries in window: {rows_only}"
 
 
-def test_never_verified_query_leads_the_window():
-    """VERDICT r5 item 1: the one query with zero driver evidence
-    goes first."""
+def test_never_verified_queries_lead_the_window():
+    """VERDICT r5 item 1: queries with zero driver evidence go
+    first — the carried-over decode_ppm, then the round-6 PNG
+    newcomer."""
     assert _VERIFY_FIRST[: len(NEVER_VERIFIED)] == NEVER_VERIFIED
 
 
@@ -134,20 +140,12 @@ def test_r3_stale_tier_fills_remaining_slots():
     assert _VERIFY_FIRST[-len(R3_STALE) :] == R3_STALE
 
 
-def test_deferred_r3_row_is_exactly_join_full_outer():
-    """The only r3 row not in this window must be the documented
-    deferral, not an accidental omission."""
-    r3_all = set(R3_STALE) | {"join_full_outer"}
+def test_deferred_r3_rows_are_exactly_the_documented_ones():
+    """The only r3 rows not in this window must be the documented
+    deferrals, not accidental omissions."""
+    r3_all = set(R3_STALE) | R3_DEFERRED
     missing = r3_all - set(_VERIFY_FIRST)
-    assert missing == {"join_full_outer"}, missing
-
-
-def test_newcomers_are_outside_the_window():
-    """Round-6 additions land BEHIND the frozen window (they become
-    round-7 front-load debt) — they must not silently displace a
-    staleness slot."""
-    overlap = R6_NEWCOMERS & set(_VERIFY_FIRST)
-    assert not overlap, f"newcomers displaced window slots: {overlap}"
+    assert missing == R3_DEFERRED, missing
 
 
 def test_every_oracle_name_is_registered():
