@@ -33,10 +33,21 @@ events_x10 probe once recorded 14.3× that reproduces at 1.4-1.6× in
 isolation. min(run1, run2) is identical to second-run in the steady
 state (run 2 is almost always the faster one) and immune to a one-off
 stall on either run. Steady state is what a resident engine process
-delivers — and is this harness's stated intent since round 1. The 100× probes are
-single-shot (deliberately: they measure first-touch scaling of the
-round-3 tier, and their plans are already JIT-warm from the 1×/10×
-passes).
+delivers — and is this harness's stated intent since round 1. Since
+round 6 the 100× probes use the same warm best-of-2 protocol as every
+other tier: their original single-shot design ("first-touch scaling")
+produced a 32.5× dedup_incremental_near record that isolated
+re-checks place at 8-9× — the same transient-stall failure mode the
+best-of-2 protocol was introduced to kill.
+
+Protocol provenance per round (cross-round comparisons must be
+tagged, ADVICE r5): r1-r3 single-shot; r4 warm_second_run; r5+
+warm_best_of_2 (min-of-2 <= second-of-2 by construction, so
+cross-protocol deltas slightly flatter newer rounds); graph_x4
+ratios measure ITERATION cost only — the one-time bucketed edge
+ingest runs during the first 4x pass and best-of-2 excludes it,
+exactly as a per-source-version ingest is excluded from per-query
+cost in deployment.
 """
 
 from __future__ import annotations
@@ -161,6 +172,21 @@ X10_EVENTS = [
     "events_dau_wau_mau",   # ×30 contribution explosion + distincts
     "agg_bitmap_distinct",  # bitmap words over a 10×-sparser id domain
     "stream_session_dynamic_gap",  # streaming session windows, 10× keys
+]
+
+# Multimodal/binary tier at 10× documents (round 6, VERDICT r5
+# item 5): the one operator tier that had correctness evidence but no
+# scale ratios, and binary payloads are exactly where partition-size
+# assumptions break. Reuses the near-dup docs_x10 corpus — payload
+# bytes are derived per-row (PPM/PNG synthesis from doc_id, frames
+# from text), so 10× rows means 10× payloads through the same
+# mapInPandas batch path; the feature/hash columns that DO shuffle
+# stay bytes-per-row constant, so these ops should land near-linear.
+X10_MULTIMODAL = [
+    "multimodal_phash_dedup",   # 60-bit block hash + groupBy dedup
+    "multimodal_decode_ppm",    # real P6 decode, two chained stages
+    "multimodal_decode_png",    # real PNG inflate+unfilter decode
+    "multimodal_frame_sample",  # 1→N frame expansion via mapInPandas
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set
@@ -444,9 +470,17 @@ def main() -> None:
         }
         print(f"  [x10] {name}: {dt:.3f}s", file=sys.stderr)
     # round-3 tier at 100× documents with DISJOINT vocab (input
-    # scaling, no cross-copy pairs): single shot, plans pre-warmed at
-    # 1× below. Sublinear-or-linear ratios expected; dedup_simhash's
-    # output also grows 100× (within-copy pairs), so its ratio bounds
+    # scaling, no cross-copy pairs). Warm best-of-2 at BOTH scales
+    # since round 6: this tier was single-shot by design ("first-touch
+    # scaling"), but a single shot has now twice poisoned the official
+    # record — r4's 14.3× ts_gapfill stall analog here was r6's 32.5×
+    # dedup_incremental_near (isolated re-checks: 8-9×, matching r5's
+    # 8.27×; the shot landed on a transient while the 1× base ran
+    # anomalously fast). First-touch cost is a real deployment
+    # quantity, but a ~50-query session is the wrong instrument for
+    # it — the ratio's job is input scaling, measured steady-state.
+    # Sublinear-or-linear ratios expected; dedup_simhash's output
+    # also grows 100× (within-copy pairs), so its ratio bounds
     # input+output scaling together.
     x100_dir = _ensure_docs_amplified(
         spark, SF_DIR, X100_COPIES, disjoint_vocab=True
@@ -456,15 +490,10 @@ def main() -> None:
     for name in X100:
         try:
             base = run_warm(name, SF_DIR)
-            t0 = time.perf_counter()
-            QUERIES[name](spark, x100_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
+            dt = run_warm(name, x100_dir)
         except Exception as exc:  # noqa: BLE001
             errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        spark.catalog.clearCache()
         docs_x100[name] = {
             "sec_1x": round(base, 3),
             f"sec_{X100_COPIES}x": round(dt, 3),
@@ -492,6 +521,25 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [ev_x10] {name}: {dt:.3f}s", file=sys.stderr)
+    # Multimodal tier at 10× documents: payload-per-row constant,
+    # rows 10× — the mapInPandas decode/hash paths should scale with
+    # rows; superlinear growth here means payload bytes leaked into
+    # a shuffle or a driver collect.
+    spark.catalog.clearCache()
+    mm_x10: dict[str, dict] = {}
+    for name in X10_MULTIMODAL:
+        try:
+            base = round(run_warm(name, SF_DIR), 3)
+            dt = run_warm(name, x10_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"mm_x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        mm_x10[name] = {
+            "sec_1x": base,
+            "sec_10x": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+        print(f"  [mm_x10] {name}: {dt:.3f}s", file=sys.stderr)
     # Graph tier at 4× edges: does iteration cost scale with the
     # graph, now that edge derivation is an amortized bucketed ingest?
     gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)
@@ -520,6 +568,7 @@ def main() -> None:
         "docs_x10": docs_x10,
         "docs_x100": docs_x100,
         "events_x10": events_x10,
+        "multimodal_x10": mm_x10,
         "graph_x4": graph_x4,
         "errors": errors,
     }
@@ -560,7 +609,13 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
 
     line = dumps(compact)
     # Append probe ratio dicts one section at a time while they fit.
-    for key in ("docs_x10", "docs_x100", "events_x10", "graph_x4"):
+    for key in (
+        "docs_x10",
+        "docs_x100",
+        "events_x10",
+        "multimodal_x10",
+        "graph_x4",
+    ):
         probes = out.get(key) or {}
         ratios = {
             name: rec.get("ratio")

@@ -1,0 +1,143 @@
+"""Isolated re-measure of individual bench queries (round 6).
+
+Motivation (VERDICT r5 items 2 and 4): two official bench numbers
+disagree with history in ways no code change explains —
+``sim_hybrid_rrf`` 1.17 s → 1.85 s (+59%) between BENCH_r04 and
+BENCH_r05 with git -L showing zero edits to its stages, and
+``ts_gapfill``'s events_x10 ratio recorded ≥3.0× twice officially
+while reproducing at 1.4–1.6× in isolation. The official bench runs
+~50 queries in one JVM session; late-session state (GC pressure,
+code-cache occupancy, OS page cache) can move an individual number
+even under the warm best-of-2 protocol. This script answers "what
+does the query cost in a session that has run nothing else?" — the
+steady-state-per-query number the suite-embedded record should be
+judged against.
+
+Protocol: ONE fresh session, only the probed queries run, each under
+the same warm best-of-2 / cache-cleared measurement as bench.py
+(imported from it, not re-implemented). For ts_gapfill the events_x10
+corpus is materialized through bench's own staleness-gated helper so
+the ratio divides numbers from the same data generation.
+
+Run:  python scripts/isolated_probe.py [query ...]
+Output: one JSON line {"probes": {name: {...}}, "sf": ...} plus a
+human-readable stderr trace. Results are recorded in SURVEY §6 /
+README next to the official suite numbers they contextualize.
+
+Two numbers per query, because a fresh session conflates two things:
+``sec_isolated`` is warm best-of-2 exactly as bench.py records it
+(comparable to the official protocol, but in a fresh session the
+second run still carries substantial first-touch JIT for this plan
+shape), and ``sec_steady`` is the min of 5 subsequent full
+recomputes — the resident-engine steady state the suite-embedded
+official numbers approach by the time a query's turn comes up.
+
+Round-6 findings (VERDICT r5 items 2 and 4), recorded here because
+this script IS the measurement's provenance:
+- sim_hybrid_rrf: fresh-session best-of-2 2.4-2.8 s, steady state
+  1.4-1.8 s — consistent with the official r5 1.85 s, NOT with the
+  official r4 1.17 s. No code change touched its stages (git -L),
+  but the round-5 testdata regeneration did change the corpus, and
+  the sparse leg's cost is overlap-cardinality-dependent (at sf0.1
+  every query doc shares ubiquitous tokens with every corpus doc:
+  ov = 20 x 5,000 rows exactly). The round-6 official suite then
+  recorded it at 1.02 s with still no code change. Verdict: not a
+  plan regression — suite-state variance (JIT/code-cache state by
+  the time its turn comes up) over a 1.0-1.9 s band, plus the
+  round-5 corpus regeneration; steady state sits mid-band.
+- ts_gapfill events_x10: isolated ratios 2.85x and 3.32x across two
+  runs — agree with the official >=3.0x records, refuting the
+  earlier 1.4-1.6x isolation claim. ~3x on 10x keys is strongly
+  sublinear; the grid-densify output grows with key count, so
+  super-1x is expected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (repo-root bench harness)
+from bigdatafinalproject_hockey_spark.queries import QUERIES  # noqa: E402
+from bigdatafinalproject_hockey_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Default probe set = the two queries VERDICT r5 put "on watch".
+# ts_gapfill additionally measures its events_x10 ratio — the number
+# item 4 asks to confirm.
+DEFAULT = ["sim_hybrid_rrf", "ts_gapfill"]
+WITH_EVENTS_X10 = {"ts_gapfill"}
+
+
+def run_once(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_warm(spark, name: str, sf_dir: str) -> float:
+    """bench.py's measurement protocol: best of two full recomputes,
+    cache cleared between and after (warm JIT, never warm data)."""
+    dt1 = run_once(spark, name, sf_dir)
+    spark.catalog.clearCache()
+    dt2 = run_once(spark, name, sf_dir)
+    spark.catalog.clearCache()
+    return min(dt1, dt2)
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    spark = get_session()
+    probes: dict[str, dict] = {}
+    for name in names:
+        rec: dict = {"sec_isolated": round(run_warm(spark, name, SF_DIR), 3)}
+        steady_runs = []
+        for _ in range(5):
+            steady_runs.append(run_once(spark, name, SF_DIR))
+            spark.catalog.clearCache()
+        rec["sec_steady"] = round(min(steady_runs), 3)
+        print(
+            f"  {name}: {rec['sec_isolated']}s isolated, "
+            f"{rec['sec_steady']}s steady",
+            file=sys.stderr,
+        )
+        if name in WITH_EVENTS_X10:
+            ev_dir = bench._ensure_events_amplified(spark, SF_DIR, 10)
+            spark.catalog.clearCache()
+            base = run_warm(spark, name, SF_DIR)
+            dt = run_warm(spark, name, ev_dir)
+            rec.update(
+                sec_1x=round(base, 3),
+                sec_10x=round(dt, 3),
+                ratio=round(dt / base, 2) if base else None,
+            )
+            print(
+                f"  {name}: x10 {dt:.3f}s / {base:.3f}s = {rec['ratio']}",
+                file=sys.stderr,
+            )
+        probes[name] = rec
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "isolated_probe_sec",
+                "measure": "warm_best_of_2",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "probes": probes,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,8 @@ query that didn't opt in; remove a name when its query drops the
 pattern.
 
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
-single-partition exchanges, 187 queries.
+single-partition exchanges, 187 queries. Round 6: 188 queries + 16
+captured eager stages (204 audited plans), same flag counts.
 
 COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
 plan cannot see stages a query executes eagerly while being built —

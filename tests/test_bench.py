@@ -12,7 +12,15 @@ and degrades (rather than overruns) if the suite ever outgrows it.
 import json
 
 import bench
-from bench import HEADLINE, X10, X100, X10_EVENTS, X4_GRAPH, build_summary_line
+from bench import (
+    HEADLINE,
+    X10,
+    X100,
+    X10_EVENTS,
+    X10_MULTIMODAL,
+    X4_GRAPH,
+    build_summary_line,
+)
 
 DRIVER_TAIL_CHARS = 2000
 
@@ -32,6 +40,10 @@ def _fake_out(n_extra: int = 0) -> dict:
         "docs_x100": {n: {"sec_1x": 1.0, "sec_100x": 7.5, "ratio": 7.5} for n in X100},
         "events_x10": {
             n: {"sec_1x": 1.0, "sec_10x": 1.8, "ratio": 1.8} for n in X10_EVENTS
+        },
+        "multimodal_x10": {
+            n: {"sec_1x": 1.0, "sec_10x": 2.2, "ratio": 2.2}
+            for n in X10_MULTIMODAL
         },
         "graph_x4": {
             n: {"sec_1x": 1.0, "sec_4x": 1.9, "ratio": 1.9} for n in X4_GRAPH
@@ -71,7 +83,7 @@ def test_summary_line_is_valid_json_with_errors_counted():
 def test_probe_lists_reference_registered_queries():
     from bigdatafinalproject_hockey_spark.queries import QUERIES
 
-    for name in HEADLINE + X10 + X100 + X10_EVENTS + X4_GRAPH:
+    for name in HEADLINE + X10 + X100 + X10_EVENTS + X10_MULTIMODAL + X4_GRAPH:
         assert name in QUERIES, name
 
 
