@@ -29,7 +29,11 @@ from bigdatafinalproject_hockey_spark.operators import (
 )
 from bigdatafinalproject_hockey_spark.plancapture import capture
 from bigdatafinalproject_hockey_spark.queries.base import register
-from bigdatafinalproject_hockey_spark.similarity import ivf_cosine_topk
+from bigdatafinalproject_hockey_spark.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    semantic_dedup_survivors,
+)
 from bigdatafinalproject_hockey_spark.sources.parquet import (
     scan_parquet,
     sink_parquet,
@@ -281,6 +285,173 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     queries = emb.filter(F.col("vec_id") < 20).select("vec_id")
     return ivf_cosine_topk(emb, centroids, queries, k=5)
+
+
+# Shared IVF-assignment CTE prefix (DuckDB): every-50th-vector
+# centroids, nearest-centroid cell per vector (rounded cosine,
+# centroid-id tiebreak) — byte-identical semantics to
+# similarity.ivf_cell_assignment so the three oracles below can never
+# drift from the Spark quantizer.
+_IVF_ASSIGN_CTE = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT e.vec_id, cent_id,
+             {_COS_SQL.format(a="emb", b="cemb")} AS cs
+      FROM e CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cent_id) AS rn
+      FROM scored
+    ),
+    assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE rn = 1)
+"""
+
+
+@register(
+    "sim_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    qprobe AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM ranked WHERE vec_id < 20 AND rn <= 2
+    ),
+    qv AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    cand AS (
+      SELECT qp.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qemb", b="c.emb")} AS cosine
+      FROM qprobe qp
+      JOIN qv USING (query_id)
+      JOIN assign a ON qp.cell = a.cell
+      JOIN e c ON c.vec_id = a.vec_id
+      WHERE c.vec_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 (round 6): each query also searches its
+    runner-up centroid cell, recovering neighbors that sit just across
+    a Voronoi boundary — the standard recall lever of inverted-file
+    indexes (probe cost grows linearly in nprobe, candidate cells stay
+    disjoint so no vector is scored twice). The capability existed in
+    ``similarity.ivf_cosine_topk`` since round 5 with a recall test;
+    this registers it on the driver surface with a full value-hash
+    oracle (deterministic centroids → engine-reproducible)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20).select("vec_id")
+    return ivf_cosine_topk(emb, centroids, queries, k=5, nprobe=2)
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 20),
+    bf_all AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qemb", b="c.emb")} AS cosine
+      FROM q JOIN e c ON c.vec_id <> query_id
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM bf_all
+      ) WHERE rnk <= 5
+    ),
+    ivf_cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qemb", b="c.emb")} AS cosine
+      FROM q
+      JOIN assign qa ON qa.vec_id = q.query_id
+      JOIN assign a ON a.cell = qa.cell
+      JOIN e c ON c.vec_id = a.vec_id
+      WHERE c.vec_id <> q.query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM ivf_cand
+      ) WHERE rnk <= 5
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / 5 AS recall
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality QA (round 6): recall@5 of the IVF index (nprobe=1)
+    against brute-force ground truth, per query — the measurement a
+    production retrieval pipeline runs before trusting an approximate
+    index ("measure, don't guess" applied to ANN itself). At 100 TB
+    the ground-truth side runs over a SAMPLED query set (here the 20
+    query vectors) while the index side is the deployed structure, so
+    eval cost is bounded by the sample, not the corpus. Both sides
+    share rounding (6 dp) and id tiebreaks, so the top-5 SETS are
+    deterministic and the recall is engine-exact."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = brute_force_cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_cosine_topk(
+        emb, centroids, queries.select("vec_id"), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit") / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    pairs AS (
+      SELECT b.vec_id AS dup_id
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e x ON x.vec_id = a.vec_id
+      JOIN e y ON y.vec_id = b.vec_id
+      WHERE {_COS_SQL.format(a="x.emb", b="y.emb")} >= 0.3
+    )
+    SELECT vec_id, cell FROM assign
+    WHERE vec_id NOT IN (SELECT dup_id FROM pairs)
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (round 6; public method,
+    Abbas et al. 2023): embeddings are clustered by the deterministic
+    IVF coarse quantizer (every-50th-vector centroids — the SAME
+    assignment as sim_ann_ivf, shared via
+    similarity.ivf_cell_assignment), then near-duplicates are detected
+    ONLY within a cell and one representative survives (conservative
+    drop rule: any >=0.3-cosine lower-id witness in the cell drops a
+    vector; survivors are pairwise below threshold within every cell —
+    pinned by test). Cluster blocking is the scale design: pair count
+    is Σ|cell|², tuned by the centroid count, never |corpus|²; every
+    stage is an equi-join on ``cell``. Complements the text-side
+    near-dup tier (MinHash/SimHash catch lexical dups; this catches
+    semantic dups that share no tokens)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return semantic_dedup_survivors(emb, centroids, min_cosine=0.3)
 
 
 # ---------------------------------------------------------------------------

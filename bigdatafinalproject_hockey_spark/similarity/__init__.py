@@ -87,6 +87,35 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_cell_assignment(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid cell assignment — the IVF coarse quantizer as
+    a standalone op: broadcast the (tiny) centroid set over one corpus
+    scan, rank rounded cosine with centroid-id tiebreak for
+    determinism. Output: vid, cell, emb (double array). Shared by
+    ``ivf_cosine_topk`` (candidate cells) and semantic dedup (cluster
+    blocking) so the two can never diverge on assignment semantics."""
+    c = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb"))
+    c = ensure_parallelism(c)
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vid",
+        "emb",
+        "cent_id",
+        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    )
+    return topk_per_group(
+        scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], 1
+    ).select("vid", F.col("cent_id").alias("cell"), "emb")
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -114,30 +143,18 @@ def ivf_cosine_topk(
     ``query_ids``: one column ``id_col`` selecting query vectors (must
     exist in the corpus). Output: query_id, neighbor_id, cosine, rnk.
     """
-    c = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb"))
-    c = ensure_parallelism(c)
+    from pyspark import StorageLevel
+
     cent = centroids.select(
         F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
     )
-    # nearest centroid per vector: broadcast the (tiny) centroid set,
-    # rank rounded cosine with centroid-id tiebreak for determinism
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "vid",
-        "emb",
-        "cent_id",
-        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
-    )
-    from pyspark import StorageLevel
-
     # Referenced twice below (query lookup + per-cell candidates); the
-    # centroid crossJoin + ranking above it is the expensive pass —
-    # persist the compact (vid, cell, emb) assignment instead of
-    # running it twice.
-    assign = (
-        topk_per_group(scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], 1)
-        .select("vid", F.col("cent_id").alias("cell"), "emb")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # centroid crossJoin + ranking inside the assignment is the
+    # expensive pass — persist the compact (vid, cell, emb) assignment
+    # instead of running it twice.
+    assign = ivf_cell_assignment(
+        corpus, centroids, id_col, vec_col, round_decimals
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Query-side probe list: re-rank the (tiny, broadcast) centroid set
     # per query vector and take the nprobe nearest cells. For nprobe=1
     # this reproduces the stored assignment exactly (same ordering,
@@ -173,6 +190,63 @@ def ivf_cosine_topk(
     )
     return top.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster embeddings with a
+    coarse quantizer, compare pairs ONLY within a cluster, and keep
+    one representative among near-duplicates. The cluster blocking is
+    what makes it scale: pair count is Σ|cell|², bounded by the
+    quantizer's cell sizes, never the |corpus|² all-pairs blow-up —
+    at 100 TB you raise the centroid count so cells stay
+    executor-sized and every stage is an equi-join on ``cell``.
+
+    Drop rule (the conservative, set-based variant): a vector is
+    dropped iff ANY lower-id vector in its cell has rounded cosine
+    >= ``min_cosine`` with it. This is deterministic and
+    engine-reproducible in one pass; the sequential greedy variant
+    (compare only against previously KEPT vectors) would need a
+    per-cell fold. Both yield a survivor set that is pairwise
+    BELOW the threshold within every cell (if a and b both survive
+    with a < b, then b had no >=θ lower-id witness — including a),
+    which is the property that matters and is pinned by a test.
+
+    Output: vec_id, cell (the survivors)."""
+    from pyspark import StorageLevel
+
+    # The quantizer pass (centroid crossJoin + ranking window) feeds
+    # THREE consumers below (both pair sides + the anti-join base);
+    # persist the compact (vid, cell, emb) assignment so it runs once.
+    assign = ivf_cell_assignment(
+        corpus, centroids, id_col, vec_col, round_decimals
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = assign.select(
+        F.col("vid").alias("id_a"), F.col("cell"), F.col("emb").alias("e_a")
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"), F.col("cell"), F.col("emb").alias("e_b")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_expr(F.col("e_a"), F.col("e_b")), round_decimals)
+            >= F.lit(min_cosine)
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return assign.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias(id_col), "cell"
     )
 
 

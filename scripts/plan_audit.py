@@ -32,8 +32,8 @@ query that didn't opt in; remove a name when its query drops the
 pattern.
 
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
-single-partition exchanges, 187 queries. Round 6: 188 queries + 16
-captured eager stages (204 audited plans), same flag counts.
+single-partition exchanges, 187 queries. Round 6: 191 queries + 16
+captured eager stages (207 audited plans), same flag counts.
 
 COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
 plan cannot see stages a query executes eagerly while being built —
@@ -98,7 +98,10 @@ ALLOWED: dict[str, set[str]] = {
                                               # scale path: join_interval_binned)
     "ml_eval_deterministic": {"single_part_exchange"},  # global confusion scalars
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
+    "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
+    "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table
+    "sim_ann_ivf_multiprobe": {"bnl_join"},   # centroid table
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)
     "sim_knn_classify": {"bnl_join"},         # centroid table

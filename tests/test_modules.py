@@ -561,6 +561,59 @@ def test_ivf_multiprobe_improves_recall(spark):
     assert r4 >= 0.5
 
 
+def test_semantic_dedup_survivor_invariants(spark):
+    """dedup_semantic's survivor contract: (a) survivors + dropped
+    partition the corpus, (b) within every cell the SURVIVING vectors
+    are pairwise BELOW the cosine threshold (if a<b both survived, b
+    had no >=θ lower-id witness — including a), (c) the minimum id of
+    every cell always survives (it has no lower-id witness at all)."""
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivf_cell_assignment,
+        semantic_dedup_survivors,
+    )
+    from bigdatafinalproject_hockey_spark.functions.vectors import (
+        as_double_array,
+        cosine_expr,
+    )
+
+    theta = 0.3
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    surv = semantic_dedup_survivors(emb, centroids, min_cosine=theta)
+    rows = surv.collect()
+    survivors = {r["vec_id"] for r in rows}
+    assert 0 < len(survivors) < emb.count()  # non-trivial at θ=0.3
+
+    assign = ivf_cell_assignment(emb, centroids).collect()
+    cells = {r["vid"]: r["cell"] for r in assign}
+    assert survivors <= set(cells)
+    # (c) min id of every cell survives
+    min_per_cell: dict = {}
+    for vid, cell in cells.items():
+        min_per_cell[cell] = min(min_per_cell.get(cell, vid), vid)
+    assert set(min_per_cell.values()) <= survivors
+
+    # (b) surviving pairs within a cell are all below θ (checked
+    # engine-side with the same rounded-cosine expression)
+    kept = surv.join(
+        emb.select("vec_id", as_double_array("embedding").alias("emb")),
+        "vec_id",
+    )
+    a = kept.select(
+        F.col("vec_id").alias("ia"), F.col("cell"), F.col("emb").alias("ea")
+    )
+    b = kept.select(
+        F.col("vec_id").alias("ib"), F.col("cell"), F.col("emb").alias("eb")
+    )
+    over = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cosine_expr(F.col("ea"), F.col("eb")), 6) >= theta)
+        .count()
+    )
+    assert over == 0, f"{over} surviving in-cell pairs at or above θ"
+
+
 def test_scan_chunked_splits(spark):
     """maxPartitionBytes must bound per-task input: shrinking it from
     the default to 64 KiB multiplies scan partitions, and the
