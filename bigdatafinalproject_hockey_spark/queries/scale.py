@@ -31,6 +31,7 @@ from bigdatafinalproject_hockey_spark.plancapture import capture
 from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.similarity import (
     brute_force_cosine_topk,
+    class_mean_classify,
     ivf_cosine_topk,
     semantic_dedup_survivors,
 )
@@ -452,6 +453,57 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     return semantic_dedup_survivors(emb, centroids, min_cosine=0.3)
+
+
+@register(
+    "ml_centroid_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    comp AS (
+      SELECT label, i.i AS pos,
+             CAST(ROUND(emb[CAST(i.i + 1 AS INT)] * 1000000) AS BIGINT) AS vq
+      FROM e, LATERAL (SELECT unnest(range(len(emb))) AS i) i
+    ),
+    sums AS (
+      SELECT label, pos, CAST(SUM(vq) AS BIGINT) AS s, COUNT(*) AS n
+      FROM comp GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT label AS cand,
+             list(s / n / 1000000.0 ORDER BY pos) AS cmean
+      FROM sums GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, m.cand,
+             {_COS_SQL.format(a="emb", b="cmean")} AS cs
+      FROM e CROSS JOIN means m
+    )
+    SELECT vec_id, label, cand AS pred_label, cs AS cosine,
+           cand = label AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cand) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean (Rocchio) embedding classification
+    (round 6): one distributed pass computes per-class mean vectors
+    with INTEGER-quantized component sums (a parallel double sum is
+    partition-order-dependent in its last bits; integer sums are
+    exact and associative, so the class means — and therefore the
+    oracle comparison — are bit-stable in any engine at any
+    parallelism), then every vector is assigned to its most
+    cosine-similar class mean. The mean table is |classes| rows and
+    broadcasts, so classification is a map-side pass — the prototype
+    baseline a labeling pipeline runs before training anything
+    heavier (complements sim_knn_classify, which votes over top-k
+    neighbors instead of prototypes)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return class_mean_classify(emb)
 
 
 # ---------------------------------------------------------------------------

@@ -193,6 +193,88 @@ def ivf_cosine_topk(
     )
 
 
+def class_mean_classify(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-class-mean (Rocchio) classification over an embedding
+    column — the cheapest useful embedding classifier and the standard
+    prototype baseline: one distributed pass computes each class's
+    mean vector, then every vector is assigned to the class whose mean
+    it is most cosine-similar to.
+
+    Determinism across engines: a parallel double sum is
+    order-dependent in its last bits, so components are quantized to
+    ``1/quant`` units and summed as INTEGERS (exact, associative, any
+    partition order), and each mean component is the integer sum
+    divided by the class count — the same IEEE division everywhere.
+    Scale design: posexplode → groupBy(label, pos) integer sums is one
+    shuffle of dims×classes partial rows (map-side combine does the
+    heavy lifting); the resulting class-mean table is CLASSES rows —
+    broadcast — so classification is a map-side pass over the corpus,
+    exactly the shape that survives a 100 TB corpus with a bounded
+    class count.
+
+    Output: vec_id, label (true), pred_label, cosine (to the winning
+    class mean, rounded), correct (boolean)."""
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        as_double_array(vec_col).alias("emb"),
+    )
+    comp = q.select(
+        "label", F.posexplode("emb").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v") * quant).cast("long").alias("vq"),
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("vq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    means = (
+        sums.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("s") / F.col("n") / F.lit(float(quant))).alias(
+                            "m"
+                        ),
+                    )
+                )
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("cand"),
+            F.transform("pairs", lambda p: p["m"]).alias("cmean"),
+        )
+    )
+    scored = q.crossJoin(F.broadcast(means)).select(
+        "vec_id",
+        "label",
+        "cand",
+        F.round(cosine_expr(F.col("emb"), F.col("cmean")), round_decimals).alias(
+            "cs"
+        ),
+    )
+    top = topk_per_group(
+        scored, ["vec_id"], [F.col("cs").desc(), F.col("cand")], 1
+    )
+    return top.select(
+        "vec_id",
+        "label",
+        F.col("cand").alias("pred_label"),
+        F.col("cs").alias("cosine"),
+        (F.col("cand") == F.col("label")).alias("correct"),
+    )
+
+
 def semantic_dedup_survivors(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -32,8 +32,8 @@ query that didn't opt in; remove a name when its query drops the
 pattern.
 
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
-single-partition exchanges, 187 queries. Round 6: 191 queries + 16
-captured eager stages (207 audited plans), same flag counts.
+single-partition exchanges, 187 queries. Round 6: 192 queries + 16
+captured eager stages (208 audited plans), same flag counts.
 
 COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
 plan cannot see stages a query executes eagerly while being built —
@@ -96,6 +96,7 @@ ALLOWED: dict[str, set[str]] = {
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts
     "join_range": {"bnl_join"},               # band table (by design;
                                               # scale path: join_interval_binned)
+    "ml_centroid_classify": {"bnl_join"},     # |classes|-row mean table
     "ml_eval_deterministic": {"single_part_exchange"},  # global confusion scalars
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg

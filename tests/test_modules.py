@@ -561,6 +561,23 @@ def test_ivf_multiprobe_improves_recall(spark):
     assert r4 >= 0.5
 
 
+def test_class_mean_classify_beats_random(spark):
+    """Nearest-class-mean must carry real signal on the fixture
+    embeddings: with 10 balanced classes random assignment scores
+    ~10%, the prototype classifier must clearly beat that, every
+    vector gets exactly one prediction, and the winning cosine is a
+    valid similarity."""
+    from bigdatafinalproject_hockey_spark.similarity import class_mean_classify
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = class_mean_classify(emb).collect()
+    assert len(out) == emb.count()
+    assert len({r["vec_id"] for r in out}) == len(out)
+    acc = sum(r["correct"] for r in out) / len(out)
+    assert acc > 0.3, f"accuracy {acc:.2f} not above random-ish baseline"
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in out)
+
+
 def test_semantic_dedup_survivor_invariants(spark):
     """dedup_semantic's survivor contract: (a) survivors + dropped
     partition the corpus, (b) within every cell the SURVIVING vectors
