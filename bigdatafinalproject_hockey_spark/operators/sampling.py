@@ -61,6 +61,64 @@ def sample_by_key_mod(
     return df.filter(F.pmod(F.col(key_col), F.lit(modulus)) == F.lit(keep_residue))
 
 
+def sample_temperature(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    budget_frac: float = 0.4,
+    alpha: float = 0.5,
+    salt: str = ":temp",
+) -> DataFrame:
+    """α-temperature sampling over a group (source/domain/language)
+    column — the multilingual-mixture technique (mT5/XLM-R style,
+    public method): sample group g with effective share ∝ n_g^α, so
+    α<1 flattens dominant groups and boosts rare ones, under a total
+    budget of ``budget_frac``·N docs.
+
+    Per-group keep probability: p_g = min(1, B·w_g / Σw / n_g) with
+    integer weights w_g = round(n_g^α · 1e6) and B = floor(N·budget).
+    Integer weight sums keep the arithmetic partition-order-exact
+    (a parallel double sum is not associative), and the per-doc draw
+    is the deterministic portable-hash uniform — so the whole sample
+    is engine-reproducible, retry-stable, and needs no seed plumbing.
+    Only α=0.5 is wired through the registered query: sqrt is
+    IEEE-exact everywhere, pow is not guaranteed bit-identical across
+    engines (other α values work Spark-side; their oracles would
+    need care).
+
+    Scale design: one map-side-combined count per group, a scalar
+    totals broadcast, and a broadcast rates join — the per-doc filter
+    is map-side, so the operator is one aggregation shuffle at any
+    corpus size (group cardinality is bounded by contract).
+
+    Output: the input rows that survive, plus their group's
+    ``keep_prob``."""
+    if alpha != 0.5:
+        raise ValueError(
+            "only alpha=0.5 (sqrt) is supported: pow() is not "
+            "bit-identical across engines, sqrt is"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    weights = counts.withColumn(
+        "w_g", F.round(F.sqrt(F.col("n_g")) * F.lit(1_000_000.0)).cast("long")
+    )
+    tot = weights.agg(
+        F.sum("w_g").alias("sum_w"), F.sum("n_g").alias("n_total")
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.floor(F.col("n_total") * F.lit(budget_frac)).cast("double")
+            * F.col("w_g").cast("double")
+            / F.col("sum_w").cast("double")
+            / F.col("n_g").cast("double"),
+        ).alias("keep_prob"),
+    )
+    u = deterministic_uniform_expr(key_col, salt)
+    return df.join(F.broadcast(rates), group_col).filter(u < F.col("keep_prob"))
+
+
 def split_temporal(
     df: DataFrame, time_col: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -122,10 +122,10 @@ _VERIFY_FIRST = [
 # r7); r4-green (3 rounds old at r7): the CORRECTNESS_r04 occupants
 # (clean_types → stream_cdc_upsert window, ~50 rows); the round-6
 # newcomers registered after this window froze: sim_ann_ivf_multiprobe,
-# ann_recall_eval, dedup_semantic, ml_centroid_classify
-# (multimodal_decode_png made it INTO
+# ann_recall_eval, dedup_semantic, ml_centroid_classify,
+# sample_temperature (multimodal_decode_png made it INTO
 # the window). Round 7 should front-load the two deferred r3 rows +
-# those four newcomers, then rotate
+# those five newcomers, then rotate
 # through the r4 block oldest-first; the r5 and r6 blocks stay ≤2
 # rounds old through round 8.
 

@@ -669,6 +669,55 @@ def q_pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_g FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_g,
+             CAST(ROUND(sqrt(n_g) * 1000000.0) AS BIGINT) AS w_g
+      FROM c
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_g) AS BIGINT) AS sum_w,
+             CAST(SUM(n_g) AS BIGINT) AS n_total
+      FROM w
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(1.0,
+                   CAST(FLOOR(n_total * 0.4) AS DOUBLE)
+                   * CAST(w_g AS DOUBLE)
+                   / CAST(sum_w AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)) AS keep_prob
+      FROM w CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, d.lang, r.keep_prob
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(({portable_hash64_sql("CAST(doc_id AS VARCHAR) || ':temp'")} >> 11)
+               AS DOUBLE) / 9007199254740992.0 < r.keep_prob
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source-mixture sampling (α=0.5, 40% budget) —
+    the mT5/XLM-R data-mixing technique (public method): effective
+    source share ∝ n_s^α, flattening dominant domains and boosting
+    rare ones. Complements `pipeline_training_mix` (fixed per-language
+    quotas) and `sample_stratified` (fixed per-stratum fractions):
+    here the rates are COMPUTED FROM THE CORPUS in the same job —
+    count per source → integer sqrt-weights (partition-order-exact) →
+    broadcast rates → deterministic hash-uniform Bernoulli per doc.
+    One aggregation shuffle total; the per-doc filter is map-side
+    (operators.sampling.sample_temperature)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from bigdatafinalproject_hockey_spark.operators import sampling as sample_ops
+
+    kept = sample_ops.sample_temperature(
+        docs, key_col="doc_id", group_col="source", budget_frac=0.4
+    )
+    return kept.select("doc_id", "source", "lang", "keep_prob")
+
+
 # ---------------------------------------------------------------------------
 # streaming incremental upsert (foreachBatch)
 # ---------------------------------------------------------------------------

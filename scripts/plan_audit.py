@@ -32,8 +32,8 @@ query that didn't opt in; remove a name when its query drops the
 pattern.
 
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
-single-partition exchanges, 187 queries. Round 6: 192 queries + 16
-captured eager stages (208 audited plans), same flag counts.
+single-partition exchanges, 187 queries. Round 6: 193 queries + 16
+captured eager stages (209 audited plans), same flag counts.
 
 COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
 plan cannot see stages a query executes eagerly while being built —
@@ -98,6 +98,7 @@ ALLOWED: dict[str, set[str]] = {
                                               # scale path: join_interval_binned)
     "ml_centroid_classify": {"bnl_join"},     # |classes|-row mean table
     "ml_eval_deterministic": {"single_part_exchange"},  # global confusion scalars
+    "sample_temperature": {"bnl_join", "single_part_exchange"},  # scalar corpus totals
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
@@ -182,6 +183,18 @@ def main() -> int:
     from bigdatafinalproject_hockey_spark import plancapture
 
     for name, fn in QUERIES.items():
+        # Render every plan from an EMPTY cache: a persisted subtree
+        # (e.g. the IVF cell assignment) renders as InMemoryRelation
+        # once another query in the same session has registered an
+        # identical plan, collapsing its exchanges out of the count —
+        # so the measured budget depended on which queries ran first
+        # (the in-suite audit after a full test session recorded
+        # sim_ann_ivf at 4 exchanges, a fresh session at 6). Clearing
+        # per query pins the ratchet to the fresh-session rendering.
+        # Note the persisted-subtree counts OVERSTATE real shuffles:
+        # each reference re-renders the cached fragment's exchanges,
+        # while at runtime the fragment materializes once.
+        spark.catalog.clearCache()
         captured: list[tuple[str, str]] = []
 
         def _sink(label, df, _cap=captured):

@@ -561,6 +561,37 @@ def test_ivf_multiprobe_improves_recall(spark):
     assert r4 >= 0.5
 
 
+def test_sample_temperature_flattens_skew(spark):
+    """α=0.5 temperature sampling on a skewed corpus must (a) cut the
+    dominant group's share of the SAMPLE below its share of the input,
+    (b) keep the rare group whole when its rate caps at 1.0, and
+    (c) land near the requested budget (hash-uniform draw, so the
+    realized count concentrates around Σ n_g·p_g)."""
+    from bigdatafinalproject_hockey_spark.operators.sampling import (
+        sample_temperature,
+    )
+
+    rows = [(i, "big") for i in range(1600)] + [
+        (10_000 + i, "rare") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    kept = sample_temperature(
+        df, key_col="doc_id", group_col="grp", budget_frac=0.4
+    ).collect()
+    by = {"big": 0, "rare": 0}
+    for r in kept:
+        by[r["grp"]] += 1
+    # rare rate caps at 1.0: B=650, w ∝ {40, 5} → rare rate = 650·5/45/25 > 1
+    assert by["rare"] == 25
+    # dominant group flattened: input share 98.5%, sample share must drop
+    assert by["big"] / len(kept) < 1600 / 1625
+    # expected big keeps: 650·(40/45)/1600·1600 ≈ 577; hash-uniform
+    # concentration keeps the realized count within a loose band
+    assert 450 < by["big"] < 700
+    # every kept row carries its group rate
+    assert all(0.0 < r["keep_prob"] <= 1.0 for r in kept)
+
+
 def test_class_mean_classify_beats_random(spark):
     """Nearest-class-mean must carry real signal on the fixture
     embeddings: with 10 balanced classes random assignment scores
