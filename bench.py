@@ -124,6 +124,10 @@ HEADLINE = [
     "ts_holt_forecast",          # Arrow fold per user (2-var recursion)
     "join_lateral_topn",         # decorrelated LATERAL top-n
     "agg_bitmap_distinct",       # bitmap-rollup distinct (no Expand)
+    # new in round 6:
+    "dedup_semantic",            # SemDeDup: IVF-cell blocked embedding dedup
+    "ml_centroid_classify",      # Rocchio nearest-class-mean classifier
+    "sample_temperature",        # alpha-temperature source mixture
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -187,6 +191,28 @@ X10_MULTIMODAL = [
     "multimodal_decode_ppm",    # real P6 decode, two chained stages
     "multimodal_decode_png",    # real PNG inflate+unfilter decode
     "multimodal_frame_sample",  # 1→N frame expansion via mapInPandas
+]
+
+# Embedding tier at 10× vectors (round 6): disjoint vec_ids,
+# per-copy component rotation (within-copy similarity preserved,
+# cross-copy decorrelated, cells stay balanced). The IVF centroid
+# set is CAPPED (copy-0 ids only, ≤50 centroids — queries/scale.py
+# _ivf_centroids), so the quantizer assignment must scale linearly
+# in the corpus; an uncapped every-50th rule would measure ~100×
+# here (C grows with n → |corpus|×C quadratic), which is exactly
+# the regression this probe exists to catch for the SEARCH ops.
+# dedup_semantic is the deliberate exception: cluster-blocked dedup
+# pays Σ|cell|² in the pair scan, so with a FIXED codebook its 10×
+# ratio lands near the square law (~(10)²/5 — measured ~20×); the
+# codebook is the caller's lever (C ∝ n bounds cells but moves the
+# square into assignment — the truly sub-quadratic 100 TB semantic
+# path in this engine is dedup_embedding_cosine's banded sign-LSH,
+# plan-locked elsewhere). The probe records the law rather than
+# hiding it.
+X10_EMB = [
+    "dedup_semantic",        # cell-blocked pair scan (square law, see above)
+    "ml_centroid_classify",  # class means + broadcast argmax
+    "sim_ann_ivf",           # bounded-C assignment + cell probe
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set
@@ -326,6 +352,59 @@ def _ensure_docs_amplified(
 def ensure_docs_x10(spark, sf_dir: str) -> str:
     """Materialize the 10× near-dup documents corpus under .tmp (once)."""
     return _ensure_docs_amplified(spark, sf_dir, 10, disjoint_vocab=False)
+
+
+def _ensure_embeddings_amplified(spark, sf_dir: str, copies: int) -> str:
+    """Materialize a ``copies``×-amplified embeddings table under
+    .tmp (once): disjoint vec_id offsets per copy, with a
+    deterministic per-copy component perturbation so copies are
+    neither byte-identical (which would degenerate the dedup probe
+    into pure output explosion) nor orthogonal — a realistic
+    near/far similarity mix. Labels are preserved (class count
+    constant, per-class population ×copies). Query ids (vec_id < 20)
+    and the capped IVF centroid set (vec_id < 2500) both live in
+    copy 0 only, so the query/codebook side stays FIXED while the
+    corpus grows — the shape a production index actually has."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp",
+        f"bench_emb_x{copies}r2_{tag}",  # r2: rotation amplifier
+    )
+    target = os.path.join(out_dir, "embeddings.parquet")
+    src_path = os.path.join(sf_dir, "embeddings.parquet")
+    if not _amplified_is_fresh(target, src_path):
+        emb = spark.read.parquet(src_path)
+
+        def rotated(k: int):
+            if k == 0:
+                return F.col("embedding")
+            return F.transform(
+                "embedding",
+                lambda x, i: F.element_at(
+                    F.col("embedding"),
+                    ((i + F.lit(13 * k)) % F.size("embedding")) + F.lit(1),
+                ),
+            )
+
+        parts = [
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 100_000_000)).alias("vec_id"),
+                rotated(k).alias("embedding"),
+                "label",
+            )
+            for k in range(copies)
+        ]
+        reduce(DataFrame.unionByName, parts).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(target)
+        _record_amplified_token(target, src_path)
+    return out_dir
 
 
 def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
@@ -540,6 +619,25 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [mm_x10] {name}: {dt:.3f}s", file=sys.stderr)
+    # Embedding tier at 10× vectors: bounded-C quantizer → linear
+    # assignment; superlinear growth here means centroid count or
+    # pair blow-up leaked into the plan.
+    emb_x10_dir = _ensure_embeddings_amplified(spark, SF_DIR, 10)
+    spark.catalog.clearCache()
+    emb_x10: dict[str, dict] = {}
+    for name in X10_EMB:
+        try:
+            base = round(run_warm(name, SF_DIR), 3)
+            dt = run_warm(name, emb_x10_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"emb_x10:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        emb_x10[name] = {
+            "sec_1x": base,
+            "sec_10x": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+        print(f"  [emb_x10] {name}: {dt:.3f}s", file=sys.stderr)
     # Graph tier at 4× edges: does iteration cost scale with the
     # graph, now that edge derivation is an amortized bucketed ingest?
     gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)
@@ -569,6 +667,7 @@ def main() -> None:
         "docs_x100": docs_x100,
         "events_x10": events_x10,
         "multimodal_x10": mm_x10,
+        "embeddings_x10": emb_x10,
         "graph_x4": graph_x4,
         "errors": errors,
     }
@@ -614,6 +713,7 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
         "docs_x100",
         "events_x10",
         "multimodal_x10",
+        "embeddings_x10",
         "graph_x4",
     ):
         probes = out.get(key) or {}

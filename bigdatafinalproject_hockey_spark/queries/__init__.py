@@ -115,19 +115,34 @@ _VERIFY_FIRST = [
     "stream_static_enrich",
 ]
 
-# ROUND-7 ROTATION DEBT (write the next window from this): after the
-# round-6 window lands, the freshness ledger is — r3-green (3 rounds
-# old at r7): join_full_outer and stream_foreachbatch_upsert (the two
-# r3 rows the 50-slot r6 window could not fit — front-load them in
-# r7); r4-green (3 rounds old at r7): the CORRECTNESS_r04 occupants
-# (clean_types → stream_cdc_upsert window, ~50 rows); the round-6
-# newcomers registered after this window froze: sim_ann_ivf_multiprobe,
-# ann_recall_eval, dedup_semantic, ml_centroid_classify,
-# sample_temperature (multimodal_decode_png made it INTO
-# the window). Round 7 should front-load the two deferred r3 rows +
-# those five newcomers, then rotate
-# through the r4 block oldest-first; the r5 and r6 blocks stay ≤2
-# rounds old through round 8.
+# ROUND-7 ROTATION DEBT — pre-staged window (write _VERIFY_FIRST from
+# this): after the round-6 window lands, the stalest evidence is —
+# (a) the five round-6 newcomers registered after the r6 window froze
+# (zero driver rows): sim_ann_ivf_multiprobe, ann_recall_eval,
+# dedup_semantic, ml_centroid_classify, sample_temperature
+# (multimodal_decode_png made it INTO the r6 window); (b) the two r3
+# rows the 50-slot r6 window could not fit (3 rounds old at r7):
+# join_full_outer, stream_foreachbatch_upsert; (c) the CORRECTNESS_r04
+# occupants (3 rounds old at r7), in their r4 verification order:
+# ml_eval_deterministic, agg_approx, sink_console,
+# text_quality_classifier, corpus_snapshot_diff,
+# stream_dedup_within_watermark, join_bloom_pruned, mv_incremental_agg,
+# scan_schema_evolution, merge_scd2, join_scd2_pointintime,
+# ml_eval_calibration, embedding_quantize, sort_zorder,
+# scan_files_pruned, events_retention_cohort,
+# pipeline_incremental_curation, analytics_shipping_priority,
+# analytics_large_orders, stream_scd2_cdc, ts_gapfill, dq_expectations,
+# graph_pagerank, join_null_safe, scan_csv_quarantine, sim_hybrid_rrf,
+# events_markov_transitions, multimodal_phash_dedup, ml_eval_kfold,
+# win_rolling_median, stream_late_data_accounting,
+# analytics_rfm_segments, analytics_basket_lift, agg_count_filter,
+# agg_global_max, agg_group_multi, anti_join, join_equi_3key,
+# join_self_matchup, join_star, lookup_with_fallback,
+# map_literal_lookup, semi_join_isin — that is 5 + 2 + 43 = exactly 50
+# slots (the r4 block's last 7 occupants — str_fuzzy_match,
+# split_temporal, dedup_exact, and the four terminal-state ML/RNG
+# smokes — defer to round 8 alongside any round-7 newcomers). The r5
+# and r6 blocks stay ≤2 rounds old through round 8.
 
 
 def _rotate(window: list[str]) -> None:

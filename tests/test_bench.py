@@ -16,6 +16,7 @@ from bench import (
     HEADLINE,
     X10,
     X100,
+    X10_EMB,
     X10_EVENTS,
     X10_MULTIMODAL,
     X4_GRAPH,
@@ -44,6 +45,9 @@ def _fake_out(n_extra: int = 0) -> dict:
         "multimodal_x10": {
             n: {"sec_1x": 1.0, "sec_10x": 2.2, "ratio": 2.2}
             for n in X10_MULTIMODAL
+        },
+        "embeddings_x10": {
+            n: {"sec_1x": 1.0, "sec_10x": 2.0, "ratio": 2.0} for n in X10_EMB
         },
         "graph_x4": {
             n: {"sec_1x": 1.0, "sec_4x": 1.9, "ratio": 1.9} for n in X4_GRAPH
@@ -83,7 +87,9 @@ def test_summary_line_is_valid_json_with_errors_counted():
 def test_probe_lists_reference_registered_queries():
     from bigdatafinalproject_hockey_spark.queries import QUERIES
 
-    for name in HEADLINE + X10 + X100 + X10_EVENTS + X10_MULTIMODAL + X4_GRAPH:
+    for name in (
+        HEADLINE + X10 + X100 + X10_EVENTS + X10_MULTIMODAL + X10_EMB + X4_GRAPH
+    ):
         assert name in QUERIES, name
 
 
