@@ -561,6 +561,23 @@ def test_ivf_multiprobe_improves_recall(spark):
     assert r4 >= 0.5
 
 
+def test_ivf_centroid_cap_bounds_codebook(spark):
+    """The scale law behind queries/scale.py:_ivf_centroids: the
+    codebook must NOT grow with the corpus (uncapped every-50th makes
+    the |corpus|×C assignment pass quadratic). The cap is a no-op at
+    every driver scale factor and a hard bound beyond them."""
+    from bigdatafinalproject_hockey_spark.queries.scale import _ivf_centroids
+
+    # no-op at driver SFs: capped == uncapped on the real table
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    uncapped = emb.filter(F.col("vec_id") % 50 == 0)
+    assert _ivf_centroids(emb).count() == uncapped.count()
+
+    # hard bound on a 100k-id corpus: exactly 50 centroids, not 2000
+    big = spark.range(0, 100_000).select(F.col("id").alias("vec_id"))
+    assert _ivf_centroids(big).count() == 50
+
+
 def test_sample_temperature_flattens_skew(spark):
     """α=0.5 temperature sampling on a skewed corpus must (a) cut the
     dominant group's share of the SAMPLE below its share of the input,
