@@ -1,0 +1,117 @@
+"""Computed staleness ledger for the driver-verification rotation.
+
+VERDICT r6 item 2: the round-7 rotation comment in
+``queries/__init__.py`` drifted 34 rows from the artifacts because the
+ledger was hand-maintained. This module derives, from the
+``CORRECTNESS_r*.json`` artifacts themselves, the newest driver round
+per *current-registry* query, and from that the canonical stalest-first
+verification window. ``queries/__init__.py`` stages ``_VERIFY_FIRST``
+from this computation and ``tests/test_registry.py`` asserts the staged
+list equals the computed window — the comment can no longer drift.
+
+Canonical window order (50 slots, the observed driver window size):
+
+1. Queries with NO driver row in any round (newcomers registered after
+   the last window froze), alphabetically — name order is the only
+   deterministic tiebreak available for rows with no artifact.
+2. Everything else stalest-first: ascending by newest driver round,
+   ties broken by position in that round's artifact (its original
+   verification order), truncated to fill the window.
+
+``staged_at_round`` bounds which artifacts count: a window staged for
+round N is computed from rounds < N, so the test stays green after the
+round-N artifact lands (that artifact verifies this very window and
+would otherwise invert the ledger mid-round).
+
+Run as a script to print the ledger and the next window:
+
+    python scripts/staleness_ledger.py [--round N] [--window 50]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+WINDOW_SIZE = 50
+
+
+def artifact_rounds(repo_root: Path = REPO_ROOT) -> dict[int, list[str]]:
+    """Round -> query names in that artifact's verification order."""
+    rounds: dict[int, list[str]] = {}
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rounds[int(m.group(1))] = list(json.loads(path.read_text()))
+    return rounds
+
+
+def newest_driver_round(
+    registry_names: list[str],
+    staged_at_round: int | None = None,
+    repo_root: Path = REPO_ROOT,
+) -> dict[str, tuple[int, int] | None]:
+    """Name -> (newest round, position in that round's artifact), or None.
+
+    Only artifacts from rounds < ``staged_at_round`` count (see module
+    docstring); legacy artifact names no longer in the registry are
+    ignored.
+    """
+    ledger: dict[str, tuple[int, int] | None] = {n: None for n in registry_names}
+    for rnd, names in sorted(artifact_rounds(repo_root).items()):
+        if staged_at_round is not None and rnd >= staged_at_round:
+            continue
+        for pos, name in enumerate(names):
+            if name in ledger:
+                ledger[name] = (rnd, pos)
+    return ledger
+
+
+def compute_window(
+    registry_names: list[str],
+    staged_at_round: int | None = None,
+    window_size: int = WINDOW_SIZE,
+    repo_root: Path = REPO_ROOT,
+) -> list[str]:
+    """The canonical stalest-first window of ``window_size`` names."""
+    ledger = newest_driver_round(registry_names, staged_at_round, repo_root)
+    never = sorted(n for n, v in ledger.items() if v is None)
+    seen = sorted(
+        ((v[0], v[1], n) for n, v in ledger.items() if v is not None),
+    )
+    window = never + [n for _, _, n in seen]
+    return window[:window_size]
+
+
+def main() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--round", type=int, default=None,
+                        help="round the window is staged for (bounds artifacts)")
+    parser.add_argument("--window", type=int, default=WINDOW_SIZE)
+    args = parser.parse_args()
+
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    names = list(QUERIES)
+    ledger = newest_driver_round(names, args.round)
+    by_round: dict[object, list[str]] = {}
+    for name, v in ledger.items():
+        by_round.setdefault(v[0] if v else None, []).append(name)
+    for rnd in sorted(by_round, key=lambda r: (-1 if r is None else r)):
+        label = "never" if rnd is None else f"r{rnd:02d}"
+        print(f"{label}: {len(by_round[rnd])} queries")
+    window = compute_window(names, args.round, args.window)
+    print(f"\n# stalest-first window ({len(window)} slots):")
+    for name in window:
+        v = ledger[name]
+        print(f'    "{name}",  # {"never verified" if v is None else f"newest r{v[0]:02d}"}')
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
