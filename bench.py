@@ -128,6 +128,8 @@ HEADLINE = [
     "dedup_semantic",            # SemDeDup: IVF-cell blocked embedding dedup
     "ml_centroid_classify",      # Rocchio nearest-class-mean classifier
     "sample_temperature",        # alpha-temperature source mixture
+    # new in round 7:
+    "dedup_semantic_scaled",     # SemDeDup, corpus-scaled codebook (linear)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -203,14 +205,16 @@ X10_MULTIMODAL = [
 # the regression this probe exists to catch for the SEARCH ops.
 # dedup_semantic is the deliberate exception: cluster-blocked dedup
 # pays Σ|cell|² in the pair scan, so with a FIXED codebook its 10×
-# ratio lands near the square law (~(10)²/5 — measured ~20×); the
-# codebook is the caller's lever (C ∝ n bounds cells but moves the
-# square into assignment — the truly sub-quadratic 100 TB semantic
-# path in this engine is dedup_embedding_cosine's banded sign-LSH,
-# plan-locked elsewhere). The probe records the law rather than
-# hiding it.
+# ratio lands near the square law (~(10)²/5 — measured ~20-30×); the
+# probe records the law rather than hiding it, and round 7 added the
+# fix: dedup_semantic_scaled grows the codebook with the corpus
+# (C = n/50, target cell ~50 → Σ|cell|² linear) and replaces the
+# |corpus|×C flat quantizer with an LSH-bucketed assignment
+# (similarity.bucketed_ivf_assignment) so the assignment pass is
+# linear too — its ratio here is the VERDICT r6 item 3 gate (≤~5×).
 X10_EMB = [
     "dedup_semantic",        # cell-blocked pair scan (square law, see above)
+    "dedup_semantic_scaled", # scaled codebook + bucketed assignment (linear)
     "ml_centroid_classify",  # class means + broadcast argmax
     "sim_ann_ivf",           # bounded-C assignment + cell probe
 ]

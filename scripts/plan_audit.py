@@ -146,7 +146,14 @@ def _full_width_reads(plan: str, widths: dict[str, int]) -> list[str]:
     return out
 
 
-def main() -> int:
+def run_audit() -> tuple[int, dict[str, int]]:
+    """Run the sweep; return (exit code, observed plan keys -> exchange
+    counts). The observed dict is the per-RUN ground truth — one key
+    per registry query plus one per captured eager stage — so callers
+    (tests/test_plan_audit.py) can assert capture-hook coverage against
+    what this run actually saw, not against the baseline file, which
+    always contains historical keys (ADVICE r6 medium: the old
+    assertion could not catch a dropped capture() hook)."""
     from bigdatafinalproject_hockey_spark.catalog import SCHEMAS
     from bigdatafinalproject_hockey_spark.queries import QUERIES
     from bigdatafinalproject_hockey_spark.session import get_session
@@ -228,14 +235,26 @@ def main() -> int:
     for n, (old, new) in sorted(improved.items()):
         print(f"IMPROVED {n}: {old} -> {new} exchanges")
     if not violations:
-        # Record: first run seeds the baseline; later runs fold in
-        # improvements and newly registered queries.
-        merged = {**baseline, **observed}
+        # Record THIS run's observations verbatim: new queries seed
+        # their entries, improvements ratchet down, and keys for
+        # removed/renamed queries or dropped stage captures are PRUNED
+        # (ADVICE r6 low: merging kept stale entries forever, letting a
+        # renamed query silently restart its ratchet and blinding the
+        # capture-coverage test). A green run observes every live
+        # registry query, so ``observed`` is exactly the live key set.
+        stale = sorted(set(baseline) - set(observed))
+        for key in stale:
+            print(f"PRUNED stale baseline key: {key}")
         with open(baseline_path, "w") as fh:
-            json.dump(dict(sorted(merged.items())), fh, indent=0, sort_keys=True)
+            json.dump(dict(sorted(observed.items())), fh, indent=0, sort_keys=True)
     n = len(QUERIES)
     print(f"{n} queries audited, {len(violations)} violations")
-    return 1 if violations else 0
+    return (1 if violations else 0), observed
+
+
+def main() -> int:
+    rc, _ = run_audit()
+    return rc
 
 
 if __name__ == "__main__":

@@ -679,6 +679,124 @@ def test_semantic_dedup_survivor_invariants(spark):
     assert over == 0, f"{over} surviving in-cell pairs at or above θ"
 
 
+def test_bucketed_ivf_assignment_invariants(spark):
+    """bucketed_ivf_assignment (round 7, the linear quantizer behind
+    dedup_semantic_scaled): (a) exactly one cell per vector, (b) cells
+    are either a real centroid id (≥0) or an orphan fallback in
+    [-2^bits, -1], (c) an assigned vector's cell really is one of its
+    sign-LSH candidate centroids and is cosine-optimal among them,
+    (d) an orphan's cell is exactly -1 - its band-0 key."""
+    from bigdatafinalproject_hockey_spark.similarity import (
+        _sign_band_key_col,
+        bucketed_ivf_assignment,
+    )
+    from bigdatafinalproject_hockey_spark.functions.vectors import (
+        as_double_array,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    cent_ids = {r["vec_id"] for r in centroids.select("vec_id").collect()}
+    out = bucketed_ivf_assignment(emb, centroids).collect()
+    assert len(out) == emb.count()
+    assert len({r["vid"] for r in out}) == len(out)
+
+    # recompute band keys + cosines in numpy to audit the assignment
+    keyed = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("emb"),
+        F.array(
+            *[_sign_band_key_col("embedding", b) for b in range(8)]
+        ).alias("keys"),
+    ).collect()
+    vecs = {r["vec_id"]: np.array(r["emb"]) for r in keyed}
+    keys = {r["vec_id"]: list(r["keys"]) for r in keyed}
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6
+        )
+
+    n_assigned = 0
+    for r in out:
+        vid, cell = r["vid"], r["cell"]
+        cands = {
+            c
+            for c in cent_ids
+            if any(keys[c][b] == keys[vid][b] for b in range(8))
+        } - ({vid} if vid not in cent_ids else set())
+        if cell >= 0:
+            n_assigned += 1
+            assert cell in cands, (vid, cell)
+            best = max(cos(vecs[vid], vecs[c]) for c in cands)
+            assert cos(vecs[vid], vecs[cell]) == best
+        else:
+            assert not cands or cands == {vid}
+            assert cell == -1 - keys[vid][0], (vid, cell)
+    assert n_assigned > 0  # the bucketing finds real candidates
+
+
+def test_semantic_dedup_scaled_survivor_invariants(spark):
+    """dedup_semantic_scaled keeps the survivor contract under the
+    bucketed quantizer: surviving vectors are pairwise BELOW the
+    cosine threshold within every cell, and every cell's minimum id
+    survives."""
+    from bigdatafinalproject_hockey_spark.similarity import (
+        bucketed_ivf_assignment,
+        semantic_dedup_from_assignment,
+    )
+    from bigdatafinalproject_hockey_spark.functions.vectors import (
+        as_double_array,
+        cosine_expr,
+    )
+
+    theta = 0.3
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = bucketed_ivf_assignment(emb, centroids)
+    surv = semantic_dedup_from_assignment(assign, min_cosine=theta)
+    rows = surv.collect()
+    survivors = {r["vec_id"] for r in rows}
+    assert 0 < len(survivors) <= emb.count()
+
+    cells = {r["vid"]: r["cell"] for r in assign.collect()}
+    min_per_cell: dict = {}
+    for vid, cell in cells.items():
+        min_per_cell[cell] = min(min_per_cell.get(cell, vid), vid)
+    assert set(min_per_cell.values()) <= survivors
+
+    kept = surv.join(
+        emb.select("vec_id", as_double_array("embedding").alias("emb")),
+        "vec_id",
+    )
+    a = kept.select(
+        F.col("vec_id").alias("ia"), F.col("cell"), F.col("emb").alias("ea")
+    )
+    b = kept.select(
+        F.col("vec_id").alias("ib"), F.col("cell"), F.col("emb").alias("eb")
+    )
+    over = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(F.round(cosine_expr(F.col("ea"), F.col("eb")), 6) >= theta)
+        .count()
+    )
+    assert over == 0, f"{over} surviving in-cell pairs at or above θ"
+
+
+def test_scaled_codebook_grows_with_corpus(spark):
+    """The inverse lock of test_ivf_centroid_cap_bounds_codebook:
+    dedup_semantic_scaled's codebook MUST grow with the corpus
+    (C = n/50 keeps target cell size ~50 so Σ|cell|² stays linear) —
+    that is the whole point of the round-7 twin. The quadratic
+    quantizer risk the old cap guarded against is retired by the
+    LSH-bucketed assignment, whose per-vector candidate count is
+    bands·C/2^bits, not C."""
+    big = spark.range(0, 100_000).select(F.col("id").alias("vec_id"))
+    assert big.filter(F.col("vec_id") % 50 == 0).count() == 2000
+
+
 def test_scan_chunked_splits(spark):
     """maxPartitionBytes must bound per-task input: shrinking it from
     the default to 64 KiB multiplies scan partitions, and the

@@ -58,12 +58,21 @@ def _load_audit():
 
 def test_plan_audit_green_and_captures_eager_stages(spark, capsys):
     mod = _load_audit()
-    rc = mod.main()
+    rc, observed = mod.run_audit()
     out = capsys.readouterr().out
     assert rc == 0, f"plan audit found violations:\n{out}"
-    with open(os.path.join(REPO, "scripts", "shuffle_baseline.json")) as fh:
-        baseline = json.load(fh)
-    missing = EXPECTED_CAPTURE_KEYS - set(baseline)
+    # Coverage is asserted against the plans THIS RUN captured, not the
+    # committed baseline file (ADVICE r6 medium: the baseline always
+    # holds historical keys, so a deleted capture() hook — whose stage
+    # plan silently stops being audited — never tripped the old
+    # baseline-based check).
+    missing = EXPECTED_CAPTURE_KEYS - set(observed)
     assert not missing, (
         f"eager-stage capture hooks dropped (plans now unaudited): {missing}"
     )
+    # The rewritten baseline equals the run's observations (stale keys
+    # pruned), so the ratchet file can no longer drift from the live
+    # registry (ADVICE r6 low).
+    with open(os.path.join(REPO, "scripts", "shuffle_baseline.json")) as fh:
+        baseline = json.load(fh)
+    assert set(baseline) == set(observed)
