@@ -34,16 +34,30 @@ isolation. min(run1, run2) is identical to second-run in the steady
 state (run 2 is almost always the faster one) and immune to a one-off
 stall on either run. Steady state is what a resident engine process
 delivers — and is this harness's stated intent since round 1. Since
-round 6 the 100× probes use the same warm best-of-2 protocol as every
-other tier: their original single-shot design ("first-touch scaling")
-produced a 32.5× dedup_incremental_near record that isolated
-re-checks place at 8-9× — the same transient-stall failure mode the
-best-of-2 protocol was introduced to kill.
+round 6 the 100× probes use a warm multi-run protocol: their original
+single-shot design ("first-touch scaling") produced a 32.5×
+dedup_incremental_near record that isolated re-checks place far lower
+— and round 7 deepened that tier to min-of-5 on BOTH sides
+("steady_min_of_5", VERDICT r6 item 4) after instrumentation showed
+the residual 8.27×-vs-17.49× oscillation lived entirely in the
+overhead-dominated ~1-2 s denominator, not the stable 100× side.
+
+VARIANCE ENVELOPE (round 7, VERDICT r6 item 5): best-of-2 records a
+point, not a band, so a +7% suite wall or a 1.9× single-query move
+between rounds was unclassifiable from the artifacts alone (r6 had
+three >30% sub-second regressions with zero code change). After the
+headline pass, a 10-query SENTINEL subset — the three r6 movers plus
+a cross-section of every tier — is re-run 3 more times and the per-
+query spread (max/min of all recorded runs, as a % of min) is emitted
+under "variance"; a cross-round move inside a sentinel's recorded
+band is session noise, outside it a real change.
 
 Protocol provenance per round (cross-round comparisons must be
 tagged, ADVICE r5): r1-r3 single-shot; r4 warm_second_run; r5+
 warm_best_of_2 (min-of-2 <= second-of-2 by construction, so
-cross-protocol deltas slightly flatter newer rounds); graph_x4
+cross-protocol deltas slightly flatter newer rounds); r7+ x100 tier
+steady_min_of_5 (deeper floor — expect x100 ratios to read slightly
+LOWER than r5/r6 records of the same code); graph_x4
 ratios measure ITERATION cost only — the one-time bucketed edge
 ingest runs during the first 4x pass and best-of-2 excludes it,
 exactly as a per-source-version ingest is excluded from per-query
@@ -159,6 +173,24 @@ X100 = [
     "tokenize_to_ids",
 ]
 X100_COPIES = 100
+
+# Variance-envelope sentinels (round 7, VERDICT r6 item 5): re-run
+# 3 extra times after the headline pass to record each query's
+# session-noise band. The three r6 >30% movers lead; the rest are a
+# cross-section (scan-agg, broadcast join, window, minhash, IVF,
+# composed pipeline, watch-listed gapfill).
+SENTINELS = [
+    "events_activity_streaks",   # r6 mover: 0.31 -> 0.59 s
+    "graph_pagerank",            # r6 mover: 0.80 -> 1.10 s
+    "join_lateral_topn",         # r6 mover: 0.82 -> 1.09 s
+    "agg_group_multi",
+    "join_star",
+    "win_expanding_avg",
+    "dedup_minhash_lsh",
+    "sim_ann_ivf",
+    "pipeline_features",
+    "ts_gapfill",
+]
 
 # Events-tier scaling probe (round 4c): the documents probes say
 # nothing about the user-keyed window/agg tier. Amplify events 10×
@@ -508,6 +540,25 @@ def main() -> None:
         spark.catalog.clearCache()
         return min(dt1, dt2)
 
+    def run_steady(name: str, sf_dir: str, n: int = 5) -> float:
+        """Deep steady state: min of ``n`` full recomputes. Used for
+        the x100 ratios (round 7, VERDICT r6 item 4): a 100× ratio
+        divides a stable large-scale numerator by a ~1-2 s
+        overhead-dominated DENOMINATOR, and best-of-2 leaves up to
+        ±50% residual JIT/first-touch noise in that base — which is
+        the entire 8.27× (r5) vs 17.49× (r6) disagreement for
+        dedup_incremental_near (instrumented round 7: the 100× side
+        was 16-19 s in fresh AND loaded sessions; only the base
+        moved, 1.07-2.26 s). min-of-5 pins both sides to the
+        resident-engine floor the ratio is defined over, and matches
+        scripts/isolated_probe.py's sec_steady protocol exactly so
+        the official and isolated records are the same measurement."""
+        runs = []
+        for _ in range(n):
+            runs.append(run_once(name, sf_dir))
+            spark.catalog.clearCache()
+        return min(runs)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
@@ -524,6 +575,34 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.3f}s", file=sys.stderr)
+    # Variance envelope (round 7, VERDICT r6 item 5): 3 extra
+    # recomputes of each sentinel, recorded alongside the two runs
+    # the headline best-of-2 already took — spread = the session-
+    # noise band a cross-round comparison must clear before reading
+    # a move as real. The headline best is the band's floor by
+    # construction (same protocol, same session).
+    variance: dict[str, dict] = {}
+    for name in SENTINELS:
+        if name not in timings:
+            continue
+        runs = [timings[name]]
+        try:
+            for _ in range(3):
+                runs.append(round(run_once(name, SF_DIR), 3))
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            errors[f"variance:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        lo, hi = min(runs), max(runs)
+        variance[name] = {
+            "runs": runs,
+            "spread_pct": round(100.0 * (hi - lo) / lo, 1) if lo else None,
+        }
+        print(
+            f"  [var] {name}: {runs} spread "
+            f"{variance[name]['spread_pct']}%",
+            file=sys.stderr,
+        )
     # curation tier at 10× documents: per-query wall + the 10×/1×
     # scaling ratio (sub-quadratic ops should stay well under 10×
     # after subtracting fixed job overhead; quadratic ones explode)
@@ -553,18 +632,20 @@ def main() -> None:
         }
         print(f"  [x10] {name}: {dt:.3f}s", file=sys.stderr)
     # round-3 tier at 100× documents with DISJOINT vocab (input
-    # scaling, no cross-copy pairs). Warm best-of-2 at BOTH scales
-    # since round 6: this tier was single-shot by design ("first-touch
-    # scaling"), but a single shot has now twice poisoned the official
-    # record — r4's 14.3× ts_gapfill stall analog here was r6's 32.5×
-    # dedup_incremental_near (isolated re-checks: 8-9×, matching r5's
-    # 8.27×; the shot landed on a transient while the 1× base ran
-    # anomalously fast). First-touch cost is a real deployment
-    # quantity, but a ~50-query session is the wrong instrument for
-    # it — the ratio's job is input scaling, measured steady-state.
-    # Sublinear-or-linear ratios expected; dedup_simhash's output
-    # also grows 100× (within-copy pairs), so its ratio bounds
-    # input+output scaling together.
+    # scaling, no cross-copy pairs). DEEP STEADY (min-of-5) at BOTH
+    # scales since round 7 (VERDICT r6 item 4): best-of-2 (round 6)
+    # still left the dedup_incremental_near record oscillating
+    # (official 8.27× r5 → 17.49× r6 with no code change). Round-7
+    # instrumentation localized the noise to the DENOMINATOR: the
+    # 100× side measured a stable 16-19 s in fresh and 20-query-
+    # loaded sessions alike, while the ~1-2 s overhead-dominated 1×
+    # base swung 1.07-2.26 s with residual JIT — a 2× lever on the
+    # ratio. min-of-5 pins both sides to the resident-engine floor
+    # and is byte-identical to scripts/isolated_probe.py's
+    # sec_steady protocol, so official and isolated records now
+    # measure the same quantity. Sublinear-or-linear ratios
+    # expected; dedup_simhash's output also grows 100× (within-copy
+    # pairs), so its ratio bounds input+output scaling together.
     x100_dir = _ensure_docs_amplified(
         spark, SF_DIR, X100_COPIES, disjoint_vocab=True
     )
@@ -572,8 +653,8 @@ def main() -> None:
     docs_x100: dict[str, dict] = {}
     for name in X100:
         try:
-            base = run_warm(name, SF_DIR)
-            dt = run_warm(name, x100_dir)
+            base = run_steady(name, SF_DIR)
+            dt = run_steady(name, x100_dir)
         except Exception as exc:  # noqa: BLE001
             errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
@@ -581,6 +662,7 @@ def main() -> None:
             "sec_1x": round(base, 3),
             f"sec_{X100_COPIES}x": round(dt, 3),
             "ratio": round(dt / base, 2) if base else None,
+            "protocol": "steady_min_of_5",
         }
         print(f"  [x{X100_COPIES}] {name}: {dt:.3f}s", file=sys.stderr)
     # events tier at 10× users (disjoint ids): warm at both scales;
@@ -673,6 +755,7 @@ def main() -> None:
         "multimodal_x10": mm_x10,
         "embeddings_x10": emb_x10,
         "graph_x4": graph_x4,
+        "variance": variance,
         "errors": errors,
     }
     # Full uncapped record → file + stderr (humans, SURVEY, judge).
@@ -711,6 +794,20 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
         return json.dumps(d, separators=(",", ":"))
 
     line = dumps(compact)
+    # Sentinel variance band (round 7) goes FIRST — it is the datum
+    # that classifies every other cross-round move, so it must
+    # survive the cap ahead of the probe ratios.
+    spreads = {
+        name: rec.get("spread_pct")
+        for name, rec in (out.get("variance") or {}).items()
+        if rec.get("spread_pct") is not None
+    }
+    if spreads:
+        trial = dict(compact)
+        trial["variance_spread_pct"] = spreads
+        if len(dumps(trial)) <= cap:
+            compact = trial
+            line = dumps(compact)
     # Append probe ratio dicts one section at a time while they fit.
     for key in (
         "docs_x10",

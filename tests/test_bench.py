@@ -14,6 +14,7 @@ import json
 import bench
 from bench import (
     HEADLINE,
+    SENTINELS,
     X10,
     X100,
     X10_EMB,
@@ -52,6 +53,10 @@ def _fake_out(n_extra: int = 0) -> dict:
         "graph_x4": {
             n: {"sec_1x": 1.0, "sec_4x": 1.9, "ratio": 1.9} for n in X4_GRAPH
         },
+        "variance": {
+            n: {"runs": [0.31, 0.33, 0.59, 0.32], "spread_pct": 90.3}
+            for n in SENTINELS
+        },
         "errors": {},
     }
 
@@ -65,7 +70,10 @@ def test_summary_line_fits_driver_tail_with_full_detail():
     assert parsed["value"] == _fake_out()["value"]
     assert set(parsed["queries"]) == set(HEADLINE)
     assert "queries_truncated" not in parsed
-    assert any(k.endswith("_ratio") for k in parsed)
+    # The round-7 variance band must survive the cap — it is the
+    # datum that classifies every other cross-round move (VERDICT r6
+    # item 5), so it is appended ahead of the probe ratios.
+    assert set(parsed["variance_spread_pct"]) == set(SENTINELS)
 
 
 def test_summary_line_degrades_never_overruns():
@@ -88,7 +96,8 @@ def test_probe_lists_reference_registered_queries():
     from bigdatafinalproject_hockey_spark.queries import QUERIES
 
     for name in (
-        HEADLINE + X10 + X100 + X10_EVENTS + X10_MULTIMODAL + X10_EMB + X4_GRAPH
+        HEADLINE + SENTINELS + X10 + X100
+        + X10_EVENTS + X10_MULTIMODAL + X10_EMB + X4_GRAPH
     ):
         assert name in QUERIES, name
 
