@@ -6,7 +6,10 @@ All *Spark-side* plumbing — schema, partition sizing, Arrow-batched
 UDF signatures — is real and tested; the actual codec step is STUBBED
 (the image/audio libraries are not in this container) behind
 ``decode_stub``/``extract_features_stub`` which raise or produce a
-deterministic fake, clearly marked.
+deterministic fake, clearly marked — EXCEPT the three formats a
+stdlib-only engine can genuinely decode, which are real: binary PPM
+(round 5), PNG (round 6, stdlib zlib), and 16-bit PCM WAV (round 7,
+hand-rolled RIFF walk).
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a task
@@ -238,6 +241,12 @@ def decode_png(payload: bytes):
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
+            # length check BEFORE unpack: a 13-byte contract violation
+            # must surface as the documented ValueError, not a
+            # struct.error the batched decode path doesn't anticipate
+            # (ADVICE r6).
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat.extend(data)
@@ -256,7 +265,16 @@ def decode_png(payload: bytes):
         )
     bpp = 3
     stride = w * bpp
-    raster = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
+    try:
+        raster = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt DEFLATE data can pass the per-chunk CRC framing
+        # (the CRC covers the stored bytes, not their decodability)
+        # — normalize to the decoder's documented failure type
+        # (ADVICE r6).
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raster) != h * (1 + stride):
         raise ValueError(
             f"PNG raster length {len(raster)} != {h}*(1+{stride})"
@@ -299,6 +317,171 @@ def decode_png(payload: bytes):
         out[y] = cur
         prior = cur
     return out.astype(np.uint8)
+
+
+# --- real codec: WAV / PCM (RIFF, 16-bit) ----------------------------------
+# WAV is the audio analog of PPM/PNG for a stdlib-only engine: RIFF
+# container framing ("RIFF" size "WAVE"), a walk over (id, size)
+# chunks, a 16-byte PCM "fmt " chunk, and raw interleaved
+# little-endian int16 samples in "data". Hand-rolled (struct + numpy,
+# round 7) with the same strictness contract as the image codecs:
+# anything outside the 16-bit-PCM profile, any truncated chunk, any
+# size-field lie → loud ValueError, never garbage samples.
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as 16-bit PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim != 2 or a.shape[1] not in (1, 2):
+        raise ValueError(f"expected (frames, 1|2) int16 array, got {a.shape}")
+    n_frames, n_ch = a.shape
+    block_align = n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    data = a.astype("<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a 16-bit PCM WAV payload to ((n_frames, n_channels)
+    int16 array, sample_rate) — stdlib struct + numpy, no ``wave``
+    module (the point is a from-scratch RIFF walk under the engine's
+    strictness contract).
+
+    Strict by construction: RIFF/WAVE magic, RIFF size-field
+    validation, per-chunk bounds checks (incl. the spec's odd-size pad
+    byte), fmt-before-data ordering, PCM format 1 at 16 bits with 1-2
+    channels, consistent block_align/byte_rate, and a data length that
+    is an exact multiple of the frame stride. ValueError on anything
+    else."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if riff_size != len(b) - 8:
+        raise ValueError(f"RIFF size {riff_size} != payload - 8 ({len(b) - 8})")
+    pos, fmt, data = 12, None, None
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("truncated WAV chunk header")
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        chunk = b[pos + 8 : pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size != 16:
+                raise ValueError(f"unsupported fmt chunk size {size} (need PCM 16)")
+            fmt = struct.unpack("<HHIIHH", chunk)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            data = chunk
+            break
+        pos += 8 + size + (size & 1)  # chunks are word-aligned (pad byte)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, byte_rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2):
+        raise ValueError(
+            f"unsupported WAV profile (need 16-bit PCM, 1-2 ch): "
+            f"fmt={audio_fmt} bits={bits} channels={n_ch}"
+        )
+    if block_align != n_ch * 2 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent WAV block_align/byte_rate")
+    if len(data) % block_align:
+        raise ValueError(
+            f"WAV data length {len(data)} not a multiple of {block_align}"
+        )
+    arr = np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
+    return arr, rate
+
+
+def synth_wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio twin of ``synth_ppm_payloads``: one deterministic 16-bit
+    PCM WAV per row, with a CLOSED-FORM sample law so a SQL oracle can
+    recompute what a correct decode must see — frames 64 + id%32,
+    channels 1 + id%2, rate 8000 + (id%3)*4000, and sample
+    s(i, c) = ((id + 13*i + 7*c) mod 65536) - 32768."""
+    import numpy as np
+
+    out_schema = "doc_id long, media binary"
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            blobs = []
+            for k in ids:
+                k = int(k)
+                n = 64 + k % 32
+                ch = 1 + k % 2
+                rate = 8000 + (k % 3) * 4000
+                i, c = np.ogrid[0:n, 0:ch]
+                arr = ((k + 13 * i + 7 * c) % 65536 - 32768).astype(np.int16)
+                blobs.append(encode_wav(arr, rate))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": pd.Series(blobs, dtype="object")}
+            )
+
+    return df.select(id_col).mapInPandas(_make, schema=out_schema)
+
+
+def wav_features_batched(df: DataFrame) -> DataFrame:
+    """REAL decoded-audio feature extraction via mapInPandas: parse
+    each payload through ``decode_wav`` (RIFF walk → rate + int16
+    sample matrix) and emit the parsed rate/channel/frame metadata
+    plus integer amplitude aggregates (sum and sum of |amplitude| —
+    exact in int64, so the output is hash-pinnable). Everything comes
+    from the DECODED bytes, nothing from the row id, so an oracle that
+    recomputes the expected values from the sample law verifies the
+    decode itself. Input: (doc_id, media); output: (doc_id,
+    sample_rate, n_channels, n_frames, sum_amp, sum_abs_amp)."""
+    import numpy as np
+
+    out_schema = (
+        "doc_id long, sample_rate int, n_channels int, n_frames long, "
+        "sum_amp long, sum_abs_amp long"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chs, frames, s_amp, s_abs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr, rate = decode_wav(bytes(payload))
+                a = arr.astype(np.int64)
+                ids.append(doc_id)
+                rates.append(rate)
+                chs.append(arr.shape[1])
+                frames.append(arr.shape[0])
+                s_amp.append(int(a.sum()))
+                s_abs.append(int(np.abs(a).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "sum_amp": pd.Series(s_amp, dtype="int64"),
+                    "sum_abs_amp": pd.Series(s_abs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=out_schema)
 
 
 def decode_image(payload: bytes):
