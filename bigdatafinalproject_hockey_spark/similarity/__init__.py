@@ -385,10 +385,14 @@ def bucketed_ivf_assignment(
             ]
         ).alias("keys"),
     )
+    # NOTE: do not also project keys[0] here — CollapseProject would
+    # inline the full 64-hyperplane array expression TWICE (once for
+    # the element, once for the generator), doubling both analysis
+    # and per-row eval. The orphan fallback key is recomputed after
+    # the ranking window instead, where it touches n rows once.
     exploded = keyed.select(
         "vid",
         "emb",
-        F.col("keys")[0].alias("key0"),
         F.posexplode("keys").alias("band", "key"),
     )
     cent = centroids.select(
@@ -409,7 +413,6 @@ def bucketed_ivf_assignment(
     scored = exploded.join(F.broadcast(ck), ["band", "key"], "left").select(
         "vid",
         "emb",
-        "key0",
         "cent_id",
         F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
     )
@@ -421,7 +424,10 @@ def bucketed_ivf_assignment(
     )
     return best.select(
         "vid",
-        F.coalesce(F.col("cent_id"), F.lit(-1) - F.col("key0"))
+        F.coalesce(
+            F.col("cent_id"),
+            F.lit(-1) - _sign_band_key_col("emb", 0, bits_per_band, dim),
+        )
         .cast("long")
         .alias("cell"),
         "emb",
