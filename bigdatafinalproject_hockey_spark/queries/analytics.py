@@ -710,101 +710,94 @@ _DQ_SEGMENTS = "('MACHINERY','BUILDING','FURNITURE','AUTOMOBILE','HOUSEHOLD')"
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations report (the dbt-test / Great
     Expectations / Deequ contract surface): referential integrity,
-    uniqueness, range, and domain checks across three tables, each a
-    single aggregate or anti-join count, unioned into one
-    (check_name, n_checked, n_failed) ledger — the gate a 100 TB
-    ingest runs BEFORE publishing a snapshot. FK checks are
-    left-anti-join counts (never per-row subqueries); uniqueness is
-    count minus count-distinct in one pass; every check's cost is one
-    linear scan and they share nothing, so the whole report
-    parallelizes freely. Output is exact integers — a report row that
-    can't hash-match is a data bug, which is the point."""
+    uniqueness, range, and domain checks across three tables, unioned
+    into one (check_name, n_checked, n_failed) ledger — the gate a
+    100 TB ingest runs BEFORE publishing a snapshot.
+
+    Scan discipline (round 7 — was 13 exchanges and ~5 orders scans):
+    every single-table check on the same table is computed in ONE
+    aggregate pass (count + count-distinct + range + domain together),
+    so each table is scanned once for its expectations and once more
+    as an anti-join side for its FK check — at 100 TB the scan count
+    is the cost, not the one-row scalar merges. The per-check ledger
+    rows are then exploded map-side from the single assembled scalar
+    row (inline_outer over a literal struct array), which adds zero
+    exchanges. FK checks remain left-anti-join counts (never per-row
+    subqueries). Output is exact integers — a report row that can't
+    hash-match is a data bug, which is the point."""
     orders = load_table(spark, "orders", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
 
-    def report(name: str, n_checked, n_failed) -> DataFrame:
-        return n_checked.crossJoin(n_failed).select(
+    orders_stats = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_failed"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            )
+        ).alias("price_failed"),
+    )
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.count(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            )
+        ).alias("qty_failed"),
+    )
+    cust_stats = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.count(
+            F.when(
+                F.col("c_mktsegment").isNull()
+                | ~F.col("c_mktsegment").isin(
+                    "MACHINERY",
+                    "BUILDING",
+                    "FURNITURE",
+                    "AUTOMOBILE",
+                    "HOUSEHOLD",
+                ),
+                1,
+            )
+        ).alias("seg_failed"),
+    )
+    orders_fk = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orders_fk_failed"))
+    li_fk = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("li_fk_failed"))
+
+    row = (
+        orders_stats.crossJoin(li_stats)
+        .crossJoin(cust_stats)
+        .crossJoin(orders_fk)
+        .crossJoin(li_fk)
+    )
+
+    def check(name: str, n_checked: str, n_failed: str):
+        return F.struct(
             F.lit(name).alias("check_name"),
-            F.col("n_checked").cast("long"),
-            F.col("n_failed").cast("long"),
+            F.col(n_checked).cast("long").alias("n_checked"),
+            F.col(n_failed).cast("long").alias("n_failed"),
         )
 
-    checks = [
-        report(
-            "orders_custkey_fk",
-            orders.agg(F.count(F.lit(1)).alias("n_checked")),
-            orders.join(
-                cust, orders.o_custkey == cust.c_custkey, "left_anti"
-            ).agg(F.count(F.lit(1)).alias("n_failed")),
-        ),
-        report(
-            "lineitem_orderkey_fk",
-            li.agg(F.count(F.lit(1)).alias("n_checked")),
-            li.join(
-                orders, li.l_orderkey == orders.o_orderkey, "left_anti"
-            ).agg(F.count(F.lit(1)).alias("n_failed")),
-        ),
-        report(
-            "orders_orderkey_unique",
-            orders.agg(F.count(F.lit(1)).alias("n_checked")),
-            orders.agg(
-                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
-                    "n_failed"
-                )
-            ),
-        ),
-        report(
-            "orders_totalprice_positive",
-            orders.agg(F.count(F.lit(1)).alias("n_checked")),
-            orders.agg(
-                F.count(
-                    F.when(
-                        F.col("o_totalprice").isNull()
-                        | (F.col("o_totalprice") <= 0),
-                        1,
-                    )
-                ).alias("n_failed")
-            ),
-        ),
-        report(
-            "lineitem_quantity_range",
-            li.agg(F.count(F.lit(1)).alias("n_checked")),
-            li.agg(
-                F.count(
-                    F.when(
-                        F.col("l_quantity").isNull()
-                        | (F.col("l_quantity") < 1)
-                        | (F.col("l_quantity") > 50),
-                        1,
-                    )
-                ).alias("n_failed")
-            ),
-        ),
-        report(
-            "customer_segment_domain",
-            cust.agg(F.count(F.lit(1)).alias("n_checked")),
-            cust.agg(
-                F.count(
-                    F.when(
-                        F.col("c_mktsegment").isNull()
-                        | ~F.col("c_mktsegment").isin(
-                            "MACHINERY",
-                            "BUILDING",
-                            "FURNITURE",
-                            "AUTOMOBILE",
-                            "HOUSEHOLD",
-                        ),
-                        1,
-                    )
-                ).alias("n_failed")
-            ),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    return row.select(
+        F.inline_outer(
+            F.array(
+                check("orders_custkey_fk", "n_orders", "orders_fk_failed"),
+                check("lineitem_orderkey_fk", "n_li", "li_fk_failed"),
+                check("orders_orderkey_unique", "n_orders", "dup_failed"),
+                check("orders_totalprice_positive", "n_orders", "price_failed"),
+                check("lineitem_quantity_range", "n_li", "qty_failed"),
+                check("customer_segment_domain", "n_cust", "seg_failed"),
+            )
+        )
+    )
 
 
 def _pagerank_sql(iters: int = 3) -> str:
