@@ -24,16 +24,16 @@ themselves (rounds < ``_STAGED_AT_ROUND`` only, so the test stays
 green after this round's artifact lands), and
 ``tests/test_registry.py::test_verify_first_is_computed_stalest_first``
 fails the suite if ``_VERIFY_FIRST`` is not exactly the computed
-stalest-first window. This round's computed window: the 7
+stalest-first window. This round's computed window: the 8
 never-verified queries (5 round-6 newcomers + this round's
-``dedup_semantic_scaled`` and ``multimodal_decode_wav``,
-alphabetical), then ``ml_train_eval`` (newest r1 — smoke-only ML
-training, still the single stalest row), ``dedup_minhash_lsh``
-(newest r2 — both missed by every hand count, including the
-judge's), the 36 queries whose newest row is CORRECTNESS_r03 (in r3
-verification order), and the 5 oldest CORRECTNESS_r04 occupants.
-After this window lands, no registry query's newest evidence is
-older than r4.
+``codebook_kmeans_refine``, ``dedup_semantic_scaled``, and
+``multimodal_decode_wav``, alphabetical), then ``ml_train_eval``
+(newest r1 — smoke-only ML training, still the single stalest row),
+``dedup_minhash_lsh`` (newest r2 — both missed by every hand count,
+including the judge's), the 36 queries whose newest row is
+CORRECTNESS_r03 (in r3 verification order), and the 4 oldest
+CORRECTNESS_r04 occupants. After this window lands, no registry
+query's newest evidence is older than r4.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -54,6 +54,7 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _STAGED_AT_ROUND = 7
 _VERIFY_FIRST = [
     "ann_recall_eval",  # never verified
+    "codebook_kmeans_refine",  # never verified
     "dedup_semantic",  # never verified
     "dedup_semantic_scaled",  # never verified
     "ml_centroid_classify",  # never verified
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     "agg_approx",  # newest r04
     "sink_console",  # newest r04
     "text_quality_classifier",  # newest r04
-    "corpus_snapshot_diff",  # newest r04
 ]
 
 

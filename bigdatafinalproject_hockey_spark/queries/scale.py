@@ -36,6 +36,7 @@ from bigdatafinalproject_hockey_spark.similarity import (
     class_mean_classify,
     ivf_cell_assignment,
     ivf_cosine_topk,
+    lloyd_refine_sums,
     semantic_dedup_from_assignment,
     semantic_dedup_survivors,
 )
@@ -536,6 +537,45 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     assign = bucketed_ivf_assignment(emb, centroids)
     return semantic_dedup_from_assignment(assign, min_cosine=0.3)
+
+
+@register(
+    "codebook_kmeans_refine",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    comp AS (
+      SELECT a.cell, i.i AS pos,
+             CAST(ROUND(e.emb[CAST(i.i + 1 AS INT)] * 1000000) AS BIGINT) AS vq
+      FROM assign a
+      JOIN e ON e.vec_id = a.vec_id,
+           LATERAL (SELECT unnest(range(len(e.emb))) AS i) i
+    )
+    SELECT cell, CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vq) AS BIGINT) AS sum_q
+    FROM comp GROUP BY cell, pos
+    """,
+)
+def q_codebook_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) codebook-refinement step over the IVF
+    quantizer (round 7): assign every vector to its nearest centroid
+    (the E-step — the exact assignment `sim_ann_ivf` and
+    `dedup_semantic` share), then compute each cell's refined centroid
+    as exact integer sufficient statistics (the M-step —
+    `similarity.lloyd_refine_sums`; per-(cell, component) member count
+    + quantized component sum, one shuffle of |cells|×dim partial rows
+    after map-side combine). This is the codebook-FIT step the IVF
+    tier's docstrings defer to: iterate E/M k times
+    (`lloyd_refine_centroids` re-enters `ivf_cosine_topk`) for a full
+    Lloyd fit whose per-iteration cost is one corpus scan — corpus
+    never shuffles. Emitting the sufficient statistics instead of the
+    divided means keeps the surface bit-exact across engines (no
+    float-division rounding in the hashed output); the division is
+    one IEEE op the consumer applies identically everywhere."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = _ivf_centroids(emb)
+    assign = ivf_cell_assignment(emb, centroids)
+    return lloyd_refine_sums(assign)
 
 
 @register(

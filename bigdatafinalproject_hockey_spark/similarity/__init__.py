@@ -492,6 +492,70 @@ def bucketed_ivf_assign_cte(
 """
 
 
+def lloyd_refine_sums(
+    assign: DataFrame, quant: int = 1_000_000
+) -> DataFrame:
+    """One Lloyd (k-means) codebook-update step as exact integer
+    sufficient statistics: per (cell, component), the count of member
+    vectors and the sum of ``quant``-quantized component values. The
+    refined centroid is ``sum_q / (n_members * quant)`` — division is
+    left to the caller (``lloyd_refine_centroids``) so this frame is
+    bit-exact at any parallelism and engine (the same
+    integer-quantized-sum trick as ``class_mean_classify``).
+
+    This is the codebook-FIT step every IVF docstring in this module
+    defers to ("a production deployment fits a KMeans codebook"):
+    assignment (E-step) is ``ivf_cell_assignment`` or the linear
+    ``bucketed_ivf_assignment``; this is the M-step; iterate the pair
+    k times for a k-iteration Lloyd fit. Cost: posexplode →
+    groupBy(cell, pos) integer sums — ONE shuffle of |cells|×dim
+    partial rows after map-side combine, independent of corpus size.
+
+    Input: (vid, cell, emb). Output: cell, pos, n_members, sum_q.
+    """
+    comp = assign.select(
+        "cell", F.posexplode("emb").alias("pos", "v")
+    ).select(
+        "cell",
+        "pos",
+        F.round(F.col("v") * quant).cast("long").alias("vq"),
+    )
+    return comp.groupBy("cell", "pos").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vq").alias("sum_q"),
+    )
+
+
+def lloyd_refine_centroids(
+    assign: DataFrame, quant: int = 1_000_000
+) -> DataFrame:
+    """The M-step's centroids as (cell, cmean array<double>) — the
+    frame a next Lloyd iteration (or ``ivf_cosine_topk``) consumes.
+    Built from ``lloyd_refine_sums`` with the one IEEE division done
+    identically everywhere: sum_q / n_members / quant."""
+    sums = lloyd_refine_sums(assign, quant)
+    return (
+        sums.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (
+                            F.col("sum_q")
+                            / F.col("n_members")
+                            / F.lit(float(quant))
+                        ).alias("m"),
+                    )
+                )
+            ).alias("pairs")
+        )
+        .select(
+            "cell", F.transform("pairs", lambda p: p["m"]).alias("cmean")
+        )
+    )
+
+
 def semantic_dedup_from_assignment(
     assign: DataFrame,
     id_col: str = "vec_id",

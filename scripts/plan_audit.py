@@ -101,6 +101,7 @@ ALLOWED: dict[str, set[str]] = {
     "sample_temperature": {"bnl_join", "single_part_exchange"},  # scalar corpus totals
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
+    "codebook_kmeans_refine": {"bnl_join"},   # centroid table (E-step quantizer)
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table
     "sim_ann_ivf_multiprobe": {"bnl_join"},   # centroid table

@@ -785,6 +785,63 @@ def test_semantic_dedup_scaled_survivor_invariants(spark):
     assert over == 0, f"{over} surviving in-cell pairs at or above θ"
 
 
+def test_lloyd_refine_improves_codebook(spark):
+    """One Lloyd M-step must not increase within-cell SSE under the
+    FIXED assignment (the cell mean is the SSE-minimizing point —
+    k-means' monotone-improvement guarantee), and the emitted integer
+    sufficient statistics must reproduce the exact member counts and
+    quantized sums."""
+    import numpy as np
+
+    from bigdatafinalproject_hockey_spark.functions.vectors import (
+        as_double_array,
+    )
+    from bigdatafinalproject_hockey_spark.queries.scale import _ivf_centroids
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivf_cell_assignment,
+        lloyd_refine_centroids,
+        lloyd_refine_sums,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = _ivf_centroids(emb)
+    assign = ivf_cell_assignment(emb, centroids)
+    rows = assign.collect()
+    vecs = {r["vid"]: np.array(r["emb"]) for r in rows}
+    cells: dict = {}
+    for r in rows:
+        cells.setdefault(r["cell"], []).append(r["vid"])
+
+    # sufficient statistics are exact
+    stats = lloyd_refine_sums(assign).collect()
+    by_cell_pos = {(r["cell"], r["pos"]): r for r in stats}
+    for cell, members in cells.items():
+        m = np.stack([vecs[v] for v in members])
+        for pos in (0, len(m[0]) - 1):
+            rec = by_cell_pos[(cell, pos)]
+            assert rec["n_members"] == len(members)
+            assert rec["sum_q"] == int(
+                np.round(m[:, pos] * 1_000_000).astype(np.int64).sum()
+            )
+
+    # SSE under the refined centroids <= SSE under the originals
+    old_cent = {
+        r["vec_id"]: np.array(r["emb"])
+        for r in centroids.select(
+            "vec_id", as_double_array("embedding").alias("emb")
+        ).collect()
+    }
+    new_cent = {
+        r["cell"]: np.array(r["cmean"])
+        for r in lloyd_refine_centroids(assign).collect()
+    }
+    for cell, members in cells.items():
+        m = np.stack([vecs[v] for v in members])
+        sse_old = float(((m - old_cent[cell]) ** 2).sum())
+        sse_new = float(((m - new_cent[cell]) ** 2).sum())
+        assert sse_new <= sse_old + 1e-6, (cell, sse_old, sse_new)
+
+
 def test_scaled_codebook_grows_with_corpus(spark):
     """The inverse lock of test_ivf_centroid_cap_bounds_codebook:
     dedup_semantic_scaled's codebook MUST grow with the corpus
