@@ -24,14 +24,15 @@ themselves (rounds < ``_STAGED_AT_ROUND`` only, so the test stays
 green after this round's artifact lands), and
 ``tests/test_registry.py::test_verify_first_is_computed_stalest_first``
 fails the suite if ``_VERIFY_FIRST`` is not exactly the computed
-stalest-first window. This round's computed window: the 8
-never-verified queries (5 round-6 newcomers + this round's
-``codebook_kmeans_refine``, ``dedup_semantic_scaled``, and
-``multimodal_decode_wav``, alphabetical), then ``ml_train_eval``
-(newest r1 — smoke-only ML training, still the single stalest row),
+stalest-first window. This round's computed window: the 10
+never-verified queries (5 round-6 newcomers + round 7's
+``codebook_kmeans_refine``, ``dedup_semantic_scaled``,
+``embedding_pq_encode``, ``multimodal_decode_wav``, and
+``sim_ann_pq_adc``, alphabetical), then ``ml_train_eval`` (newest
+r1 — smoke-only ML training, still the single stalest row),
 ``dedup_minhash_lsh`` (newest r2 — both missed by every hand count,
 including the judge's), the 36 queries whose newest row is
-CORRECTNESS_r03 (in r3 verification order), and the 4 oldest
+CORRECTNESS_r03 (in r3 verification order), and the 2 oldest
 CORRECTNESS_r04 occupants. After this window lands, no registry
 query's newest evidence is older than r4.
 """
@@ -57,10 +58,12 @@ _VERIFY_FIRST = [
     "codebook_kmeans_refine",  # never verified
     "dedup_semantic",  # never verified
     "dedup_semantic_scaled",  # never verified
+    "embedding_pq_encode",  # never verified
     "ml_centroid_classify",  # never verified
     "multimodal_decode_wav",  # never verified
     "sample_temperature",  # never verified
     "sim_ann_ivf_multiprobe",  # never verified
+    "sim_ann_pq_adc",  # never verified
     "ml_train_eval",  # newest r01
     "dedup_minhash_lsh",  # newest r02
     "pack_sequences",  # newest r03
@@ -101,8 +104,6 @@ _VERIFY_FIRST = [
     "date_functions",  # newest r03
     "ml_eval_deterministic",  # newest r04
     "agg_approx",  # newest r04
-    "sink_console",  # newest r04
-    "text_quality_classifier",  # newest r04
 ]
 
 

@@ -37,6 +37,9 @@ from bigdatafinalproject_hockey_spark.similarity import (
     ivf_cell_assignment,
     ivf_cosine_topk,
     lloyd_refine_sums,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
     semantic_dedup_from_assignment,
     semantic_dedup_survivors,
 )
@@ -537,6 +540,116 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     assign = bucketed_ivf_assignment(emb, centroids)
     return semantic_dedup_from_assignment(assign, min_cosine=0.3)
+
+
+# Shared PQ CTE prefix (DuckDB): subvector split, deterministic
+# per-subspace codebooks, integer squared-L2 scoring, argmin encode —
+# byte-identical semantics to similarity.pq_encode (same rounding,
+# same code tiebreak) so the two PQ oracles can never drift from the
+# Spark encoder.
+_PQ_CTE = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sub AS (
+      SELECT vec_id, mm.m AS m, emb[mm.m * 8 + 1 : mm.m * 8 + 8] AS subv
+      FROM e, LATERAL (SELECT unnest(range(8)) AS m) mm
+    ),
+    cb AS (
+      SELECT m, vec_id // 50 AS code, subv AS cvec
+      FROM sub WHERE vec_id % 50 = 0 AND vec_id < 800
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(ROUND(ROUND(list_sum(list_transform(
+                 list_zip(s.subv, c.cvec),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) * 1000000)
+               AS BIGINT) AS d_fp
+      FROM sub s JOIN cb c ON s.m = c.m
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d_fp, code) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CTE}
+    SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code
+    FROM enc
+    """,
+)
+def q_embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (round 7; Jégou et al. 2011,
+    public method): each vector is compressed to 8 code ids — one per
+    disjoint 8-dim subvector, the id of its nearest per-subspace
+    codebook entry (integer squared L2, code tiebreak). This is the
+    memory form that keeps a 100 TB embedding corpus RAM-resident
+    for search: 64 floats → 8 small codes per vector (32× at K≤256
+    with one byte per code). Codebooks here are deterministic corpus
+    subvectors (every 50th vector, 16 codes) so the encode is
+    engine-reproducible and fully hash-checked; a production fit
+    supplies `lloyd_refine_sums`-trained codebooks per subspace to
+    the same operators. One broadcast codebook join + ONE shuffle
+    (min_by partial aggregate — the exchange moves |corpus|×8 result
+    rows, not the scored grid)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_codebooks(emb)
+    return pq_encode(emb, cb).select(
+        F.col("vid").alias("vec_id"), "m", "code"
+    )
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+    WITH {_PQ_CTE},
+    q AS (SELECT vec_id AS query_id, m, subv AS qsub
+          FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT q.query_id, c.m, c.code,
+             CAST(ROUND(ROUND(list_sum(list_transform(
+                 list_zip(q.qsub, c.cvec),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) * 1000000)
+               AS BIGINT) AS d_fp
+      FROM q JOIN cb c ON q.m = c.m
+    ),
+    adc AS (
+      SELECT l.query_id, en.vec_id AS neighbor_id,
+             CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+      FROM enc en
+      JOIN lut l ON l.m = en.m AND l.code = en.code
+      WHERE en.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_fp, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_fp, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search via Asymmetric Distance Computation (round 7): per
+    query, an exact query-subvector↔code distance table
+    (|queries|×8×16 rows — broadcast), then every encoded corpus
+    vector is scored by 8 table lookups + an INTEGER sum (associative
+    — no float-order hazard in the hashed output) and the 5 nearest
+    survive (distance, then neighbor id). The corpus crosses exactly
+    two exchanges: the encode's min_by aggregate and the
+    (query, neighbor) partial sum. This is PQ's memory-resident
+    linear-scan form — the 100 TB deployment composes it with the IVF
+    cell structure (IVF-PQ: probe a query's candidate cells only,
+    ADC within them), both halves of which this engine ships
+    (`sim_ann_ivf` / `similarity.ivf_cell_assignment`)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, cb, queries)
 
 
 @register(

@@ -492,6 +492,156 @@ def bucketed_ivf_assign_cte(
 """
 
 
+# --- product quantization (PQ) ---------------------------------------------
+# PQ (Jégou et al., "Product quantization for nearest neighbor
+# search", TPAMI 2011 — public method) compresses each vector to M
+# small code ids by quantizing M disjoint subvectors against per-
+# subspace codebooks, then answers queries with Asymmetric Distance
+# Computation: per query, an M×K lookup table of exact
+# query-subvector↔code distances, so a candidate's approximate
+# distance is M table lookups + adds over its CODES — the memory
+# form that lets a 100 TB embedding corpus live RAM-resident
+# (64 floats → M bytes per vector at K ≤ 256). Deterministic
+# everywhere: codebooks are fixed corpus subvectors, distances are
+# rounded-then-integer, ties break on code/neighbor id.
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_STRIDE = 50  # codebook rows: vec_id % stride == 0, first PQ_CODES
+
+
+def pq_subvectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Split each vector into ``m`` disjoint subvectors: one row per
+    (vid, m, subv) — a map-side posexplode, no shuffle."""
+    width = dim // m
+    base = df.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
+    )
+    return base.select(
+        "vid",
+        F.posexplode(
+            F.array(
+                *[F.slice("emb", i * width + 1, width) for i in range(m)]
+            )
+        ).alias("m", "subv"),
+    )
+
+
+def _l2sq_fp(a: Column, b: Column) -> Column:
+    """Squared L2 of two double arrays as a 1e-6-grid integer: round
+    to 6 dp first (the engine's cross-engine determinism contract),
+    then scale to avoid any float accumulation in downstream SUMs."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.round(sq, 6) * 1_000_000).cast("long")
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    stride: int = PQ_STRIDE,
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: the subvectors of every
+    ``stride``-th corpus vector, first ``codes`` of them —
+    code id = vec_id / stride. (A production fit runs
+    ``lloyd_refine_sums`` per subspace instead; the operator contract
+    is identical.) Output: m, code, cvec — m×codes rows, broadcast."""
+    cb = corpus.filter(
+        (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * codes)
+    )
+    return pq_subvectors(cb, id_col, vec_col, dim, m).select(
+        "m",
+        (F.col("vid") / stride).cast("long").alias("code"),
+        F.col("subv").alias("cvec"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """PQ encoding: each (vector, subspace) takes the code of its
+    nearest codebook entry (integer squared L2, code-id tiebreak).
+    One broadcast join (×codes rows map-side) and ONE shuffle — the
+    min_by partial aggregate combines map-side, so the exchange moves
+    |corpus|×m result rows, not the scored grid.
+
+    Output: vid, m, code."""
+    scored = pq_subvectors(corpus, id_col, vec_col, dim, m).join(
+        F.broadcast(codebooks), "m"
+    ).select(
+        "vid", "m", "code", _l2sq_fp(F.col("subv"), F.col("cvec")).alias("d_fp")
+    )
+    return scored.groupBy("vid", "m").agg(
+        F.min_by("code", F.struct("d_fp", "code")).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: per query, build the
+    exact query-subvector↔code distance table (|queries|×m×codes
+    rows — tiny, broadcast), then score every encoded corpus vector
+    by joining its codes against the table and SUMMING INTEGER
+    subdistances (associative — no float-order hazard), and keep the
+    k nearest (distance then id). The corpus moves through one
+    min_by encode shuffle and one (query, neighbor) partial-sum
+    shuffle; at 100 TB this is the memory-resident linear-scan form —
+    compose with the IVF cell structure (IVF-PQ) to probe only
+    candidate cells instead of the full corpus.
+
+    Output: query_id, neighbor_id, adc_fp, rnk."""
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
+    # ``queries`` carries its own vectors (same contract as
+    # brute_force_cosine_topk) — typically a filtered corpus slice.
+    qsub = pq_subvectors(queries, id_col, vec_col, dim, m).select(
+        F.col("vid").alias("query_id"), "m", F.col("subv").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(codebooks), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _l2sq_fp(F.col("qsub"), F.col("cvec")).alias("d_fp"),
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_fp").alias("adc_fp"))
+    )
+    top = topk_per_group(
+        adc, ["query_id"], [F.col("adc_fp").asc(), F.col("neighbor_id")], k
+    )
+    return top.select(
+        "query_id", "neighbor_id", "adc_fp", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def lloyd_refine_sums(
     assign: DataFrame, quant: int = 1_000_000
 ) -> DataFrame:
