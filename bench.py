@@ -249,6 +249,7 @@ X10_EMB = [
     "dedup_semantic_scaled", # scaled codebook + bucketed assignment (linear)
     "ml_centroid_classify",  # class means + broadcast argmax
     "sim_ann_ivf",           # bounded-C assignment + cell probe
+    "sim_ann_pq_adc",        # PQ encode + integer ADC scan (linear)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set
