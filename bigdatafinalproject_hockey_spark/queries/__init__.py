@@ -24,17 +24,17 @@ themselves (rounds < ``_STAGED_AT_ROUND`` only, so the test stays
 green after this round's artifact lands), and
 ``tests/test_registry.py::test_verify_first_is_computed_stalest_first``
 fails the suite if ``_VERIFY_FIRST`` is not exactly the computed
-stalest-first window. This round's computed window: the 10
+stalest-first window. This round's computed window: the 11
 never-verified queries (5 round-6 newcomers + round 7's
 ``codebook_kmeans_refine``, ``dedup_semantic_scaled``,
-``embedding_pq_encode``, ``multimodal_decode_wav``, and
-``sim_ann_pq_adc``, alphabetical), then ``ml_train_eval`` (newest
-r1 — smoke-only ML training, still the single stalest row),
-``dedup_minhash_lsh`` (newest r2 — both missed by every hand count,
-including the judge's), the 36 queries whose newest row is
-CORRECTNESS_r03 (in r3 verification order), and the 2 oldest
-CORRECTNESS_r04 occupants. After this window lands, no registry
-query's newest evidence is older than r4.
+``embedding_pq_encode``, ``multimodal_decode_wav``,
+``sim_ann_ivfpq``, and ``sim_ann_pq_adc``, alphabetical), then
+``ml_train_eval`` (newest r1 — smoke-only ML training, still the
+single stalest row), ``dedup_minhash_lsh`` (newest r2 — both missed
+by every hand count, including the judge's), the 36 queries whose
+newest row is CORRECTNESS_r03 (in r3 verification order), and the
+single oldest CORRECTNESS_r04 occupant. After this window lands, no
+registry query's newest evidence is older than r4.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "multimodal_decode_wav",  # never verified
     "sample_temperature",  # never verified
     "sim_ann_ivf_multiprobe",  # never verified
+    "sim_ann_ivfpq",  # never verified
     "sim_ann_pq_adc",  # never verified
     "ml_train_eval",  # newest r01
     "dedup_minhash_lsh",  # newest r02
@@ -103,7 +104,6 @@ _VERIFY_FIRST = [
     "win_rank_family",  # newest r03
     "date_functions",  # newest r03
     "ml_eval_deterministic",  # newest r04
-    "agg_approx",  # newest r04
 ]
 
 

@@ -36,6 +36,7 @@ from bigdatafinalproject_hockey_spark.similarity import (
     class_mean_classify,
     ivf_cell_assignment,
     ivf_cosine_topk,
+    ivfpq_topk,
     lloyd_refine_sums,
     pq_adc_topk,
     pq_codebooks,
@@ -547,8 +548,10 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identical semantics to similarity.pq_encode (same rounding,
 # same code tiebreak) so the two PQ oracles can never drift from the
 # Spark encoder.
-_PQ_CTE = """
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# The chain after ``e`` is separate so sim_ann_ivfpq can append it to
+# the IVF assignment CTE (which defines the same ``e``) without a
+# name collision.
+_PQ_CHAIN = """
     sub AS (
       SELECT vec_id, mm.m AS m, emb[mm.m * 8 + 1 : mm.m * 8 + 8] AS subv
       FROM e, LATERAL (SELECT unnest(range(8)) AS m) mm
@@ -557,7 +560,7 @@ _PQ_CTE = """
       SELECT m, vec_id // 50 AS code, subv AS cvec
       FROM sub WHERE vec_id % 50 = 0 AND vec_id < 800
     ),
-    scored AS (
+    pq_scored AS (
       SELECT s.vec_id, s.m, c.code,
              CAST(ROUND(ROUND(list_sum(list_transform(
                  list_zip(s.subv, c.cvec),
@@ -569,10 +572,15 @@ _PQ_CTE = """
       SELECT vec_id, m, code FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                      ORDER BY d_fp, code) AS rn
-        FROM scored
+        FROM pq_scored
       ) WHERE rn = 1
     )
 """
+
+_PQ_CTE = (
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),"
+    + _PQ_CHAIN
+)
 
 
 @register(
@@ -650,6 +658,64 @@ def q_sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebooks(emb)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, cb, queries)
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_CTE},
+    {_PQ_CHAIN},
+    qc AS (SELECT vec_id AS query_id, cell FROM assign WHERE vec_id < 10),
+    qsub AS (SELECT vec_id AS query_id, m, subv AS qsub
+             FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT q.query_id, c.m, c.code,
+             CAST(ROUND(ROUND(list_sum(list_transform(
+                 list_zip(q.qsub, c.cvec),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) * 1000000)
+               AS BIGINT) AS d_fp
+      FROM qsub q JOIN cb c ON q.m = c.m
+    ),
+    cand AS (
+      SELECT qc.query_id, a.vec_id AS neighbor_id
+      FROM qc JOIN assign a ON a.cell = qc.cell
+      WHERE a.vec_id <> qc.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(l.d_fp) AS BIGINT) AS adc_fp
+      FROM cand c
+      JOIN enc en ON en.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id
+                AND l.m = en.m AND l.code = en.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_fp, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_fp, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (round 7) — the composition the `sim_ann_pq_adc`
+    docstring promises: the IVF coarse quantizer bounds WHERE to look
+    (each query scores only its own cell's ~|corpus|/C members — the
+    exact assignment `sim_ann_ivf` and `dedup_semantic` share) and PQ
+    bounds WHAT each look costs (candidates scored from their 8 code
+    ids by integer table lookups; codes, not vectors, are what stays
+    RAM-resident at 100 TB). This is the flagship production ANN
+    index shape (FAISS IVFPQ), here as a pure DataFrame composition
+    of two already-verified operators with a full value-hash oracle —
+    every stage deterministic (rounded-integer distances, id
+    tiebreaks). Recall vs exact search is measured by the same
+    pattern as `ann_recall_eval`; raise nprobe / codebook size for
+    the standard quality levers."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = _ivf_centroids(emb)
+    cb = pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, centroids, cb, queries)
 
 
 @register(

@@ -642,6 +642,68 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ: the composition that serves ANN at 100 TB (the
+    flagship inverted-file + product-quantization index shape, Jégou
+    et al. 2011). The IVF coarse quantizer bounds WHERE to look (a
+    query scores only its own Voronoi cell's members — ~|corpus|/C
+    candidates instead of the corpus), and PQ bounds WHAT each look
+    costs (candidates are scored from their 8 code ids by integer
+    table lookups — the codes, not the vectors, are what stays
+    RAM-resident). Both halves are this engine's existing operators
+    (``ivf_cell_assignment`` + ``pq_encode``/ADC), so the composition
+    is engine-reproducible end-to-end and fully value-hash-checkable.
+
+    ``queries`` carries its own vectors (a filtered corpus slice) and
+    must appear in the corpus (their cell comes from the shared
+    assignment). Output: query_id, neighbor_id, adc_fp, rnk.
+    """
+    assign = ivf_cell_assignment(corpus, centroids, id_col, vec_col)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
+    qsub = pq_subvectors(queries, id_col, vec_col, dim, m).select(
+        F.col("vid").alias("query_id"), "m", F.col("subv").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(codebooks), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _l2sq_fp(F.col("qsub"), F.col("cvec")).alias("d_fp"),
+    )
+    q_cells = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(assign, F.col("query_id") == F.col("vid"))
+        .select("query_id", "cell")
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(assign.select("vid", "cell"), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    adc = (
+        cand.join(enc, "vid")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_fp").alias("adc_fp"))
+    )
+    top = topk_per_group(
+        adc, ["query_id"], [F.col("adc_fp").asc(), F.col("neighbor_id")], k
+    )
+    return top.select(
+        "query_id", "neighbor_id", "adc_fp", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
 def lloyd_refine_sums(
     assign: DataFrame, quant: int = 1_000_000
 ) -> DataFrame:

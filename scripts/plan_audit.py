@@ -105,6 +105,7 @@ ALLOWED: dict[str, set[str]] = {
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table
     "sim_ann_ivf_multiprobe": {"bnl_join"},   # centroid table
+    "sim_ann_ivfpq": {"bnl_join"},            # centroid table (IVF half)
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)
     "sim_knn_classify": {"bnl_join"},         # centroid table

@@ -845,6 +845,48 @@ def test_pq_encode_and_adc_are_exact(spark):
         assert picked_mean < corpus_mean, (q, picked_mean, corpus_mean)
 
 
+def test_ivfpq_composes_its_two_verified_halves(spark):
+    """sim_ann_ivfpq must be EXACTLY the composition of its parts:
+    (a) every returned neighbor lives in the query's IVF cell,
+    (b) each (query, neighbor) ADC score equals the PQ-ADC score of
+    the same pair from the full-corpus scan, and (c) the result is
+    the full-scan ADC ranking RESTRICTED to the cell (no candidate
+    inside the cell was skipped)."""
+    from bigdatafinalproject_hockey_spark.queries.scale import _ivf_centroids
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivf_cell_assignment,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = _ivf_centroids(emb)
+    cb = pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivfpq = ivfpq_topk(emb, centroids, cb, queries).collect()
+    cells = {
+        r["vid"]: r["cell"] for r in ivf_cell_assignment(emb, centroids).collect()
+    }
+    # full-scan ADC over ALL candidates (k large enough to cover cells)
+    full = pq_adc_topk(emb, cb, queries, k=10**9).collect()
+    full_fp = {(r["query_id"], r["neighbor_id"]): r["adc_fp"] for r in full}
+
+    by_query: dict = {}
+    for r in ivfpq:
+        q, n = r["query_id"], r["neighbor_id"]
+        assert cells[n] == cells[q], (q, n)  # (a)
+        assert r["adc_fp"] == full_fp[(q, n)], (q, n)  # (b)
+        by_query.setdefault(q, []).append((r["adc_fp"], n))
+    for q, got in by_query.items():
+        in_cell = sorted(
+            (fp, n)
+            for (qq, n), fp in full_fp.items()
+            if qq == q and cells[n] == cells[q]
+        )[: len(got)]
+        assert sorted(got) == in_cell, q  # (c)
+
+
 def test_lloyd_refine_improves_codebook(spark):
     """One Lloyd M-step must not increase within-cell SSE under the
     FIXED assignment (the cell mean is the SSE-minimizing point —
