@@ -250,6 +250,7 @@ X10_EMB = [
     "ml_centroid_classify",  # class means + broadcast argmax
     "sim_ann_ivf",           # bounded-C assignment + cell probe
     "sim_ann_pq_adc",        # PQ encode + integer ADC scan (linear)
+    "sim_ann_ivfpq",         # composed IVFPQ: cell probe + code lookups
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set

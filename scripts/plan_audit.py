@@ -33,7 +33,12 @@ pattern.
 
 Round-5 baseline: 13 allowlisted BNL joins, zero cartesian, zero
 single-partition exchanges, 187 queries. Round 6: 193 queries + 16
-captured eager stages (209 audited plans), same flag counts.
+captured eager stages (209 audited plans), same flag counts. Round 7:
+199 queries + 16 captured stages (215 audited plans); the new
+IVF/PQ-family queries join the centroid-table BNL allowlist, while
+``dedup_semantic_scaled`` deliberately does NOT — its quantizer is a
+broadcast HASH join on sign-LSH band keys, which is the whole point
+of that variant.
 
 COVERAGE BOUNDARY (ADVICE r5): rendering the RETURNED DataFrame's
 plan cannot see stages a query executes eagerly while being built —
