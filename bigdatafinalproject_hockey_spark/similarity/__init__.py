@@ -434,6 +434,64 @@ def bucketed_ivf_assignment(
     )
 
 
+def bucketed_ivf_assignment_from_keys(
+    keys_df: DataFrame,
+    centroid_stride: int = 50,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """``bucketed_ivf_assignment`` over PRECOMPUTED sign-LSH keys —
+    the ingest-amortized form (round 7): the 64-hyperplane key
+    expressions dominate the per-run cost of the from-scratch form
+    (measured: ~3 s of Catalyst work per plan, data-independent), and
+    at 100 TB LSH keys are computed once at ingest and stored
+    columnar beside the vectors, not re-derived per query. This
+    variant reads a (vid, emb, keys) sidecar (see
+    queries/scale.py:_emb_signkeys_bucketed), takes the codebook as
+    every ``centroid_stride``-th row OF THE SIDECAR (same rows, same
+    stored keys), and runs the identical candidate join / ranking /
+    orphan fallback — byte-identical output to the from-scratch form
+    by construction, which the shared DuckDB oracle (recomputing keys
+    from raw embeddings) verifies end-to-end.
+
+    Output: vid, cell (long), emb (double array)."""
+    cent = keys_df.filter(F.col("vid") % centroid_stride == 0)
+    ck = cent.select(
+        F.col("vid").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.posexplode("keys").alias("band", "key"),
+    )
+    # keys is a STORED column here, so projecting keys[0] beside the
+    # generator duplicates an attribute reference, not an expression
+    # forest (unlike the from-scratch form, which recomputes the
+    # orphan key after the window for exactly that reason).
+    exploded = keys_df.select(
+        "vid",
+        "emb",
+        F.col("keys")[0].alias("key0"),
+        F.posexplode("keys").alias("band", "key"),
+    )
+    scored = exploded.join(F.broadcast(ck), ["band", "key"], "left").select(
+        "vid",
+        "emb",
+        "key0",
+        "cent_id",
+        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    )
+    best = topk_per_group(
+        scored,
+        ["vid"],
+        [F.col("cs").desc_nulls_last(), F.col("cent_id").asc_nulls_last()],
+        1,
+    )
+    return best.select(
+        "vid",
+        F.coalesce(F.col("cent_id"), F.lit(-1) - F.col("key0"))
+        .cast("long")
+        .alias("cell"),
+        "emb",
+    )
+
+
 def bucketed_ivf_assign_cte(
     table: str = "embeddings",
     id_col: str = "vec_id",

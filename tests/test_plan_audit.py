@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # with the capture() call sites — this is the anti-rot lock.
 EXPECTED_CAPTURE_KEYS = {
     # bucketed edge ingests (executed inside write_bucketed)
+    "dedup_semantic_scaled#keys_ingest",
     "graph_pagerank#edges_ingest",
     "graph_triangle_count#edges_ingest",
     "graph_bfs_hops#edges_ingest",
