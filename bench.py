@@ -244,6 +244,18 @@ X10_MULTIMODAL = [
 # |corpus|×C flat quantizer with an LSH-bucketed assignment
 # (similarity.bucketed_ivf_assignment) so the assignment pass is
 # linear too — its ratio here is the VERDICT r6 item 3 gate (≤~5×).
+# Embedding tier at 100× vectors (round 7): the 10× probe bounded the
+# scaled-SemDeDup fix at ~2-4×; a 100× reading is the one a log factor
+# or a leaked quadratic term cannot hide inside. Only the designed-
+# linear operators run here — the fixed-codebook dedup_semantic twin
+# is excluded BY DESIGN (its recorded square law would cost ~100²×,
+# minutes per shot, to restate what the 10× probe already proves).
+X100_EMB = [
+    "dedup_semantic_scaled",  # C = n/50 codebook + bucketed assignment
+    "sim_ann_pq_adc",         # PQ encode + integer ADC scan
+    "sim_ann_ivfpq",          # bounded-C cells + code lookups
+]
+
 X10_EMB = [
     "dedup_semantic",        # cell-blocked pair scan (square law, see above)
     "dedup_semantic_scaled", # scaled codebook + bucketed assignment (linear)
@@ -726,6 +738,24 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [emb_x10] {name}: {dt:.3f}s", file=sys.stderr)
+    # Embedding tier at 100× vectors: the linearity gate for the
+    # round-7 scaled/PQ operators (see X100_EMB note).
+    emb_x100_dir = _ensure_embeddings_amplified(spark, SF_DIR, 100)
+    spark.catalog.clearCache()
+    emb_x100: dict[str, dict] = {}
+    for name in X100_EMB:
+        try:
+            base = round(run_warm(name, SF_DIR), 3)
+            dt = run_warm(name, emb_x100_dir)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"emb_x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        emb_x100[name] = {
+            "sec_1x": base,
+            "sec_100x": round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+        }
+        print(f"  [emb_x100] {name}: {dt:.3f}s", file=sys.stderr)
     # Graph tier at 4× edges: does iteration cost scale with the
     # graph, now that edge derivation is an amortized bucketed ingest?
     gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)
@@ -756,6 +786,7 @@ def main() -> None:
         "events_x10": events_x10,
         "multimodal_x10": mm_x10,
         "embeddings_x10": emb_x10,
+        "embeddings_x100": emb_x100,
         "graph_x4": graph_x4,
         "variance": variance,
         "errors": errors,
@@ -817,6 +848,7 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
         "events_x10",
         "multimodal_x10",
         "embeddings_x10",
+        "embeddings_x100",
         "graph_x4",
     ):
         probes = out.get(key) or {}

@@ -17,6 +17,7 @@ from bench import (
     SENTINELS,
     X10,
     X100,
+    X100_EMB,
     X10_EMB,
     X10_EVENTS,
     X10_MULTIMODAL,
@@ -49,6 +50,9 @@ def _fake_out(n_extra: int = 0) -> dict:
         },
         "embeddings_x10": {
             n: {"sec_1x": 1.0, "sec_10x": 2.0, "ratio": 2.0} for n in X10_EMB
+        },
+        "embeddings_x100": {
+            n: {"sec_1x": 1.0, "sec_100x": 8.0, "ratio": 8.0} for n in X100_EMB
         },
         "graph_x4": {
             n: {"sec_1x": 1.0, "sec_4x": 1.9, "ratio": 1.9} for n in X4_GRAPH
@@ -96,7 +100,7 @@ def test_probe_lists_reference_registered_queries():
     from bigdatafinalproject_hockey_spark.queries import QUERIES
 
     for name in (
-        HEADLINE + SENTINELS + X10 + X100
+        HEADLINE + SENTINELS + X10 + X100 + X100_EMB
         + X10_EVENTS + X10_MULTIMODAL + X10_EMB + X4_GRAPH
     ):
         assert name in QUERIES, name
