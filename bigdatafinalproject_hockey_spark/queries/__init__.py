@@ -16,25 +16,13 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-7 window (VERDICT r6 items 1+2): the round-6 hand-maintained
-staging comment drifted 34 rows from the artifacts, so the ledger is
-now COMPUTED — ``scripts/staleness_ledger.py`` derives each query's
-newest driver round from the ``CORRECTNESS_r*.json`` artifacts
-themselves (rounds < ``_STAGED_AT_ROUND`` only, so the test stays
-green after this round's artifact lands), and
-``tests/test_registry.py::test_verify_first_is_computed_stalest_first``
-fails the suite if ``_VERIFY_FIRST`` is not exactly the computed
-stalest-first window. This round's computed window: the 11
-never-verified queries (5 round-6 newcomers + round 7's
-``codebook_kmeans_refine``, ``dedup_semantic_scaled``,
-``embedding_pq_encode``, ``multimodal_decode_wav``,
-``sim_ann_ivfpq``, and ``sim_ann_pq_adc``, alphabetical), then
-``ml_train_eval`` (newest r1 — smoke-only ML training, still the
-single stalest row), ``dedup_minhash_lsh`` (newest r2 — both missed
-by every hand count, including the judge's), the 36 queries whose
-newest row is CORRECTNESS_r03 (in r3 verification order), and the
-single oldest CORRECTNESS_r04 occupant. After this window lands, no
-registry query's newest evidence is older than r4.
+Round-8 window (VERDICT r7 item 4): the computed stalest-first window
+is the 49 queries whose newest driver row is CORRECTNESS_r04 (the big
+round-4 cohort — joins, aggregates, SCD2/MV/stream tier, ML training
+smokes, analytics composites) plus the single oldest r5 occupant
+(``events_attribution``), with any queries registered new this round
+(never verified) leading alphabetically. After this window lands, no
+registry query's newest evidence is older than r5.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -49,61 +37,61 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 7
+# COMPUTED: python scripts/staleness_ledger.py --round 8
 # (tests/test_registry.py asserts this list equals the computation —
 # the ledger can no longer drift by hand).
-_STAGED_AT_ROUND = 7
+_STAGED_AT_ROUND = 8
 _VERIFY_FIRST = [
-    "ann_recall_eval",  # never verified
-    "codebook_kmeans_refine",  # never verified
-    "dedup_semantic",  # never verified
-    "dedup_semantic_scaled",  # never verified
-    "embedding_pq_encode",  # never verified
-    "ml_centroid_classify",  # never verified
-    "multimodal_decode_wav",  # never verified
-    "sample_temperature",  # never verified
-    "sim_ann_ivf_multiprobe",  # never verified
-    "sim_ann_ivfpq",  # never verified
-    "sim_ann_pq_adc",  # never verified
-    "ml_train_eval",  # newest r01
-    "dedup_minhash_lsh",  # newest r02
-    "pack_sequences",  # newest r03
-    "join_bucketed",  # newest r03
-    "cap_per_source",  # newest r03
-    "corpus_drift",  # newest r03
-    "chunk_overlap",  # newest r03
-    "dedup_incremental",  # newest r03
-    "scan_chunked",  # newest r03
-    "clean_types",  # newest r03
-    "filter_clean",  # newest r03
-    "derive_features",  # newest r03
-    "str_clean",  # newest r03
-    "dedup_simhash",  # newest r03
-    "sim_ann_lsh",  # newest r03
-    "dedup_minhash_lsh_portable",  # newest r03
-    "multimodal_features",  # newest r03
-    "join_skew_salted",  # newest r03
-    "tokenize_to_ids",  # newest r03
-    "dedup_incremental_near",  # newest r03
-    "topk_per_group",  # newest r03
-    "events_funnel",  # newest r03
-    "join_asof",  # newest r03
-    "stream_foreachbatch_upsert",  # newest r03
-    "agg_count_group",  # newest r03
-    "win_row_number",  # newest r03
-    "win_expanding_avg",  # newest r03
-    "win_sliding_avg",  # newest r03
-    "agg_pivot",  # newest r03
-    "agg_windowed_distinct",  # newest r03
-    "join_full_outer",  # newest r03
-    "stream_stream_join",  # newest r03
-    "scan_jsonl_roundtrip",  # newest r03
-    "scan_csv_roundtrip",  # newest r03
-    "set_intersect",  # newest r03
-    "set_except",  # newest r03
-    "win_rank_family",  # newest r03
-    "date_functions",  # newest r03
-    "ml_eval_deterministic",  # newest r04
+    "agg_approx",  # newest r04
+    "sink_console",  # newest r04
+    "text_quality_classifier",  # newest r04
+    "corpus_snapshot_diff",  # newest r04
+    "stream_dedup_within_watermark",  # newest r04
+    "join_bloom_pruned",  # newest r04
+    "mv_incremental_agg",  # newest r04
+    "scan_schema_evolution",  # newest r04
+    "merge_scd2",  # newest r04
+    "join_scd2_pointintime",  # newest r04
+    "ml_eval_calibration",  # newest r04
+    "embedding_quantize",  # newest r04
+    "sort_zorder",  # newest r04
+    "scan_files_pruned",  # newest r04
+    "events_retention_cohort",  # newest r04
+    "pipeline_incremental_curation",  # newest r04
+    "analytics_shipping_priority",  # newest r04
+    "analytics_large_orders",  # newest r04
+    "stream_scd2_cdc",  # newest r04
+    "ts_gapfill",  # newest r04
+    "dq_expectations",  # newest r04
+    "graph_pagerank",  # newest r04
+    "join_null_safe",  # newest r04
+    "scan_csv_quarantine",  # newest r04
+    "sim_hybrid_rrf",  # newest r04
+    "events_markov_transitions",  # newest r04
+    "multimodal_phash_dedup",  # newest r04
+    "ml_eval_kfold",  # newest r04
+    "win_rolling_median",  # newest r04
+    "stream_late_data_accounting",  # newest r04
+    "analytics_rfm_segments",  # newest r04
+    "analytics_basket_lift",  # newest r04
+    "agg_count_filter",  # newest r04
+    "agg_global_max",  # newest r04
+    "agg_group_multi",  # newest r04
+    "anti_join",  # newest r04
+    "join_equi_3key",  # newest r04
+    "join_self_matchup",  # newest r04
+    "join_star",  # newest r04
+    "lookup_with_fallback",  # newest r04
+    "map_literal_lookup",  # newest r04
+    "semi_join_isin",  # newest r04
+    "str_fuzzy_match",  # newest r04
+    "split_temporal",  # newest r04
+    "dedup_exact",  # newest r04
+    "ml_train_eval_rf",  # newest r04
+    "ml_train_eval_gbt",  # newest r04
+    "ml_train_eval_mlp",  # newest r04
+    "split_random",  # newest r04
+    "events_attribution",  # newest r05
 ]
 
 
