@@ -17,12 +17,15 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-8 window (VERDICT r7 item 4): the computed stalest-first window
-is the 49 queries whose newest driver row is CORRECTNESS_r04 (the big
+leads with this round's two never-verified newcomers
+(``dedup_semantic_autokey``, ``sim_ann_ivfpq_fitted``), then the
+48 stalest r4 rows (the big
 round-4 cohort — joins, aggregates, SCD2/MV/stream tier, ML training
-smokes, analytics composites) plus the single oldest r5 occupant
-(``events_attribution``), with any queries registered new this round
-(never verified) leading alphabetically. After this window lands, no
-registry query's newest evidence is older than r5.
+smokes, analytics composites). The r4 cohort is 49 rows, so its last
+artifact-order occupant (``split_random``) is the one straggler this
+50-slot window cannot fit — after this window lands, no registry
+query's newest evidence is older than r4, with exactly that one r4
+row waiting for round 9.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -42,6 +45,8 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 # the ledger can no longer drift by hand).
 _STAGED_AT_ROUND = 8
 _VERIFY_FIRST = [
+    "dedup_semantic_autokey",  # never verified
+    "sim_ann_ivfpq_fitted",  # never verified
     "agg_approx",  # newest r04
     "sink_console",  # newest r04
     "text_quality_classifier",  # newest r04
@@ -90,8 +95,6 @@ _VERIFY_FIRST = [
     "ml_train_eval_rf",  # newest r04
     "ml_train_eval_gbt",  # newest r04
     "ml_train_eval_mlp",  # newest r04
-    "split_random",  # newest r04
-    "events_attribution",  # newest r05
 ]
 
 

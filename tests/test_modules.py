@@ -944,6 +944,39 @@ def test_lloyd_refine_improves_codebook(spark):
         assert sse_new <= sse_old + 1e-6, (cell, sse_old, sse_new)
 
 
+def test_pq_lloyd_fit_improves_encode_distance(spark):
+    """The iterated PQ fit (round 8, `pq_codebooks_lloyd`) must carry
+    k-means' monotone guarantee end-to-end: total nearest-code encode
+    distance (the quantity PQ minimizes per subspace) is non-increasing
+    as iterations grow — fitted codebooks encode the corpus at least
+    as tightly as the deterministic init, strictly tighter in practice."""
+    from pyspark.sql import functions as SF
+
+    from bigdatafinalproject_hockey_spark.similarity import (
+        pq_codebooks,
+        pq_codebooks_lloyd,
+        pq_subvectors,
+        _l2sq_fp,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sub = pq_subvectors(emb)
+
+    def total_encode_dist(cb) -> int:
+        scored = sub.join(SF.broadcast(cb), "m").select(
+            "vid", "m", _l2sq_fp(SF.col("subv"), SF.col("cvec")).alias("d_fp")
+        )
+        best = scored.groupBy("vid", "m").agg(SF.min("d_fp").alias("d"))
+        return best.agg(SF.sum("d")).collect()[0][0]
+
+    d0 = total_encode_dist(pq_codebooks(emb))
+    d1 = total_encode_dist(pq_codebooks_lloyd(emb, iterations=1))
+    d2 = total_encode_dist(pq_codebooks_lloyd(emb, iterations=2))
+    assert d1 <= d0
+    assert d2 <= d1
+    assert d2 < d0  # the fit actually moves at this corpus
+
+
 def test_scaled_codebook_grows_with_corpus(spark):
     """The inverse lock of test_ivf_centroid_cap_bounds_codebook:
     dedup_semantic_scaled's codebook MUST grow with the corpus

