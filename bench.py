@@ -61,7 +61,17 @@ LOWER than r5/r6 records of the same code); graph_x4
 ratios measure ITERATION cost only — the one-time bucketed edge
 ingest runs during the first 4x pass and best-of-2 excludes it,
 exactly as a per-source-version ingest is excluded from per-query
-cost in deployment.
+cost in deployment. r8+: the embeddings_x100 tier ALSO runs
+steady_min_of_5 (ADVICE r7 — it shares docs_x100's overhead-dominated
+denominator physics; r7's emb_x100 records were warm_best_of_2, so
+expect r8 ratios to read slightly lower on protocol alone); the
+sign-LSH key sidecar ingests are pre-warmed outside every timed
+window (VERDICT r7 item 2 — they are per-source-version costs, and
+the amplified corpora regenerate per driver-testdata generation, so
+the ingest previously landed inside the timed window
+nondeterministically); and a "suite_band" record (three full-suite
+pass sums) classifies fleet-wide wall moves the per-query sentinel
+envelope cannot (VERDICT r7 item 3).
 """
 
 from __future__ import annotations
@@ -106,7 +116,6 @@ HEADLINE = [
     "text_quality_classifier",  # row-local hashed-feature model filter
     "mv_incremental_agg",   # incremental materialized-view maintenance
     "join_bloom_pruned",    # selective fact⋈dim (bloom semi-join shape)
-    "text_quality_classifier_fast",  # xxhash64 fast path (prod hash)
     "merge_scd2",           # SCD2 versioned dimension merge
     "scan_files_pruned",    # manifest file skipping (ingest amortized)
     "embedding_quantize",   # int8 vector compression (pure map)
@@ -142,8 +151,16 @@ HEADLINE = [
     "dedup_semantic",            # SemDeDup: IVF-cell blocked embedding dedup
     "ml_centroid_classify",      # Rocchio nearest-class-mean classifier
     "sample_temperature",        # alpha-temperature source mixture
-    # new in round 7:
-    "dedup_semantic_scaled",     # SemDeDup, corpus-scaled codebook (linear)
+    # new in round 8 (headline holds at the 55-entry driver-tail cap
+    # by swapping out two near-duplicate walls: dedup_semantic_autokey
+    # REPLACES dedup_semantic_scaled — at sf0.1 the computed width
+    # floors at 8 bits, so the two are bit- and plan-identical and a
+    # second wall would be a duplicate record — and
+    # text_quality_classifier_fast leaves (its slow twin stays; the
+    # xxhash64-vs-md5 delta is a documented constant). Both leavers
+    # keep their oracle/smoke rows and probe-tier entries):
+    "dedup_semantic_autokey",    # SemDeDup, computed key width (the 100 TB config)
+    "sim_ann_ivfpq_fitted",      # Lloyd-fitted codebooks -> IVF-PQ search
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -244,25 +261,35 @@ X10_MULTIMODAL = [
 # |corpus|×C flat quantizer with an LSH-bucketed assignment
 # (similarity.bucketed_ivf_assignment) so the assignment pass is
 # linear too — its ratio here is the VERDICT r6 item 3 gate (≤~5×).
-# Embedding tier at 100× vectors (round 7): the 10× probe bounded the
-# scaled-SemDeDup fix at ~2-4×; a 100× reading is the one a log factor
-# or a leaked quadratic term cannot hide inside. Only the designed-
-# linear operators run here — the fixed-codebook dedup_semantic twin
-# is excluded BY DESIGN (its recorded square law would cost ~100²×,
-# minutes per shot, to restate what the 10× probe already proves).
+# Embedding tier at 100× vectors (round 7; membership revised round 8):
+# the 10× probe bounds the linear tier at ~2-4×; a 100× reading is the
+# one a log factor or a leaked quadratic term cannot hide inside. Only
+# the designed-linear operators run here. TWO exclusions BY DESIGN,
+# one per recorded law: the fixed-CODEBOOK dedup_semantic twin (square
+# law in cell size — ~100²×, minutes per shot, already proven at 10×)
+# and since round 8 the fixed-KEY-WIDTH dedup_semantic_scaled twin —
+# at its pinned 8-bit keys, C = n/50 centroids stop resolving into 2^8
+# buckets and candidates/vector grow ∝ C/256 (official r7 x100: 165.8×,
+# 29.1M candidate cosines at 200k vectors; its docstring states the
+# law). The linear configuration of the same operator IS measured
+# here: dedup_semantic_autokey computes bits = max(8, ⌈log2 C⌉) from
+# the corpus's parquet footer count (12 bits at 200k vectors —
+# ~8 candidates/vector), the VERDICT r7 item 1 gate (expected ≤ ~20×).
 X100_EMB = [
-    "dedup_semantic_scaled",  # C = n/50 codebook + bucketed assignment
+    "dedup_semantic_autokey", # C = n/50 codebook + computed-width keys
     "sim_ann_pq_adc",         # PQ encode + integer ADC scan
     "sim_ann_ivfpq",          # bounded-C cells + code lookups
 ]
 
 X10_EMB = [
     "dedup_semantic",        # cell-blocked pair scan (square law, see above)
-    "dedup_semantic_scaled", # scaled codebook + bucketed assignment (linear)
+    "dedup_semantic_scaled", # scaled codebook, FIXED 8-bit keys (law visible ~x10+)
+    "dedup_semantic_autokey",# scaled codebook + computed key width (linear)
     "ml_centroid_classify",  # class means + broadcast argmax
     "sim_ann_ivf",           # bounded-C assignment + cell probe
     "sim_ann_pq_adc",        # PQ encode + integer ADC scan (linear)
     "sim_ann_ivfpq",         # composed IVFPQ: cell probe + code lookups
+    "sim_ann_ivfpq_fitted",  # Lloyd fit + IVF-PQ search (fit is linear too)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set
@@ -457,6 +484,33 @@ def _ensure_embeddings_amplified(spark, sf_dir: str, copies: int) -> str:
     return out_dir
 
 
+def _prewarm_emb_sidecars(spark, sf_dir: str) -> None:
+    """Materialize the sign-LSH key sidecars for ``sf_dir``'s
+    embeddings OUTSIDE any timed window (round 8, VERDICT r7 item 2):
+    both the static 8-bit family (`dedup_semantic_scaled`) and, when
+    the corpus is large enough that the computed rule leaves the
+    8-bit floor, the computed-width family (`dedup_semantic_autokey`)
+    — plus the Lloyd-fitted PQ codebook sidecar
+    (`sim_ann_ivfpq_fitted`'s per-corpus-version index BUILD).
+    Idempotent — every ingest is source-token gated, so a pre-warmed
+    sidecar costs one metadata check on every later call."""
+    from bigdatafinalproject_hockey_spark.queries.scale import (
+        _emb_signkeys_bucketed,
+        _parquet_num_rows,
+        _pq_fitted_codebook_sidecar,
+    )
+    from bigdatafinalproject_hockey_spark.similarity import (
+        computed_bits_per_band,
+    )
+
+    _emb_signkeys_bucketed(spark, sf_dir, 8)
+    n = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    bits = computed_bits_per_band(max(n // 50, 1))
+    if bits != 8:
+        _emb_signkeys_bucketed(spark, sf_dir, bits)
+    _pq_fitted_codebook_sidecar(spark, sf_dir)
+
+
 def _ensure_events_amplified(spark, sf_dir: str, copies: int) -> str:
     """Materialize a ``copies``×-amplified events table under .tmp
     (once): per-copy user_id/event_id offsets keep users DISJOINT, so
@@ -576,16 +630,38 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    # Suite-level variance band (round 8, VERDICT r7 item 3): the
+    # per-query sentinel envelope can classify single-query moves but
+    # not a fleet-wide wall drift (+23% r6→r7 was unclassifiable).
+    # run_warm already takes two full passes over every headline
+    # query; recording BOTH runs' sums gives two complete suite walls
+    # for free, and a third full pass after the sentinel block (below)
+    # adds a post-warm wall — the three sums' spread is the
+    # session-state band a cross-round suite-wall comparison must
+    # clear before reading a move as real.
+    headline_runs: dict[str, list[float]] = {}
+    # Key sidecars for the headline's semantic-dedup entries are a
+    # per-source-version ingest — materialize outside the timed runs
+    # (see _prewarm_emb_sidecars; VERDICT r7 item 2).
+    try:
+        _prewarm_emb_sidecars(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        errors["prewarm:sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     # One failing query must cost ONE entry, not the whole bench
     # (round 2's BENCH was rc=1 and every number was lost): errors are
     # recorded per query and the suite keeps going.
     for name in HEADLINE:
         try:
-            dt = run_warm(name, SF_DIR)
+            dt1 = run_once(name, SF_DIR)
+            spark.catalog.clearCache()
+            dt2 = run_once(name, SF_DIR)
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        dt = min(dt1, dt2)
+        headline_runs[name] = [round(dt1, 3), round(dt2, 3)]
         timings[name] = round(dt, 3)
         total += dt
         print(f"  {name}: {dt:.3f}s", file=sys.stderr)
@@ -617,6 +693,39 @@ def main() -> None:
             f"{variance[name]['spread_pct']}%",
             file=sys.stderr,
         )
+    # Third full suite pass → the suite-level wall band (round 8,
+    # VERDICT r7 item 3). Pass 3 runs AFTER the sentinel block, so it
+    # is the deepest-warm wall of the session; pass 1 carries
+    # first-touch JIT. The spread over the three sums is the recorded
+    # suite-state envelope.
+    suite_band: dict = {}
+    run3_sum = 0.0
+    run3_ok = True
+    for name in timings:
+        try:
+            run3_sum += run_once(name, SF_DIR)
+            spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            errors[f"suite_band:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            run3_ok = False
+            break
+    sums = [
+        round(sum(r[0] for r in headline_runs.values()), 3),
+        round(sum(r[1] for r in headline_runs.values()), 3),
+    ]
+    if run3_ok:
+        sums.append(round(run3_sum, 3))
+    lo, hi = min(sums), max(sums)
+    suite_band = {
+        "pass_sums": sums,  # [first-touch, second, post-sentinel]
+        "best_of_2_wall": round(total, 3),
+        "spread_pct": round(100.0 * (hi - lo) / lo, 1) if lo else None,
+    }
+    print(
+        f"  [suite_band] passes {sums} spread {suite_band['spread_pct']}% "
+        f"(best-of-2 wall {total:.2f}s)",
+        file=sys.stderr,
+    )
     # curation tier at 10× documents: per-query wall + the 10×/1×
     # scaling ratio (sub-quadratic ops should stay well under 10×
     # after subtracting fixed job overhead; quadratic ones explode)
@@ -724,6 +833,17 @@ def main() -> None:
     # pair blow-up leaked into the plan.
     emb_x10_dir = _ensure_embeddings_amplified(spark, SF_DIR, 10)
     spark.catalog.clearCache()
+    # PRE-WARM the sign-LSH key sidecar ingest for every corpus the
+    # emb probes touch (round 8, VERDICT r7 item 2): the amplified
+    # corpora are regenerated whenever the driver regenerates
+    # testdata (fresh size+mtime token), so without this the sidecar
+    # ingest landed INSIDE the timed window in some sessions and not
+    # others — the entire official-13.55× / committed-3.81× x10
+    # disagreement for dedup_semantic_scaled. An ingest is a
+    # per-source-version cost, excluded from per-query cost exactly
+    # as the graph tier's bucketed edge ingest is.
+    _prewarm_emb_sidecars(spark, SF_DIR)
+    _prewarm_emb_sidecars(spark, emb_x10_dir)
     emb_x10: dict[str, dict] = {}
     for name in X10_EMB:
         try:
@@ -739,14 +859,20 @@ def main() -> None:
         }
         print(f"  [emb_x10] {name}: {dt:.3f}s", file=sys.stderr)
     # Embedding tier at 100× vectors: the linearity gate for the
-    # round-7 scaled/PQ operators (see X100_EMB note).
+    # round-7/8 scaled/PQ operators (see X100_EMB note). DEEP STEADY
+    # (min-of-5) at BOTH scales since round 8 (ADVICE r7): this
+    # tier's ratios divide by the same overhead-dominated ~1-2 s base
+    # as docs_x100, which moved to steady_min_of_5 in round 7 for
+    # exactly that physics — measuring the two x100 tiers under
+    # different protocols was a silent inconsistency.
     emb_x100_dir = _ensure_embeddings_amplified(spark, SF_DIR, 100)
     spark.catalog.clearCache()
+    _prewarm_emb_sidecars(spark, emb_x100_dir)
     emb_x100: dict[str, dict] = {}
     for name in X100_EMB:
         try:
-            base = round(run_warm(name, SF_DIR), 3)
-            dt = run_warm(name, emb_x100_dir)
+            base = round(run_steady(name, SF_DIR), 3)
+            dt = run_steady(name, emb_x100_dir)
         except Exception as exc:  # noqa: BLE001
             errors[f"emb_x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
@@ -754,6 +880,7 @@ def main() -> None:
             "sec_1x": base,
             "sec_100x": round(dt, 3),
             "ratio": round(dt / base, 2) if base else None,
+            "protocol": "steady_min_of_5",
         }
         print(f"  [emb_x100] {name}: {dt:.3f}s", file=sys.stderr)
     # Graph tier at 4× edges: does iteration cost scale with the
@@ -789,6 +916,7 @@ def main() -> None:
         "embeddings_x100": emb_x100,
         "graph_x4": graph_x4,
         "variance": variance,
+        "suite_band": suite_band,
         "errors": errors,
     }
     # Full uncapped record → file + stderr (humans, SURVEY, judge).

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def build_minmax_manifest(
@@ -78,3 +79,115 @@ def scan_pruned(
         empty = spark.read.parquet(any_file[0]).limit(0)
         return empty, 0
     return spark.read.parquet(*files), len(files)
+
+
+def rowgroups_in_range(
+    spark: SparkSession,
+    path: str,
+    stat_col: str,
+    lo,
+    hi,
+) -> tuple[list[tuple[str, int]], int]:
+    """The INTRA-file skipping tier (round 8 — `scan_files_pruned`
+    works at file granularity; parquet row-group footer stats are the
+    next level down, what Iceberg/Delta readers and parquet-mr's own
+    filter2 API consult): scan every part file's FOOTER — metadata
+    only, a few KB per file, no data pages touched — and return the
+    (file, row_group) pairs whose [min, max] interval for ``stat_col``
+    intersects [lo, hi], plus the total row-group count for the
+    pruning ratio.
+
+    The footer scan is DISTRIBUTED (mapInPandas over the file list):
+    at 100 TB a table has tens of thousands of files and the driver
+    should never open them serially — each executor task reads its
+    files' footers with pyarrow. Only the (file, rg, keep) verdicts —
+    one row per ROW GROUP, metadata scale — return to the driver,
+    the same planning-time listing discipline as ``pruned_files``.
+    A production deployment materializes these stats once at ingest
+    into a catalog table (Iceberg's manifest files); re-reading
+    footers per query is the stateless equivalent and costs one
+    metadata round per file.
+
+    Pruning stays SOUND, never semantic: a row group is skipped only
+    when max < lo or min > hi; groups with missing stats are KEPT.
+    Callers must still apply the residual row filter.
+    """
+    import glob
+    import os
+
+    files = sorted(
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    )
+    if not files:
+        raise ValueError(f"rowgroups_in_range: no parquet files under {path}")
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 32))
+
+    def scan_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out: dict[str, list] = {"file": [], "rg": [], "keep": []}
+            for fname in pdf["file"]:
+                md = pq.ParquetFile(fname).metadata
+                ci = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == stat_col
+                )
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or st.min is None or st.max is None:
+                        keep = True  # no stats → must read (sound)
+                    else:
+                        keep = st.max >= lo and st.min <= hi
+                    out["file"].append(fname)
+                    out["rg"].append(g)
+                    out["keep"].append(keep)
+            yield pd.DataFrame(out)
+
+    verdicts = fdf.mapInPandas(
+        scan_footers, schema="file string, rg int, keep boolean"
+    ).collect()
+    survivors = sorted((r["file"], r["rg"]) for r in verdicts if r["keep"])
+    return survivors, len(verdicts)
+
+
+def read_rowgroups(
+    spark: SparkSession,
+    groups: list[tuple[str, int]],
+    columns: list[str],
+    schema: StructType,
+) -> DataFrame:
+    """Row-group-addressed distributed parquet reader: each executor
+    task opens its (file, row_group) assignments with pyarrow and
+    reads ONLY those groups' pages for ``columns`` — the read path a
+    skipping index needs but Spark's public reader cannot address
+    (``spark.read.parquet`` takes whole files). Arrow-batched
+    (mapInPandas), column-pruned at the pyarrow call, one task per
+    ~few row groups — the same work distribution Spark's own scan
+    would produce for the surviving byte ranges.
+
+    ``schema`` is the Spark schema of ``columns`` (planning-time,
+    from any whole-file reader over the same layout)."""
+    if not groups:
+        return spark.createDataFrame([], schema)
+    gdf = spark.createDataFrame(
+        [(f, g) for f, g in groups], "file string, rg int"
+    ).repartition(min(len(groups), 32))
+
+    def read_groups(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for fname, rg in zip(pdf["file"], pdf["rg"]):
+                tbl = pq.ParquetFile(fname).read_row_group(
+                    int(rg), columns=columns
+                )
+                yield tbl.to_pandas()
+
+    return gdf.mapInPandas(read_groups, schema=schema)

@@ -45,8 +45,11 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 # the ledger can no longer drift by hand).
 _STAGED_AT_ROUND = 8
 _VERIFY_FIRST = [
+# stalest-first window (50 slots):
     "dedup_semantic_autokey",  # never verified
+    "scan_rowgroups_pruned",  # never verified
     "sim_ann_ivfpq_fitted",  # never verified
+    "sim_ann_ivfpq_multiprobe",  # never verified
     "agg_approx",  # newest r04
     "sink_console",  # newest r04
     "text_quality_classifier",  # newest r04
@@ -93,8 +96,6 @@ _VERIFY_FIRST = [
     "split_temporal",  # newest r04
     "dedup_exact",  # newest r04
     "ml_train_eval_rf",  # newest r04
-    "ml_train_eval_gbt",  # newest r04
-    "ml_train_eval_mlp",  # newest r04
 ]
 
 

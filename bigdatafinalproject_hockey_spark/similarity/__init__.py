@@ -897,6 +897,7 @@ def ivfpq_topk(
     dim: int = 64,
     m: int = PQ_SUBSPACES,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ: the composition that serves ANN at 100 TB (the
     flagship inverted-file + product-quantization index shape, Jégou
@@ -912,6 +913,17 @@ def ivfpq_topk(
     ``queries`` carries its own vectors (a filtered corpus slice) and
     must appear in the corpus (their cell comes from the shared
     assignment). Output: query_id, neighbor_id, adc_fp, rnk.
+
+    ``nprobe`` composes the inverted-file recall lever with PQ
+    scoring (round 8): each query also searches its ``nprobe - 1``
+    runner-up Voronoi cells — the probe list re-ranks the broadcast
+    centroid set per query with exactly ``ivf_cell_assignment``'s
+    ordering (rounded cosine desc, centroid-id tiebreak), so
+    ``nprobe=1`` reproduces the stored home cell bit-for-bit and the
+    registered nprobe=1 queries are unchanged. Corpus vectors keep
+    their single home cell (cells stay disjoint — no candidate is
+    scored twice); probe cost grows linearly in nprobe, ADC cost per
+    candidate is unchanged.
     """
     assign = ivf_cell_assignment(corpus, centroids, id_col, vec_col)
     enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
@@ -924,11 +936,31 @@ def ivfpq_topk(
         "code",
         _l2sq_fp(F.col("qsub"), F.col("cvec")).alias("d_fp"),
     )
-    q_cells = (
-        queries.select(F.col(id_col).alias("query_id"))
-        .join(assign, F.col("query_id") == F.col("vid"))
-        .select("query_id", "cell")
-    )
+    if nprobe == 1:
+        q_cells = (
+            queries.select(F.col(id_col).alias("query_id"))
+            .join(assign, F.col("query_id") == F.col("vid"))
+            .select("query_id", "cell")
+        )
+    else:
+        # Per-query probe list: re-rank the (tiny, broadcast) centroid
+        # set and keep the nprobe nearest cells — ivf_cosine_topk's
+        # multiprobe rule verbatim, so the two inverted-file surfaces
+        # can never diverge on probe semantics.
+        cent = centroids.select(
+            F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
+        )
+        q_vecs = queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qemb")
+        )
+        q_scored = q_vecs.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "cent_id",
+            F.round(cosine_expr(F.col("qemb"), F.col("cemb")), 6).alias("cs"),
+        )
+        q_cells = topk_per_group(
+            q_scored, ["query_id"], [F.col("cs").desc(), F.col("cent_id")], nprobe
+        ).select("query_id", F.col("cent_id").alias("cell"))
     cand = (
         F.broadcast(q_cells)
         .join(assign.select("vid", "cell"), "cell")

@@ -1870,3 +1870,150 @@ def test_mv_join_view_store_is_contribution_log(spark):
     per_step = [spark.read.parquet(d).count() for d in step_dirs]
     assert sum(per_step) == n_view
     assert max(per_step) < n_view  # no dir holds the accumulated view
+
+
+def test_rowgroup_pruned_scan_reads_fewer_groups(spark):
+    """The row-group tier must actually skip INTRA-file (round 8):
+    a four-month predicate over the date-clustered layout keeps well
+    under half of the row groups, the layout carries MULTIPLE row
+    groups (the tier below `scan_files_pruned`'s 16-file pruning),
+    and the pruned+residual-filtered result equals the full scan's
+    (pruning is sound, never semantic)."""
+    import datetime
+
+    from bigdatafinalproject_hockey_spark.operators import manifest as mf
+    from bigdatafinalproject_hockey_spark.queries.scale import (
+        _lineitem_rowgroup_clustered,
+        q_scan_rowgroups_pruned,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.l_returnflag, r.n_rows, r.sum_qty, r.sum_price)
+        for r in q_scan_rowgroups_pruned(spark, sf_dir).collect()
+    }
+    data_path = _lineitem_rowgroup_clustered(spark, sf_dir)
+    lo = datetime.date(1997, 3, 1)
+    hi = datetime.date(1997, 6, 30)
+    survivors, n_total = mf.rowgroups_in_range(
+        spark, data_path, "ship_date", lo, hi
+    )
+    assert n_total >= 8, f"layout degenerated to {n_total} row groups"
+    assert len(survivors) / n_total <= 0.4, (
+        f"pruning ineffective: {len(survivors)}/{n_total} row groups"
+    )
+    full = spark.read.parquet(data_path)
+    expect = {
+        (r.l_returnflag, r.n_rows, r.sum_qty, r.sum_price)
+        for r in (
+            full.filter(
+                (F.col("ship_date") >= F.lit(lo)) & (F.col("ship_date") <= F.lit(hi))
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (
+                    F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                    .cast("double")
+                    / 100.0
+                ).alias("sum_qty"),
+                (
+                    F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                    .cast("double")
+                    / 100.0
+                ).alias("sum_price"),
+            )
+            .collect()
+        )
+    }
+    assert got == expect
+
+
+def test_rowgroup_reader_missing_stats_are_kept(spark, tmp_path):
+    """Soundness edge: a layout whose stat column has NO footer
+    statistics must keep every row group (skip only on proof)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdatafinalproject_hockey_spark.operators import manifest as mf
+
+    path = str(tmp_path / "nostats")
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.Table.from_pandas(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    pq.write_table(
+        tbl, os.path.join(path, "part-0.parquet"), write_statistics=False
+    )
+    survivors, n_total = mf.rowgroups_in_range(spark, path, "k", 100, 200)
+    assert n_total == 1
+    assert len(survivors) == 1  # no stats -> must read
+
+
+def test_ivfpq_multiprobe_dominates_single_probe(spark):
+    """nprobe=2 IVF-PQ must (a) always probe the home cell first —
+    every nprobe=1 candidate stays a candidate, so each query's k-th
+    best ADC distance is monotone non-increasing in nprobe — and
+    (b) actually exercise the recall lever on the fixture corpus
+    (some query's top-5 changes)."""
+    from bigdatafinalproject_hockey_spark.queries.scale import (
+        _ivf_centroids,
+    )
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = _ivf_centroids(emb)
+    cb = pq_codebooks(emb)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def by_query(nprobe: int) -> dict:
+        out: dict = {}
+        rows = ivfpq_topk(emb, centroids, cb, queries, nprobe=nprobe).collect()
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rnk"], r["neighbor_id"], r["adc_fp"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    one, two = by_query(1), by_query(2)
+    assert set(one) == set(two)
+    changed = 0
+    for q in one:
+        d1 = [t[2] for t in one[q]]
+        d2 = [t[2] for t in two[q]]
+        assert len(d2) == len(d1)
+        for a, b in zip(d2, d1):
+            assert a <= b, f"query {q}: nprobe=2 rank distance {a} > {b}"
+        if one[q] != two[q]:
+            changed += 1
+    assert changed >= 1, "nprobe=2 changed no query's top-5 on the fixture"
+
+
+def test_pq_fitted_sidecar_bit_equals_live_fit(spark):
+    """The fitted-codebook ingest sidecar must be BIT-identical to
+    the live 2-iteration Lloyd fit (doubles round-trip parquet
+    exactly): amortizing the index build to ingest may never change a
+    single centroid component — that is what lets the DuckDB oracle
+    keep recomputing the fit from raw embeddings while the Spark
+    query reads the sidecar."""
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.queries.scale import (
+        _pq_fitted_codebook_sidecar,
+    )
+    from bigdatafinalproject_hockey_spark.similarity import pq_codebooks_lloyd
+
+    sf_dir = "/root/testdata/sf0.001"
+    sidecar = {
+        (r["m"], r["code"]): tuple(r["cvec"])
+        for r in _pq_fitted_codebook_sidecar(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, "embeddings", sf_dir)
+    live = {
+        (r["m"], r["code"]): tuple(r["cvec"])
+        for r in pq_codebooks_lloyd(emb, iterations=2).collect()
+    }
+    assert sidecar == live

@@ -27,6 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXPECTED_CAPTURE_KEYS = {
     # bucketed edge ingests (executed inside write_bucketed)
     "dedup_semantic_scaled#keys_ingest",
+    # row-group-clustered layout ingest (round 8)
+    "scan_rowgroups_pruned#rowgroup_ingest",
+    # Lloyd PQ codebook fit ingest (round 8)
+    "sim_ann_ivfpq_fitted#pq_fit_ingest",
     "graph_pagerank#edges_ingest",
     "graph_triangle_count#edges_ingest",
     "graph_bfs_hops#edges_ingest",

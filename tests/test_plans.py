@@ -284,6 +284,34 @@ def test_ivfpq_fitted_stays_broadcast_and_bounded(spark):
     assert "isFinalPlan=true" in plan
 
 
+def test_ivfpq_multiprobe_stays_broadcast_and_bounded(spark):
+    """sim_ann_ivfpq_multiprobe (nprobe=2, round 8): the probe list
+    is |queries|×2 rows and must BROADCAST into the per-cell
+    candidate join (never re-shuffle the corpus-sized assignment by
+    cell — the VERDICT r6 item 7 regression shape); the query-side
+    centroid re-ranking is a broadcast nested-loop over the ≤50-row
+    centroid table by design, so only the non-broadcast
+    CartesianProduct is forbidden."""
+    plan = _final_plan_of(spark, "sim_ann_ivfpq_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_rowgroup_pruned_scan_is_arrow_batched_metadata_first(spark):
+    """scan_rowgroups_pruned: the data path must be the
+    row-group-addressed Arrow reader over the SURVIVING groups only —
+    no whole-layout FileScan of the clustered table may appear in the
+    final plan (the pruning would be cosmetic), and the reader is a
+    mapInPandas (ArrowEval/MapInPandas) stage feeding a hash
+    aggregate, never a row-at-a-time Python UDF."""
+    plan = _final_plan_of(spark, "scan_rowgroups_pruned")
+    assert "BatchEvalPython" not in plan
+    assert "FileScan parquet" not in plan  # rows come from the rg reader
+    assert "MapInPandas" in plan
+    assert "isFinalPlan=true" in plan
+
+
 def test_bucketed_join_no_shuffle(spark):
     """Co-bucketed fact ⋈ fact must read bucket pairs co-located:
     zero Exchange below the join (the only hashpartitioning Exchange
