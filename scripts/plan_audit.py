@@ -113,6 +113,7 @@ ALLOWED: dict[str, set[str]] = {
     "sim_ann_ivfpq": {"bnl_join"},            # centroid table (IVF half)
     "sim_ann_ivfpq_fitted": {"bnl_join"},     # centroid table (IVF half; fit is equi-join)
     "sim_ann_ivfpq_multiprobe": {"bnl_join"},  # centroid table (probe list, nprobe=2)
+    "sim_ann_ivfpq_residual": {"bnl_join"},    # centroid table (IVF half + residual pass)
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)
     "sim_knn_classify": {"bnl_join"},         # centroid table

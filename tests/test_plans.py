@@ -298,6 +298,20 @@ def test_ivfpq_multiprobe_stays_broadcast_and_bounded(spark):
     assert "isFinalPlan=true" in plan
 
 
+def test_ivfpq_residual_stays_broadcast_and_bounded(spark):
+    """sim_ann_ivfpq_residual: the residual pass is a broadcast
+    centroid join over the persisted assignment (never a second
+    corpus shuffle), codebook/LUT joins broadcast, candidates come
+    from cell equi-joins; only the non-broadcast CartesianProduct is
+    forbidden (the coarse assignment's corpus × ≤50-centroid scoring
+    is a broadcast nested-loop by design, as in the whole IVF
+    family)."""
+    plan = _final_plan_of(spark, "sim_ann_ivfpq_residual")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+
+
 def test_rowgroup_pruned_scan_is_arrow_batched_metadata_first(spark):
     """scan_rowgroups_pruned: the data path must be the
     row-group-addressed Arrow reader over the SURVIVING groups only —

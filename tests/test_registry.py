@@ -76,9 +76,9 @@ def test_ledger_rejects_the_round6_hand_staging():
 def test_window_staleness_bound_after_landing():
     """Once this window lands (CORRECTNESS_r08), no registry query's
     newest evidence may be older than r4: everything staler than r4
-    must be inside the staged window. (The round-8 registry has 53
-    stale-or-never rows — 4 newcomers + the 49-query r4 cohort — so
-    three r4 rows necessarily wait for round 9. The bound the window
+    must be inside the staged window. (The round-8 registry has 54
+    stale-or-never rows — 5 newcomers + the 49-query r4 cohort — so
+    four r4 rows necessarily wait for round 9. The bound the window
     CAN guarantee, and the one that matters, is that every straggler
     is a rows-only smoke: an ORACLE-backed query may never be the row
     left waiting — hash evidence ages, a rows-only run barely does.)"""
@@ -89,7 +89,7 @@ def test_window_staleness_bound_after_landing():
     r4_out = {
         n for n, v in newest.items() if v is not None and v[0] == 4
     } - set(_VERIFY_FIRST)
-    assert len(r4_out) <= 3, f"more than three r4 rows left outside: {r4_out}"
+    assert len(r4_out) <= 4, f"more than four r4 rows left outside: {r4_out}"
     oracle_backed_out = r4_out & set(ORACLE_SQL)
     assert not oracle_backed_out, (
         f"oracle-backed r4 evidence left outside the window: {oracle_backed_out}"
@@ -99,12 +99,12 @@ def test_window_staleness_bound_after_landing():
 def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
-    oracle-less. The round-8 window carries one r4-stale ML training
-    smoke (model-bound; its gbt/mlp siblings and split_random are the
-    three r4 stragglers the 50-slot window couldn't fit after the
-    four round-8 newcomers took their slots)."""
+    oracle-less. After the five round-8 newcomers took their slots,
+    the four r4 stragglers (split_random + the three ML training
+    smokes, all rows-only by design) wait for round 9 and every
+    window entry is oracle-backed."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == ["ml_train_eval_rf"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_every_oracle_name_is_registered():
