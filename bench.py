@@ -935,11 +935,15 @@ def main() -> None:
     spark.stop()
 
 
-def build_summary_line(out: dict, cap: int = 1900) -> str:
+def build_summary_line(out: dict, cap: int = 1960) -> str:
     """Serialize the driver-facing summary to one JSON line ≤ ``cap``
     characters: metric/value/unit/measure/sf + every headline timing
-    at 2 dp, then (budget permitting) per-probe scale ratios and the
-    error count. Separated from main() for direct unit testing."""
+    at 2 dp, then (budget permitting) the suite-wall band, per-probe
+    scale ratios and the error count. Separated from main() for
+    direct unit testing. The cap rides just under the driver's
+    2000-char stdout tail: the summary is bench stdout's ONLY line
+    (full detail goes to stderr + BENCH_FULL.json), so cap + newline
+    ≤ 2000 keeps the parsed record complete."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -956,8 +960,21 @@ def build_summary_line(out: dict, cap: int = 1900) -> str:
         return json.dumps(d, separators=(",", ":"))
 
     line = dumps(compact)
-    # Sentinel variance band (round 7) goes FIRST — it is the datum
-    # that classifies every other cross-round move, so it must
+    # Suite-level wall band (round 8, VERDICT r7 item 3) goes FIRST —
+    # the driver line is the durable per-round record, and the suite
+    # band is the one datum that classifies a fleet-wide wall move.
+    band = out.get("suite_band") or {}
+    if band.get("pass_sums"):
+        trial = dict(compact)
+        trial["suite_band"] = {
+            "pass_sums": band["pass_sums"],
+            "spread_pct": band.get("spread_pct"),
+        }
+        if len(dumps(trial)) <= cap:
+            compact = trial
+            line = dumps(compact)
+    # Sentinel variance band (round 7) next — it is the datum
+    # that classifies single-query cross-round moves, so it must
     # survive the cap ahead of the probe ratios.
     spreads = {
         name: rec.get("spread_pct")

@@ -61,6 +61,11 @@ def _fake_out(n_extra: int = 0) -> dict:
             n: {"runs": [0.31, 0.33, 0.59, 0.32], "spread_pct": 90.3}
             for n in SENTINELS
         },
+        "suite_band": {
+            "pass_sums": [51.22, 42.335, 52.361],
+            "best_of_2_wall": 42.132,
+            "spread_pct": 23.7,
+        },
         "errors": {},
     }
 
@@ -74,10 +79,14 @@ def test_summary_line_fits_driver_tail_with_full_detail():
     assert parsed["value"] == _fake_out()["value"]
     assert set(parsed["queries"]) == set(HEADLINE)
     assert "queries_truncated" not in parsed
-    # The round-7 variance band must survive the cap — it is the
-    # datum that classifies every other cross-round move (VERDICT r6
-    # item 5), so it is appended ahead of the probe ratios.
+    # The round-8 suite band and round-7 variance band must survive
+    # the cap — they are the data that classify fleet-wide and
+    # single-query cross-round moves (VERDICT r7 item 3 / r6 item 5),
+    # so they are appended ahead of the probe ratios; at the current
+    # suite size the first probe-ratio section must also fit.
+    assert parsed["suite_band"]["spread_pct"] == 23.7
     assert set(parsed["variance_spread_pct"]) == set(SENTINELS)
+    assert "docs_x10_ratio" in parsed
 
 
 def test_summary_line_degrades_never_overruns():
