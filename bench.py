@@ -279,6 +279,7 @@ X100_EMB = [
     "dedup_semantic_autokey", # C = n/50 codebook + computed-width keys
     "sim_ann_pq_adc",         # PQ encode + integer ADC scan
     "sim_ann_ivfpq",          # bounded-C cells + code lookups
+    "sim_ann_ivfpq_residual", # residual-encoded IVFPQ (same linear shape)
 ]
 
 X10_EMB = [
