@@ -274,7 +274,13 @@ X10_MULTIMODAL = [
 # law). The linear configuration of the same operator IS measured
 # here: dedup_semantic_autokey computes bits = max(8, ⌈log2 C⌉) from
 # the corpus's parquet footer count (12 bits at 200k vectors —
-# ~8 candidates/vector), the VERDICT r7 item 1 gate (expected ≤ ~20×).
+# ~8 candidates/vector), the VERDICT r7 item 1 gate. Judge the
+# WALL, not the ratio (ADVICE r8): across the four committed round-8
+# runs the 100× wall held 21.5-23.3 s (≈ the linear extrapolation of
+# the 1× pair scan) while the overhead-dominated 0.70-1.15 s base
+# spread the ratio 20.2-33.4× — the committed BENCH_FULL entry
+# records 33.4× of a 0.70 s base: denominator session noise, not a
+# scale law. The 20-33× band is the standing artifact's envelope.
 X100_EMB = [
     "dedup_semantic_autokey", # C = n/50 codebook + computed-width keys
     "sim_ann_pq_adc",         # PQ encode + integer ADC scan
@@ -844,8 +850,13 @@ def main() -> None:
     # disagreement for dedup_semantic_scaled. An ingest is a
     # per-source-version cost, excluded from per-query cost exactly
     # as the graph tier's bucketed edge ingest is.
-    _prewarm_emb_sidecars(spark, SF_DIR)
-    _prewarm_emb_sidecars(spark, emb_x10_dir)
+    # Guarded like the headline prewarm: a failed ingest costs one
+    # error entry, never the rest of the bench (ADVICE r8).
+    try:
+        _prewarm_emb_sidecars(spark, SF_DIR)
+        _prewarm_emb_sidecars(spark, emb_x10_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["prewarm:emb_x10_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     emb_x10: dict[str, dict] = {}
     for name in X10_EMB:
         try:
@@ -869,7 +880,10 @@ def main() -> None:
     # different protocols was a silent inconsistency.
     emb_x100_dir = _ensure_embeddings_amplified(spark, SF_DIR, 100)
     spark.catalog.clearCache()
-    _prewarm_emb_sidecars(spark, emb_x100_dir)
+    try:
+        _prewarm_emb_sidecars(spark, emb_x100_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["prewarm:emb_x100_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     emb_x100: dict[str, dict] = {}
     for name in X100_EMB:
         try:

@@ -134,11 +134,23 @@ def rowgroups_in_range(
             out: dict[str, list] = {"file": [], "rg": [], "keep": []}
             for fname in pdf["file"]:
                 md = pq.ParquetFile(fname).metadata
+                # next() with a default: a bare next() exhausting the
+                # generator would surface as an opaque PEP 479
+                # "generator raised StopIteration" RuntimeError inside
+                # the executor (ADVICE r8) — name the column and file.
                 ci = next(
-                    i
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).name == stat_col
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).name == stat_col
+                    ),
+                    None,
                 )
+                if ci is None:
+                    raise ValueError(
+                        f"rowgroups_in_range: stats column {stat_col!r} "
+                        f"absent from parquet schema of {fname}"
+                    )
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(ci).statistics
                     if st is None or st.min is None or st.max is None:

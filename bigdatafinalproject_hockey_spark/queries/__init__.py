@@ -16,16 +16,12 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-8 window (VERDICT r7 item 4): the computed stalest-first window
-leads with this round's two never-verified newcomers
-(``dedup_semantic_autokey``, ``sim_ann_ivfpq_fitted``), then the
-48 stalest r4 rows (the big
-round-4 cohort — joins, aggregates, SCD2/MV/stream tier, ML training
-smokes, analytics composites). The r4 cohort is 49 rows, so its last
-artifact-order occupant (``split_random``) is the one straggler this
-50-slot window cannot fit — after this window lands, no registry
-query's newest evidence is older than r4, with exactly that one r4
-row waiting for round 9.
+Round-9 window: the computed stalest-first window leads with the
+four remaining r4 rows (``ml_train_eval_rf/gbt/mlp`` — the rows-only
+training smokes — plus ``split_random``), then the 46 stalest r5
+rows (events/analytics composites, stream tier, multimodal metas,
+UDTF/forecast entries, ``pipeline_features``). After this window
+lands, no registry query's newest driver evidence is older than r5.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -40,63 +36,64 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 8
+# COMPUTED: python scripts/staleness_ledger.py --round 9
 # (tests/test_registry.py asserts this list equals the computation —
 # the ledger can no longer drift by hand).
-_STAGED_AT_ROUND = 8
+_STAGED_AT_ROUND = 9
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
-    "dedup_semantic_autokey",  # never verified
-    "scan_rowgroups_pruned",  # never verified
-    "sim_ann_ivfpq_fitted",  # never verified
-    "sim_ann_ivfpq_multiprobe",  # never verified
-    "sim_ann_ivfpq_residual",  # never verified
-    "agg_approx",  # newest r04
-    "sink_console",  # newest r04
-    "text_quality_classifier",  # newest r04
-    "corpus_snapshot_diff",  # newest r04
-    "stream_dedup_within_watermark",  # newest r04
-    "join_bloom_pruned",  # newest r04
-    "mv_incremental_agg",  # newest r04
-    "scan_schema_evolution",  # newest r04
-    "merge_scd2",  # newest r04
-    "join_scd2_pointintime",  # newest r04
-    "ml_eval_calibration",  # newest r04
-    "embedding_quantize",  # newest r04
-    "sort_zorder",  # newest r04
-    "scan_files_pruned",  # newest r04
-    "events_retention_cohort",  # newest r04
-    "pipeline_incremental_curation",  # newest r04
-    "analytics_shipping_priority",  # newest r04
-    "analytics_large_orders",  # newest r04
-    "stream_scd2_cdc",  # newest r04
-    "ts_gapfill",  # newest r04
-    "dq_expectations",  # newest r04
-    "graph_pagerank",  # newest r04
-    "join_null_safe",  # newest r04
-    "scan_csv_quarantine",  # newest r04
-    "sim_hybrid_rrf",  # newest r04
-    "events_markov_transitions",  # newest r04
-    "multimodal_phash_dedup",  # newest r04
-    "ml_eval_kfold",  # newest r04
-    "win_rolling_median",  # newest r04
-    "stream_late_data_accounting",  # newest r04
-    "analytics_rfm_segments",  # newest r04
-    "analytics_basket_lift",  # newest r04
-    "agg_count_filter",  # newest r04
-    "agg_global_max",  # newest r04
-    "agg_group_multi",  # newest r04
-    "anti_join",  # newest r04
-    "join_equi_3key",  # newest r04
-    "join_self_matchup",  # newest r04
-    "join_star",  # newest r04
-    "lookup_with_fallback",  # newest r04
-    "map_literal_lookup",  # newest r04
-    "semi_join_isin",  # newest r04
-    "str_fuzzy_match",  # newest r04
-    "split_temporal",  # newest r04
-    "dedup_exact",  # newest r04
+    "ml_train_eval_rf",  # newest r04
+    "ml_train_eval_gbt",  # newest r04
+    "ml_train_eval_mlp",  # newest r04
+    "split_random",  # newest r04
+    "events_attribution",  # newest r05
+    "ts_downsample",  # newest r05
+    "agg_histogram",  # newest r05
+    "analytics_promo_share",  # newest r05
+    "events_anomaly_mad",  # newest r05
+    "stream_stream_left_outer",  # newest r05
+    "join_dpp",  # newest r05
+    "join_interval_binned",  # newest r05
+    "agg_sketch_rollup",  # newest r05
+    "ml_eval_pr_curve",  # newest r05
+    "graph_triangle_count",  # newest r05
+    "graph_bfs_hops",  # newest r05
+    "analytics_top_supplier",  # newest r05
+    "analytics_idle_customers",  # newest r05
+    "analytics_parts_supplier",  # newest r05
+    "stream_chained_agg",  # newest r05
+    "sample_weighted",  # newest r05
+    "ts_ewma",  # newest r05
+    "dedup_containment",  # newest r05
+    "scan_text_roundtrip",  # newest r05
+    "events_top_paths",  # newest r05
+    "mv_incremental_join",  # newest r05
+    "scan_binary_files",  # newest r05
+    "ts_trend_slope",  # newest r05
+    "events_peak_concurrency",  # newest r05
+    "agg_listagg",  # newest r05
+    "events_activity_streaks",  # newest r05
+    "analytics_small_qty_revenue",  # newest r05
+    "diag_join_key_skew",  # newest r05
+    "scan_custom_datasource",  # newest r05
+    "agg_multi_distinct",  # newest r05
+    "stream_custom_datasource",  # newest r05
+    "join_asof_nearest",  # newest r05
+    "join_lateral_topn",  # newest r05
+    "analytics_ab_test",  # newest r05
+    "analytics_pareto",  # newest r05
+    "text_bigrams_udtf",  # newest r05
+    "ts_holt_forecast",  # newest r05
+    "stream_fanout_multi_sink",  # newest r05
+    "agg_bitmap_distinct",  # newest r05
+    "events_dau_wau_mau",  # newest r05
+    "stream_session_dynamic_gap",  # newest r05
+    "multimodal_meta",  # newest r05
+    "multimodal_frame_sample",  # newest r05
+    "multimodal_resize",  # newest r05
+    "pipeline_features",  # newest r05
 ]
+
 
 
 

@@ -99,12 +99,18 @@ def test_window_staleness_bound_after_landing():
 def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
-    oracle-less. After the five round-8 newcomers took their slots,
-    the four r4 stragglers (split_random + the three ML training
-    smokes, all rows-only by design) wait for round 9 and every
-    window entry is oracle-backed."""
+    oracle-less. The round-9 window leads with exactly the four r4
+    stragglers round 8 could not fit (the three ML training smokes +
+    split_random — all rows-only by design: Spark-ML internals /
+    Spark RNG, each with a deterministic hash-green twin); every
+    other window entry is oracle-backed."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == [], rows_only
+    assert rows_only == [
+        "ml_train_eval_rf",
+        "ml_train_eval_gbt",
+        "ml_train_eval_mlp",
+        "split_random",
+    ], rows_only
 
 
 def test_every_oracle_name_is_registered():
