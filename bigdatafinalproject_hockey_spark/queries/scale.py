@@ -35,6 +35,7 @@ from bigdatafinalproject_hockey_spark.similarity import (
     brute_force_cosine_topk,
     bucketed_ivf_assignment_from_keys,
     bucketed_ivf_assign_cte,
+    bucketed_ivf_assign_cte_autokey,
     bucketed_ivf_assignment,
     class_mean_classify,
     computed_bits_per_band,
@@ -642,7 +643,7 @@ def q_dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_semantic_autokey",
     oracle=f"""
-    WITH {bucketed_ivf_assign_cte(centroid_stride=50)},
+    WITH {bucketed_ivf_assign_cte_autokey(centroid_stride=50)},
     pairs AS (
       SELECT b.vec_id AS dup_id
       FROM assign a

@@ -588,6 +588,106 @@ def bucketed_ivf_assign_cte(
 """
 
 
+# Key widths the width-adaptive oracle below embeds literal hyperplane
+# families for: 8 (every driver SF), 9 (the bench's 10× corpus), 12
+# (the 100× corpus), with headroom to 13 — i.e. corpora up to
+# stride × 2^13 = 409,600 vectors at stride 50. Beyond that the CASE
+# falls through to DuckDB error() (loud, never a silent-width
+# mismatch); widen this tuple if a larger fixture ever needs an oracle.
+AUTOKEY_ORACLE_WIDTHS = tuple(range(8, 14))
+
+
+def bucketed_ivf_assign_cte_autokey(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 50,
+    dim: int = 64,
+    num_bands: int = 8,
+    widths: tuple = AUTOKEY_ORACLE_WIDTHS,
+) -> str:
+    """Width-ADAPTIVE DuckDB twin of ``bucketed_ivf_assignment`` for
+    the computed-key-width path (round 9 — ADVICE r8 medium): the
+    static ``bucketed_ivf_assign_cte`` pins one ``bits_per_band``, so
+    registering it as `dedup_semantic_autokey`'s oracle left every
+    >8-bit configuration — the one the emb_x100 linearity gate times —
+    verification-blind, and would spuriously fail on any corpus with
+    C > 256 (n ≳ 13k at stride 50).
+
+    This CTE recomputes the QUERY'S OWN width rule in SQL —
+
+        bits = GREATEST(8, CEIL(LOG2(GREATEST(COUNT(*) // stride, 1))))
+
+    exactly ``computed_bits_per_band(max(n // stride, 1))`` (the rule
+    reduces to ⌈log2 C⌉ at num_bands == target_candidates; COUNT(*) is
+    the same total the Spark side reads from parquet footers) — and
+    CASE-selects the matching literal hyperplane key family per row.
+    Families are NOT prefix-shareable (band b bit i uses hyperplane
+    row b·bits+i, so every width is a different matrix slice), hence
+    one literal array per supported width; DuckDB's CASE is lazy, so
+    only the selected family is evaluated (probed in round 9: the
+    non-taken error() branch does not fire). Ends with
+    ``assign(vec_id, cell, emb)`` like the static form."""
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+    def keys_case(expr: str) -> str:
+        branches = " ".join(
+            "WHEN {w} THEN [{arr}]".format(
+                w=w,
+                arr=", ".join(
+                    _sign_band_key_sql(expr, b, w, dim) for b in range(num_bands)
+                ),
+            )
+            for w in widths
+        )
+        return (
+            f"CASE (SELECT bits FROM params) {branches} "
+            f"ELSE error('bucketed_ivf_assign_cte_autokey: computed key "
+            f"width beyond the oracle family (supported "
+            f"{widths[0]}-{widths[-1]})') END"
+        )
+
+    return f"""
+    params AS (
+      SELECT GREATEST(8, CAST(CEIL(LOG2(GREATEST(COUNT(*) // {centroid_stride}, 1))) AS INT)) AS bits
+      FROM {table}
+    ),
+    e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS emb FROM {table}),
+    cent AS (SELECT vec_id AS cent_id, emb AS cemb FROM e
+             WHERE vec_id % {centroid_stride} = 0),
+    vk AS (
+      SELECT vec_id, emb, keys[1] AS key0, i AS band, keys[i + 1] AS key
+      FROM (SELECT vec_id, emb, {keys_case("emb")} AS keys FROM e),
+           range({num_bands}) t(i)
+    ),
+    ck AS (
+      SELECT cent_id, cemb, i AS band, keys[i + 1] AS key
+      FROM (SELECT cent_id, cemb, {keys_case("cemb")} AS keys FROM cent),
+           range({num_bands}) t(i)
+    ),
+    cand AS (
+      SELECT vk.vec_id, vk.emb, vk.key0, ck.cent_id,
+             {cos.format(a="vk.emb", b="ck.cemb")} AS cs
+      FROM vk LEFT JOIN ck ON vk.band = ck.band AND vk.key = ck.key
+    ),
+    ranked_assign AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY cs DESC NULLS LAST, cent_id ASC NULLS LAST) AS rn
+      FROM cand
+    ),
+    assign AS (
+      SELECT vec_id,
+             CAST(COALESCE(cent_id, -1 - key0) AS BIGINT) AS cell,
+             emb
+      FROM ranked_assign WHERE rn = 1
+    )
+"""
+
+
 # --- product quantization (PQ) ---------------------------------------------
 # PQ (Jégou et al., "Product quantization for nearest neighbor
 # search", TPAMI 2011 — public method) compresses each vector to M

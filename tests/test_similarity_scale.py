@@ -63,3 +63,140 @@ def test_autokey_bit_identical_to_static_twin_at_driver_scale(spark):
     )
     assert a == b
     assert len(a) > 0
+
+
+# --- width-adaptive oracle (round 9, ADVICE r8 medium) ----------------------
+# The static `bucketed_ivf_assign_cte` pins bits=8, so until round 9 the
+# >8-bit configurations — the ones the emb_x100 linearity gate times — had
+# no output verification. The registered oracle is now the width-ADAPTIVE
+# CTE (recomputes the query's own width rule in SQL and CASE-selects the
+# matching hyperplane family); these tests pin (a) its equality with the
+# static family on the 8-bit floor, (b) the >8-bit path end-to-end on a
+# mid-size fixture where the AUTO rule leaves the floor, and (c) the exact
+# 12-bit family the 100x probe measures, Spark vs DuckDB.
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL
+from bigdatafinalproject_hockey_spark.queries.scale import (
+    TMP_DIR,
+    _emb_signkeys_bucketed,
+)
+from bigdatafinalproject_hockey_spark.similarity import (
+    bucketed_ivf_assign_cte,
+    bucketed_ivf_assign_cte_autokey,
+    bucketed_ivf_assignment_from_keys,
+    semantic_dedup_from_assignment,
+)
+from tests.oracle_utils import compare_frames
+
+_DEDUP_TAIL = """, pairs AS (
+  SELECT b.vec_id AS dup_id FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.emb, b.emb) /
+        (sqrt(list_dot_product(a.emb, a.emb)) *
+         sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+) SELECT vec_id, cell FROM assign
+WHERE vec_id NOT IN (SELECT dup_id FROM pairs)"""
+
+
+def _emb_view(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_adaptive_oracle_equals_static_family_on_the_floor():
+    """On corpora where the width rule floors at 8 bits the adaptive
+    CTE must select exactly the static 8-bit family — DuckDB only,
+    both driver SFs."""
+    for sf_dir in (SF_SMOKE, SF_DRIVER):
+        con = _emb_view(sf_dir)
+        a = con.execute(
+            "WITH " + bucketed_ivf_assign_cte(centroid_stride=50) + _DEDUP_TAIL
+            + " ORDER BY vec_id"
+        ).fetchall()
+        b = con.execute(
+            "WITH "
+            + bucketed_ivf_assign_cte_autokey(centroid_stride=50)
+            + _DEDUP_TAIL
+            + " ORDER BY vec_id"
+        ).fetchall()
+        assert a == b and len(a) > 0, sf_dir
+
+
+def _midsize_fixture_dir() -> str:
+    """A DETERMINISTIC ~16k-vector corpus (32 rotated disjoint-id
+    copies of the sf0.01 embeddings) — big enough that the width rule
+    leaves the 8-bit floor (C = 320 -> 9 bits). Content is a pure
+    function of the source table, built once under TMP_DIR so the key
+    sidecar ingest stays idempotent across test runs."""
+    d = os.path.join(TMP_DIR, "fixture_embmid")
+    path = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        src = pq.read_table(os.path.join(SF_DRIVER, "embeddings.parquet"))
+        vec = src.column("vec_id").to_pylist()
+        emb = src.column("embedding").to_pylist()
+        lab = src.column("label").to_pylist()
+        n = len(vec)
+        assert min(vec) == 0 and max(vec) == n - 1 and n % 50 == 0
+        ids, embs, labs = [], [], []
+        for k in range(32):
+            r = k % 64
+            for v, e, l in zip(vec, emb, lab):
+                ids.append(v + k * n)
+                embs.append(e[r:] + e[:r])  # exact-value rotation
+                labs.append(l)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "label": pa.array(labs, pa.int32()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return d
+
+
+def test_autokey_above_floor_matches_registered_oracle(spark):
+    """THE verification the measured configuration was missing: on a
+    corpus where the rule computes >8 bits, the registered Spark query
+    and the registered adaptive oracle must hash-agree end-to-end
+    (same width selected, same key family, same survivors)."""
+    sf_dir = _midsize_fixture_dir()
+    n = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    assert computed_bits_per_band(max(n // 50, 1)) == 9  # above the floor
+    sp = QUERIES["dedup_semantic_autokey"](spark, sf_dir).toPandas()
+    od = _emb_view(sf_dir).execute(ORACLE_SQL["dedup_semantic_autokey"]).df()
+    compare_frames(sp, od, "dedup_semantic_autokey@midsize")
+    # the >8-bit regime must actually deduplicate, not orphan-singleton
+    # its way to a trivial pass
+    assert 0 < len(sp) < n
+
+
+def test_12bit_family_matches_oracle_on_midsize(spark):
+    """The exact key width the 100x probe measures (12 bits at 200k
+    vectors), forced on the mid-size fixture: Spark's versioned-
+    sidecar path vs the static DuckDB family at the same width."""
+    sf_dir = _midsize_fixture_dir()
+    keys = _emb_signkeys_bucketed(spark, sf_dir, bits_per_band=12)
+    assign = bucketed_ivf_assignment_from_keys(keys)
+    sp = semantic_dedup_from_assignment(assign, min_cosine=0.3).toPandas()
+    od = (
+        _emb_view(sf_dir)
+        .execute(
+            "WITH "
+            + bucketed_ivf_assign_cte(centroid_stride=50, bits_per_band=12)
+            + _DEDUP_TAIL
+        )
+        .df()
+    )
+    compare_frames(sp, od, "dedup_semantic_12bit@midsize")
