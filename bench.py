@@ -161,6 +161,10 @@ HEADLINE = [
     # keep their oracle/smoke rows and probe-tier entries):
     "dedup_semantic_autokey",    # SemDeDup, computed key width (the 100 TB config)
     "sim_ann_ivfpq_fitted",      # Lloyd-fitted codebooks -> IVF-PQ search
+    # new in round 9 (dedup_keep_best stays headline-OUT like its
+    # dedup_components base -- the component pass IS its wall; it keeps
+    # its oracle row and the driver-tail line stays under the cap):
+    "sim_ann_ivfpq_rerank",      # IVF-PQ + exact-rerank refine (production ANN shape)
 ]
 
 # Curation-tier queries re-run against a 10×-amplified documents
@@ -298,6 +302,8 @@ X10_EMB = [
     "sim_ann_ivfpq",         # composed IVFPQ: cell probe + code lookups
     "sim_ann_ivfpq_fitted",  # Lloyd fit + IVF-PQ search (fit is linear too)
     "sim_ann_ivfpq_residual",  # residual-encoded IVFPQ (FAISS default shape)
+    "sim_ann_ivfpq_rerank",  # IVFPQ + exact-rerank refine (round 9; adds a
+                             # bounded |queries|*20 exact-scoring stage)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set

@@ -219,6 +219,91 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, pairs)
 
 
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct({_SQL_TOKS.format(c="text")})) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) /
+            CAST(ca.n_tok + cb.n_tok - n_inter AS DOUBLE) >= 0.8
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    q AS (
+      SELECT doc_id, len({_SQL_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    )
+    SELECT component_id, doc_id AS kept_doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT c.component_id, c.doc_id, q.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (round 9): near-dup components →
+    keep the BEST document per cluster, not an arbitrary one — the
+    form production curation actually runs (a dedup that keeps the
+    min-id doc throws away the longer/cleaner variant whenever the
+    crawl's junk copy sorts first). Composition of two green tiers:
+    `dedup_components`' min-label clusters, then one argmax-per-
+    component window over a deterministic quality key (token count
+    desc, doc id tiebreak — swap in `text_quality_classifier`'s score
+    for a model-ranked variant; the plumbing is identical). Cost on
+    top of the component pass is one |docs|-row join + one bounded
+    window — at 100 TB the cluster ids are the ingest-amortized
+    artifact and this keep-best pass is the cheap part. Output: one
+    row per component (component_id, kept_doc_id, n_tokens)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+    comps = dedup_components(docs, pairs)
+    quality = docs.select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    ranked = comps.join(quality, "doc_id")
+    best = win_ops.topk_per_group(
+        ranked,
+        ["component_id"],
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        1,
+    )
+    return best.select(
+        "component_id", F.col("doc_id").alias("kept_doc_id"), "n_tokens"
+    )
+
+
 @register("dedup_minhash_lsh")  # xxhash64 fast path → rows-only check
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (sub-quadratic scale

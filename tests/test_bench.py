@@ -117,10 +117,13 @@ def test_probe_lists_reference_registered_queries():
 
 def test_headline_cap_guard():
     """At ~34 chars/query serialized, the full-detail line stops
-    fitting near 55 headline queries; grow past that and the probe
+    fitting near 56-57 headline queries; grow past that and the probe
     ratios silently drop out of the driver record — prefer trimming
-    the suite (or raising this lock consciously) to silent data loss."""
-    assert len(bench.HEADLINE) <= 55
+    the suite (or raising this lock consciously) to silent data loss.
+    Raised 55→56 in round 9 for sim_ann_ivfpq_rerank after measuring
+    1922/2000 chars at 56 entries (dedup_keep_best deliberately stays
+    headline-out, like its dedup_components base)."""
+    assert len(bench.HEADLINE) <= 56
 
 
 def test_amplified_corpus_staleness_gate(tmp_path):

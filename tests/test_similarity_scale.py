@@ -200,3 +200,30 @@ def test_12bit_family_matches_oracle_on_midsize(spark):
         .df()
     )
     compare_frames(sp, od, "dedup_semantic_12bit@midsize")
+
+
+def test_ivfpq_topk_shared_assignment_is_bit_identical(spark):
+    """`ivfpq_topk(assignment=...)` (round 9 — the exchange-sharing
+    lever ann_recall_eval_pq uses) must reproduce the fresh-assignment
+    path bit-for-bit, exactly like ivf_cosine_topk's round-7 param."""
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.queries.scale import _ivf_centroids
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivf_cell_assignment,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    centroids = _ivf_centroids(emb)
+    cb = pq_codebooks(emb)
+    qs = emb.filter(emb.vec_id < 10)
+    fresh = sorted(tuple(r) for r in ivfpq_topk(emb, centroids, cb, qs).collect())
+    shared = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, centroids, cb, qs,
+            assignment=ivf_cell_assignment(emb, centroids),
+        ).collect()
+    )
+    assert fresh == shared and len(fresh) > 0
