@@ -304,6 +304,8 @@ X10_EMB = [
     "sim_ann_ivfpq_residual",  # residual-encoded IVFPQ (FAISS default shape)
     "sim_ann_ivfpq_rerank",  # IVFPQ + exact-rerank refine (round 9; adds a
                              # bounded |queries|*20 exact-scoring stage)
+    "ann_index_delta",       # incremental index ingest (round 9; cost is the
+                             # delta slice + frozen broadcast tables)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set

@@ -17,15 +17,16 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-9 window: the computed stalest-first window leads with this
-round's three never-verified newcomers (``ann_recall_eval_pq``,
-``dedup_keep_best``, ``sim_ann_ivfpq_rerank``), then the four
-remaining r4 rows (``ml_train_eval_rf/gbt/mlp`` — the rows-only
-training smokes — plus ``split_random``), then the 43 stalest r5
-rows (events/analytics composites, stream tier, multimodal metas,
-UDTF/forecast entries). After this window lands, no registry query's
-newest driver evidence is older than r5 except the last three r5
-rows the newcomers displaced (``multimodal_resize``,
-``pipeline_features``, ``stream_tumbling_agg`` — all r5-green, first
+round's four never-verified newcomers (``ann_index_delta``,
+``ann_recall_eval_pq``, ``dedup_keep_best``,
+``sim_ann_ivfpq_rerank``), then the four remaining r4 rows
+(``ml_train_eval_rf/gbt/mlp`` — the rows-only training smokes — plus
+``split_random``), then the 42 stalest r5 rows (events/analytics
+composites, stream tier, multimodal metas, UDTF/forecast entries).
+After this window lands, no registry query's newest driver evidence
+is older than r5 except the four r5 rows the newcomers displaced
+(``multimodal_meta``, ``multimodal_frame_sample``,
+``multimodal_resize``, ``pipeline_features`` — all r5-green, first
 in line for round 10).
 """
 
@@ -47,6 +48,7 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _STAGED_AT_ROUND = 9
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
+    "ann_index_delta",  # never verified
     "ann_recall_eval_pq",  # never verified
     "dedup_keep_best",  # never verified
     "sim_ann_ivfpq_rerank",  # never verified
@@ -96,8 +98,8 @@ _VERIFY_FIRST = [
     "agg_bitmap_distinct",  # newest r05
     "events_dau_wau_mau",  # newest r05
     "stream_session_dynamic_gap",  # newest r05
-    "multimodal_meta",  # newest r05
 ]
+
 
 
 

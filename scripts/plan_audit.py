@@ -107,6 +107,7 @@ ALLOWED: dict[str, set[str]] = {
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
     "ann_recall_eval_pq": {"bnl_join"},       # centroid table + bf recall leg
+    "ann_index_delta": {"bnl_join"},          # frozen centroid table (delta assign)
     "codebook_kmeans_refine": {"bnl_join"},   # centroid table (E-step quantizer)
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table

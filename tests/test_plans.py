@@ -713,3 +713,25 @@ def test_holt_forecast_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_index_delta_cost_is_delta_bounded(spark):
+    """Incremental index maintenance must touch the DELTA slice plus
+    the frozen tiny tables only: every embeddings scan carries a
+    pushed vec_id cut filter (delta >= cut; base-derived centroid and
+    codebook scans < cut with their stride caps), the frozen tables
+    arrive via broadcast, and the corpus never sort-merge-joins."""
+    plan = plan_of(spark, "ann_index_delta")
+    scans = [s for s in plan.split("FileScan parquet") if "embeddings" in s]
+    assert scans, "no embeddings scan found"
+    for s in scans:
+        pushed = s.split("PushedFilters: [")[1]
+        # every scan is cut-bounded: no unfiltered full-corpus read
+        assert (
+            "GreaterThanOrEqual(vec_id" in pushed
+            or "LessThan(vec_id" in pushed
+        ), pushed[:120]
+    # frozen centroid/codebook tables arrive via broadcast (the final
+    # assign ⋈ enc join is delta×delta — SMJ there is fine; AQE
+    # converts it at runtime)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
