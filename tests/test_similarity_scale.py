@@ -227,3 +227,21 @@ def test_ivfpq_topk_shared_assignment_is_bit_identical(spark):
         ).collect()
     )
     assert fresh == shared and len(fresh) > 0
+
+
+def test_adaptive_oracle_out_of_family_fails_loud():
+    """A corpus whose computed width falls outside the embedded family
+    must ERROR, never silently mis-bucket: shrink the family to
+    widths=(8,) and run it on the mid-size fixture (computed bits = 9)
+    — DuckDB's lazy CASE reaches the error() branch and raises."""
+    import pytest
+
+    sf_dir = _midsize_fixture_dir()
+    con = _emb_view(sf_dir)
+    sql = (
+        "WITH "
+        + bucketed_ivf_assign_cte_autokey(centroid_stride=50, widths=(8,))
+        + " SELECT COUNT(*) AS n FROM assign"
+    )
+    with pytest.raises(Exception, match="beyond the oracle family"):
+        con.execute(sql).fetchall()
