@@ -306,6 +306,8 @@ X10_EMB = [
                              # bounded |queries|*20 exact-scoring stage)
     "ann_index_delta",       # incremental index ingest (round 9; cost is the
                              # delta slice + frozen broadcast tables)
+    "pipeline_embedding_curation",  # composed dedup -> index build (round 9;
+                             # both halves designed-linear)
 ]
 
 # Graph tier re-run against a 4×-amplified lineitem/part/supplier set

@@ -17,17 +17,18 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-9 window: the computed stalest-first window leads with this
-round's four never-verified newcomers (``ann_index_delta``,
+round's five never-verified newcomers (``ann_index_delta``,
 ``ann_recall_eval_pq``, ``dedup_keep_best``,
-``sim_ann_ivfpq_rerank``), then the four remaining r4 rows
-(``ml_train_eval_rf/gbt/mlp`` — the rows-only training smokes — plus
-``split_random``), then the 42 stalest r5 rows (events/analytics
-composites, stream tier, multimodal metas, UDTF/forecast entries).
-After this window lands, no registry query's newest driver evidence
-is older than r5 except the four r5 rows the newcomers displaced
-(``multimodal_meta``, ``multimodal_frame_sample``,
-``multimodal_resize``, ``pipeline_features`` — all r5-green, first
-in line for round 10).
+``pipeline_embedding_curation``, ``sim_ann_ivfpq_rerank``), then the
+four remaining r4 rows (``ml_train_eval_rf/gbt/mlp`` — the rows-only
+training smokes — plus ``split_random``), then the 41 stalest r5
+rows (events/analytics composites, stream tier, UDTF/forecast
+entries). After this window lands, no registry query's newest driver
+evidence is older than r5 except the five r5 rows the newcomers
+displaced (the r5 cohort's artifact-order tail:
+``stream_session_dynamic_gap``, ``multimodal_meta``,
+``multimodal_frame_sample``, ``multimodal_resize``,
+``pipeline_features`` — all r5-green, first in line for round 10).
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -51,6 +52,7 @@ _VERIFY_FIRST = [
     "ann_index_delta",  # never verified
     "ann_recall_eval_pq",  # never verified
     "dedup_keep_best",  # never verified
+    "pipeline_embedding_curation",  # never verified
     "sim_ann_ivfpq_rerank",  # never verified
     "ml_train_eval_rf",  # newest r04
     "ml_train_eval_gbt",  # newest r04
@@ -97,8 +99,8 @@ _VERIFY_FIRST = [
     "stream_fanout_multi_sink",  # newest r05
     "agg_bitmap_distinct",  # newest r05
     "events_dau_wau_mau",  # newest r05
-    "stream_session_dynamic_gap",  # newest r05
 ]
+
 
 
 

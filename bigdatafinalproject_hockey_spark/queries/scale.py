@@ -1368,6 +1368,111 @@ def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_embedding_curation",
+    oracle=f"""
+    WITH {bucketed_ivf_assign_cte_autokey(centroid_stride=50)},
+    pairs AS (
+      SELECT b.vec_id AS dup_id
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a.emb", b="b.emb")} >= 0.3
+    ),
+    surv AS (
+      SELECT vec_id, emb FROM assign
+      WHERE vec_id NOT IN (SELECT dup_id FROM pairs)
+    ),
+    cent2 AS (SELECT vec_id AS cent_id, emb AS cemb FROM surv
+              WHERE vec_id % 50 = 0 AND vec_id < 2500),
+    scored2 AS (
+      SELECT s.vec_id, cent_id,
+             {_COS_SQL.format(a="s.emb", b="cemb")} AS cs
+      FROM surv s CROSS JOIN cent2
+    ),
+    ranked2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cent_id) AS rn
+      FROM scored2
+    ),
+    assign2 AS (SELECT vec_id, cent_id AS cell FROM ranked2 WHERE rn = 1),
+    ssub AS (
+      SELECT vec_id, mm.m AS m, emb[mm.m * 8 + 1 : mm.m * 8 + 8] AS subv
+      FROM surv, LATERAL (SELECT unnest(range(8)) AS m) mm
+    ),
+    cb2 AS (
+      SELECT mm.m AS m, vec_id // 50 AS code,
+             emb[mm.m * 8 + 1 : mm.m * 8 + 8] AS cvec
+      FROM surv, LATERAL (SELECT unnest(range(8)) AS m) mm
+      WHERE vec_id % 50 = 0 AND vec_id < 800
+    ),
+    pq2 AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(ROUND(ROUND(list_sum(list_transform(
+                 list_zip(s.subv, c.cvec),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), 6) * 1000000)
+               AS BIGINT) AS d_fp
+      FROM ssub s JOIN cb2 c ON s.m = c.m
+    ),
+    enc2 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d_fp, code) AS rn
+        FROM pq2
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cell, CAST(en.m AS INT) AS m,
+           CAST(en.code AS BIGINT) AS code
+    FROM assign2 a JOIN enc2 en ON en.vec_id = a.vec_id
+    """,
+)
+def q_pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side DAY-0 pipeline, composed end-to-end
+    (round 9) — the vector twin of `pipeline_document_curation`:
+    (1) semantic-dedup the corpus with the production configuration
+    (`dedup_semantic_autokey`'s corpus-scaled codebook + computed-
+    width LSH-bucketed assignment, reading the ingest-amortized key
+    sidecar), then (2) build the compressed search index over the
+    SURVIVORS — IVF cell assignment + PQ encoding against
+    survivor-derived centroids/codebooks — emitting the
+    (vec_id, cell, m, code) rows the serving layer loads. This is
+    the order production curation runs (dedup BEFORE indexing: near-
+    duplicate vectors waste index space and crowd top-k results with
+    copies), and each half is this engine's already-oracle-green
+    machinery, so the composition carries a full value-hash oracle
+    (the adaptive-width CTE chained into the index-build CTE).
+    Codebook rows keep their vec_id-derived code ids when a stride
+    row is deduped away (deterministic gaps, mirrored in SQL).
+    Scale: stage 1 is the measured-linear autokey operator; stage 2
+    touches survivors only — one scan each half, broadcast frozen
+    tables, bounded windows."""
+    keys = _emb_signkeys_bucketed(
+        spark,
+        sf_dir,
+        bits_per_band=computed_bits_per_band(
+            max(
+                _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+                // 50,
+                1,
+            )
+        ),
+    )
+    assign = bucketed_ivf_assignment_from_keys(keys)
+    surv = semantic_dedup_from_assignment(assign, min_cosine=0.3)
+    # Survivor VECTORS come from the assignment the dedup half just
+    # persisted (it carries (vid, cell, emb)) — no parquet re-scan;
+    # the index half reads cached compact rows.
+    surv_emb = assign.select(
+        F.col("vid").alias("vec_id"), F.col("emb").alias("embedding")
+    ).join(surv.select("vec_id"), "vec_id")
+    centroids = _ivf_centroids(surv_emb)
+    cb = pq_codebooks(surv_emb)
+    a2 = ivf_cell_assignment(surv_emb, centroids)
+    enc = pq_encode(surv_emb, cb)
+    return a2.select(F.col("vid").alias("vec_id"), "cell").join(
+        enc.select(F.col("vid").alias("vec_id"), "m", "code"), "vec_id"
+    )
+
+
+@register(
     "sim_ann_ivfpq_residual",
     oracle=f"""
     WITH {_IVF_ASSIGN_CTE},

@@ -108,6 +108,7 @@ ALLOWED: dict[str, set[str]] = {
     "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
     "ann_recall_eval_pq": {"bnl_join"},       # centroid table + bf recall leg
     "ann_index_delta": {"bnl_join"},          # frozen centroid table (delta assign)
+    "pipeline_embedding_curation": {"bnl_join"},  # survivor centroid table (index half)
     "codebook_kmeans_refine": {"bnl_join"},   # centroid table (E-step quantizer)
     "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
     "sim_ann_ivf": {"bnl_join"},              # centroid table
