@@ -245,3 +245,54 @@ def test_adaptive_oracle_out_of_family_fails_loud():
     )
     with pytest.raises(Exception, match="beyond the oracle family"):
         con.execute(sql).fetchall()
+
+
+def test_rerank_output_is_exact_ranking_of_the_shortlist(spark):
+    """The refine stage's contract: its top-5 is a SUBSET of the ADC
+    shortlist, ordered by exact rounded cosine (desc, id tiebreak) —
+    i.e. rerank re-orders the compressed index's candidates, it never
+    invents or drops candidates outside the shortlist."""
+    from bigdatafinalproject_hockey_spark.catalog import load_table
+    from bigdatafinalproject_hockey_spark.queries.scale import _ivf_centroids
+    from bigdatafinalproject_hockey_spark.similarity import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    centroids = _ivf_centroids(emb)
+    cb = pq_codebooks(emb)
+    qs = emb.filter(emb.vec_id < 10)
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, centroids, cb, qs, k=20).collect()
+    }
+    rr = ivfpq_rerank_topk(emb, centroids, cb, qs, k=5, shortlist=20).collect()
+    assert rr and all((r.query_id, r.neighbor_id) in shortlist for r in rr)
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rnk)
+        keys = [(-r.cosine, r.neighbor_id) for r in rows]
+        assert keys == sorted(keys)  # exact-cosine desc, id tiebreak
+
+
+def test_index_delta_covers_exactly_the_delta(spark):
+    """Incremental ingest must index every arriving vector exactly
+    once per subspace, assign only to FROZEN base centroids, and use
+    only FROZEN base codebook code ids."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    rows = QUERIES["ann_index_delta"](spark, SF_SMOKE).collect()
+    n = _parquet_num_rows(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    cut = (n * 4) // 5
+    ids = {r.vec_id for r in rows}
+    assert ids == set(range(cut, n))  # every delta vector, nothing else
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.m)
+        assert r.cell % 50 == 0 and r.cell < cut  # frozen base centroid
+        assert 0 <= r.code < 16 and r.code * 50 < cut  # frozen base codebook
+    assert all(ms == set(range(8)) for ms in per_vec.values())
