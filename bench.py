@@ -861,9 +861,15 @@ def main() -> None:
     # per-source-version cost, excluded from per-query cost exactly
     # as the graph tier's bucketed edge ingest is.
     # Guarded like the headline prewarm: a failed ingest costs one
-    # error entry, never the rest of the bench (ADVICE r8).
+    # error entry, never the rest of the bench (ADVICE r8). Each
+    # corpus gets its OWN guard (ADVICE r9): a failed SF_DIR ingest
+    # must neither skip the x10 ingest nor mislabel which corpus
+    # failed — either miss silently inflates that corpus's timings.
     try:
         _prewarm_emb_sidecars(spark, SF_DIR)
+    except Exception as exc:  # noqa: BLE001
+        errors["prewarm:emb_sf_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
+    try:
         _prewarm_emb_sidecars(spark, emb_x10_dir)
     except Exception as exc:  # noqa: BLE001
         errors["prewarm:emb_x10_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]

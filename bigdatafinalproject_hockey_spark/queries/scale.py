@@ -1218,7 +1218,17 @@ def q_ann_recall_eval_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors come from the assignment's own (vid, emb) rows — no
     second corpus scan; the tiny result legs meet the ground truth
     in broadcast joins. A naive three-independent-legs composition
-    measured 17 exchanges; this shape audits at a fraction of that."""
+    measured 17 exchanges; this shape audits at a fraction of that.
+
+    Cache lifetime (ADVICE r9): `assign` and `shortlist` persist
+    WITHOUT an unpersist — deliberately. The query returns a lazy
+    DataFrame, so an in-function unpersist would evict the blocks
+    before the caller materializes them and re-run every shared leg.
+    This follows the package-wide convention
+    (`semantic_dedup_from_assignment` is the precedent): persisted
+    intermediates live until the caller's per-tier
+    ``spark.catalog.clearCache()`` — which both the bench harness and
+    the driver invoke between tiers — reclaims them."""
     from pyspark import StorageLevel
 
     emb = load_table(spark, "embeddings", sf_dir)

@@ -725,6 +725,10 @@ def test_ann_index_delta_cost_is_delta_bounded(spark):
     scans = [s for s in plan.split("FileScan parquet") if "embeddings" in s]
     assert scans, "no embeddings scan found"
     for s in scans:
+        assert "PushedFilters: [" in s, (
+            "embeddings scan section lacks a PushedFilters line "
+            "(Spark plan-format change?): " + s[:200]
+        )
         pushed = s.split("PushedFilters: [")[1]
         # every scan is cut-bounded: no unfiltered full-corpus read
         assert (
