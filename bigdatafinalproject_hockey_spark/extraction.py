@@ -1,0 +1,239 @@
+"""HTML → clean-text extraction (boilerplate removal).
+
+Every web-corpus pretraining pipeline (C4, CCNet, RefinedWeb) starts
+here: raw markup → the clean text the rest of the curation tier
+(quality scoring, dedup, tokenization) consumes. The reference has no
+analog (it consumes structured CSVs — `code/experiment.py:281-284`),
+but the training-data-pipeline brief makes this the most common stage
+the engine would otherwise lack.
+
+Method (all public techniques):
+- stdlib ``html.parser.HTMLParser`` walk — tags/attributes dropped,
+  character/entity references decoded (``convert_charrefs``),
+  ``<script>``/``<style>``/``<head>``/``<noscript>``/``<template>``
+  subtrees and comments skipped entirely.
+- the document is segmented into BLOCKS at block-level tag boundaries
+  (p, div, h1-h6, li, table rows, nav, footer, br, ...), each block
+  whitespace-normalized (collapse runs, trim).
+- per-block LINK DENSITY boilerplate heuristic (jusText / Arc90
+  readability family): blocks whose anchor-text share is >= the
+  threshold (default 0.5) are navigation/footer chrome and dropped;
+  the rest join with newlines as the document's clean text.
+
+Spark shape: extraction is row-local — ONE Arrow-batched mapInPandas
+stage over a column-pruned scan, zero exchanges; raw HTML bytes never
+shuffle (only the extracted text leaves the stage). Python-side
+parsing is the honest cost here: production swaps the parser for a
+C implementation (lxml/selectolax) behind the same batched signature,
+but the stdlib parser keeps this container dependency-free. The
+per-batch loop is the same pattern as the multimodal codec tier
+(multimodal/__init__.py `wav_features_batched`).
+
+The registered query (queries/curation.py `text_extract_html`) runs
+the extractor over a deterministic in-plan HTML fixture family built
+from ``documents.text`` (the corpus is lowercase ``[a-z0-9 ]`` —
+verified — so embedding it needs no escaping), which makes the
+correct output CLOSED-FORM per row: the DuckDB oracle recomputes the
+expected clean text byte-for-byte, a full value-hash check of the
+parser, the block segmentation, and the density rule at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tags whose entire subtree carries no corpus text.
+SKIP_TAGS = frozenset({"script", "style", "head", "noscript", "template"})
+
+# Tags that terminate the current text block (HTML's block-level
+# elements plus <br>). Inline tags (a, b, i, em, span, ...) do not.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "table", "tr", "td", "th", "blockquote", "pre", "nav", "footer",
+        "header", "article", "section", "aside", "main", "br", "hr",
+        "form", "figure", "figcaption", "dl", "dt", "dd", "body",
+    }
+)
+
+DEFAULT_MAX_LINK_DENSITY = 0.5
+
+
+class _BlockParser(HTMLParser):
+    """Collects (block_text, link_text) pairs, whitespace-normalized.
+
+    ``_skip`` counts nesting inside SKIP_TAGS subtrees (a stray
+    unmatched close never underflows); ``_link`` counts <a> nesting so
+    text inside nested anchors is attributed once.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._chunks: list[tuple[str, bool]] = []
+        self._skip = 0
+        self._link = 0
+        self.blocks: list[tuple[str, str]] = []
+
+    # -- tag events --------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link += 1
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link = max(0, self._link - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        # Void/self-closed tags (<br/>, <hr/>) flush like a start tag.
+        if self._skip or tag in SKIP_TAGS:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            self._chunks.append((data, self._link > 0))
+
+    # comments: HTMLParser routes them to handle_comment, which we
+    # leave as the no-op default — they never reach handle_data.
+
+    # -- block assembly ----------------------------------------------
+    def _flush(self) -> None:
+        if not self._chunks:
+            return
+        raw = "".join(t for t, _ in self._chunks)
+        link_raw = "".join(t for t, is_link in self._chunks if is_link)
+        self._chunks = []
+        text = " ".join(raw.split())
+        if not text:
+            return
+        self.blocks.append((text, " ".join(link_raw.split())))
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html: str) -> list[tuple[str, str]]:
+    """Parse ``html`` into whitespace-normalized (block_text,
+    link_text) pairs. Empty blocks are elided."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def extract_text(
+    html: str, max_link_density: float = DEFAULT_MAX_LINK_DENSITY
+) -> tuple[str, int, int]:
+    """(clean_text, n_blocks_kept, n_blocks_dropped) for one document.
+
+    A block is dropped when len(link_text)/len(block_text) >=
+    ``max_link_density``; survivors join with newlines in document
+    order."""
+    kept: list[str] = []
+    dropped = 0
+    for text, link_text in extract_blocks(html):
+        if len(link_text) / len(text) >= max_link_density:
+            dropped += 1
+        else:
+            kept.append(text)
+    return "\n".join(kept), len(kept), dropped
+
+
+def extract_html_text_batched(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+) -> DataFrame:
+    """Arrow-batched extraction: (id, html) → (id, clean_text,
+    n_blocks_kept, n_blocks_dropped). Row-local — no shuffle; the
+    HTML column is consumed inside the stage and never moves again."""
+    out_schema = (
+        f"{id_col} long, clean_text string, "
+        "n_blocks_kept int, n_blocks_dropped int"
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, keeps, drops = [], [], [], []
+            for doc_id, html in zip(pdf[id_col], pdf[html_col]):
+                clean, n_kept, n_dropped = extract_text(
+                    html, max_link_density
+                )
+                ids.append(doc_id)
+                texts.append(clean)
+                keeps.append(n_kept)
+                drops.append(n_dropped)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "clean_text": pd.Series(texts, dtype="object"),
+                    "n_blocks_kept": pd.Series(keeps, dtype="int32"),
+                    "n_blocks_dropped": pd.Series(drops, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, html_col).mapInPandas(_extract, schema=out_schema)
+
+
+def html_fixture_expr(
+    text_col: str = "text", id_col: str = "doc_id"
+) -> Column:
+    """Deterministic fixture HTML wrapping a corpus document — the
+    page family the registered query extracts back out of.
+
+    Per doc: head (title/script/style — skipped subtree), a nav of
+    links (density 1 → dropped), an <h1> (kept), a comment, the
+    document text in a <p> with an inline <em> suffix (kept), a
+    parity-dependent related-links <div> (odd ids: one short link in
+    long prose → KEPT incl. an ``&amp;`` entity; even ids: two long
+    links + a word → DROPPED — exercises both sides of the density
+    threshold), and a footer of links (dropped). The corpus text is
+    lowercase ``[a-z0-9 ]`` so no HTML escaping is required; the
+    expected extractor output is closed-form in (text, doc_id)."""
+    i = F.col(id_col).cast("string")
+    hnum = (F.col(id_col) % 100).cast("string")
+    odd_div = F.concat(
+        F.lit('<div>see also <a href="/item/'), i,
+        F.lit('">item '), i,
+        F.lit("</a> for more context &amp; details</div>"),
+    )
+    even_div = F.lit(
+        '<div><a href="/r1">related article one</a> '
+        '<a href="/r2">related article two</a> extra</div>'
+    )
+    return F.concat(
+        F.lit("<html><head><title>doc "), i,
+        F.lit("</title><script>var page="), i,
+        F.lit(";</script><style>p{margin:0}</style></head><body>"),
+        F.lit('<nav><a href="/">home</a> <a href="/about">about</a> '
+              '<a href="/contact">contact</a></nav>'),
+        F.lit("<h1>heading h"), hnum, F.lit("</h1>"),
+        F.lit("<!-- boilerplate "), i, F.lit(" -->"),
+        F.lit("<p>"), F.col(text_col),
+        F.lit(" <em>note "), i, F.lit("</em></p>"),
+        F.when((F.col(id_col) % 2) == 1, odd_div).otherwise(even_div),
+        F.lit('<footer><a href="/terms">terms</a> '
+              '<a href="/privacy">privacy</a></footer></body></html>'),
+    )

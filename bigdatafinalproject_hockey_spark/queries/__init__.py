@@ -16,19 +16,16 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-9 window: the computed stalest-first window leads with this
-round's five never-verified newcomers (``ann_index_delta``,
-``ann_recall_eval_pq``, ``dedup_keep_best``,
-``pipeline_embedding_curation``, ``sim_ann_ivfpq_rerank``), then the
-four remaining r4 rows (``ml_train_eval_rf/gbt/mlp`` — the rows-only
-training smokes — plus ``split_random``), then the 41 stalest r5
-rows (events/analytics composites, stream tier, UDTF/forecast
-entries). After this window lands, no registry query's newest driver
-evidence is older than r5 except the five r5 rows the newcomers
-displaced (the r5 cohort's artifact-order tail:
-``stream_session_dynamic_gap``, ``multimodal_meta``,
-``multimodal_frame_sample``, ``multimodal_resize``,
-``pipeline_features`` — all r5-green, first in line for round 10).
+Round-10 window: the computed stalest-first window leads with this
+round's never-verified newcomers, then the 9 remaining r5 rows, then
+the stalest r6 rows. NEW this round (VERDICT r9 item 5): entries
+without an oracle can never upgrade beyond the driver's rows-only
+check, so the ledger now caps them at ONE window slot per round
+(``max_rows_only=1`` in scripts/staleness_ledger.py) — round 9 spent
+4 of its 50 hash-verification slots on permanently rows-only smokes.
+This round's single rows-only slot goes to the stalest such entry
+(``text_quality_classifier_fast``, r5); ``dedup_minhash_lsh`` and
+``ml_train_eval`` (both r6) defer to later rounds, one per round.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -43,62 +40,62 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 9
-# (tests/test_registry.py asserts this list equals the computation —
-# the ledger can no longer drift by hand).
-_STAGED_AT_ROUND = 9
+# COMPUTED: python scripts/staleness_ledger.py --round 10
+# (rows-only entries capped at 1 slot; tests/test_registry.py asserts
+# this list equals the computation — the ledger cannot drift by hand).
+_STAGED_AT_ROUND = 10
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
-    "ann_index_delta",  # never verified
-    "ann_recall_eval_pq",  # never verified
-    "dedup_keep_best",  # never verified
-    "pipeline_embedding_curation",  # never verified
-    "sim_ann_ivfpq_rerank",  # never verified
-    "ml_train_eval_rf",  # newest r04
-    "ml_train_eval_gbt",  # newest r04
-    "ml_train_eval_mlp",  # newest r04
-    "split_random",  # newest r04
-    "events_attribution",  # newest r05
-    "ts_downsample",  # newest r05
-    "agg_histogram",  # newest r05
-    "analytics_promo_share",  # newest r05
-    "events_anomaly_mad",  # newest r05
-    "stream_stream_left_outer",  # newest r05
-    "join_dpp",  # newest r05
-    "join_interval_binned",  # newest r05
-    "agg_sketch_rollup",  # newest r05
-    "ml_eval_pr_curve",  # newest r05
-    "graph_triangle_count",  # newest r05
-    "graph_bfs_hops",  # newest r05
-    "analytics_top_supplier",  # newest r05
-    "analytics_idle_customers",  # newest r05
-    "analytics_parts_supplier",  # newest r05
-    "stream_chained_agg",  # newest r05
-    "sample_weighted",  # newest r05
-    "ts_ewma",  # newest r05
-    "dedup_containment",  # newest r05
-    "scan_text_roundtrip",  # newest r05
-    "events_top_paths",  # newest r05
-    "mv_incremental_join",  # newest r05
-    "scan_binary_files",  # newest r05
-    "ts_trend_slope",  # newest r05
-    "events_peak_concurrency",  # newest r05
-    "agg_listagg",  # newest r05
-    "events_activity_streaks",  # newest r05
-    "analytics_small_qty_revenue",  # newest r05
-    "diag_join_key_skew",  # newest r05
-    "scan_custom_datasource",  # newest r05
-    "agg_multi_distinct",  # newest r05
-    "stream_custom_datasource",  # newest r05
-    "join_asof_nearest",  # newest r05
-    "join_lateral_topn",  # newest r05
-    "analytics_ab_test",  # newest r05
-    "analytics_pareto",  # newest r05
-    "text_bigrams_udtf",  # newest r05
-    "ts_holt_forecast",  # newest r05
-    "stream_fanout_multi_sink",  # newest r05
-    "agg_bitmap_distinct",  # newest r05
-    "events_dau_wau_mau",  # newest r05
+    "text_extract_html",  # never verified
+    "stream_session_dynamic_gap",  # newest r05
+    "multimodal_meta",  # newest r05
+    "multimodal_frame_sample",  # newest r05
+    "multimodal_resize",  # newest r05
+    "pipeline_features",  # newest r05
+    "join_range",  # newest r05
+    "agg_rollup",  # newest r05
+    "agg_cube",  # newest r05
+    "text_quality_classifier_fast",  # newest r05
+    "multimodal_decode_ppm",  # newest r06
+    "multimodal_decode_png",  # newest r06
+    "agg_grouping_sets",  # newest r06
+    "sim_ann_ivf",  # newest r06
+    "stream_stateful_totals",  # newest r06
+    "sink_parquet_partitioned",  # newest r06
+    "grouped_zscore",  # newest r06
+    "array_functions",  # newest r06
+    "doc_fingerprint",  # newest r06
+    "text_lang_id",  # newest r06
+    "agg_quantile_report",  # newest r06
+    "text_bpe_token_count",  # newest r06
+    "sim_knn_classify",  # newest r06
+    "text_token_count",  # newest r06
+    "text_repetition_score",  # newest r06
+    "text_top_tokens",  # newest r06
+    "text_quality_score",  # newest r06
+    "pipeline_document_curation",  # newest r06
+    "dedup_embedding_cosine",  # newest r06
+    "sim_cosine_topk",  # newest r06
+    "dedup_ngram_jaccard",  # newest r06
+    "dedup_components",  # newest r06
+    "scan_orc_roundtrip",  # newest r06
+    "agg_corr_stats",  # newest r06
+    "sink_parquet_compacted",  # newest r06
+    "pipeline_training_mix",  # newest r06
+    "dedup_segments",  # newest r06
+    "text_bigram_logprob",  # newest r06
+    "text_tfidf_top_terms",  # newest r06
+    "topk_global",  # newest r06
+    "union_all",  # newest r06
+    "text_contamination",  # newest r06
+    "split_hash",  # newest r06
+    "sample_by_key",  # newest r06
+    "text_unigram_logprob",  # newest r06
+    "text_pii_scrub",  # newest r06
+    "map_functions",  # newest r06
+    "json_extract",  # newest r06
+    "sessionize_events",  # newest r06
+    "win_first_last",  # newest r06
 ]
 
 

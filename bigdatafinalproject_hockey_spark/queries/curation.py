@@ -1751,3 +1751,58 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_linear_half_hof(
         ev, ["user_id"], ["ts", "event_id"], "cents"
     ).select("user_id", "n_points", "level", "trend", "forecast")
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (markup -> clean text)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_extract_html",
+    oracle="""
+    SELECT doc_id,
+           'heading h' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+           ' note ' || CAST(doc_id AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 1
+                THEN chr(10) || 'see also item ' || CAST(doc_id AS VARCHAR)
+                     || ' for more context & details'
+                ELSE '' END AS clean_text,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
+               AS n_blocks_kept,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 3 END AS INTEGER)
+               AS n_blocks_dropped
+    FROM documents
+    """,
+)
+def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> clean-text extraction (VERDICT r9 item 1) — the stage
+    every web-corpus pipeline (C4, CCNet, RefinedWeb) runs before the
+    rest of this curation tier: stdlib-parser tag walk, script/style/
+    head subtree + comment removal, entity decoding, block
+    segmentation at block-tag boundaries, and the link-density
+    boilerplate drop (jusText/Arc90 family, threshold 0.5) — see
+    ``extraction.py`` for the method and the 100 TB shape (ONE
+    Arrow-batched row-local stage, zero exchanges; raw HTML never
+    shuffles).
+
+    Fixture family: each corpus document is wrapped in-plan into a
+    deterministic page (``extraction.html_fixture_expr``) whose chrome
+    (nav / parity-dependent related-links div / footer) exercises both
+    sides of the density threshold. The expected extractor output is
+    therefore closed-form per row, and the oracle recomputes it
+    byte-for-byte — a full value-hash check of parser, segmentation,
+    entity decoding, and the density rule at once. (The closed form
+    assumes nonempty document text — true of the corpus, min 47
+    chars.) No reference analog: the reference ingests structured
+    CSVs (code/experiment.py:281-284)."""
+    from bigdatafinalproject_hockey_spark.extraction import (
+        extract_html_text_batched,
+        html_fixture_expr,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", html_fixture_expr("text", "doc_id").alias("html")
+    )
+    return extract_html_text_batched(docs, "html", "doc_id")

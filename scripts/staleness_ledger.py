@@ -75,19 +75,46 @@ def compute_window(
     staged_at_round: int | None = None,
     window_size: int = WINDOW_SIZE,
     repo_root: Path = REPO_ROOT,
+    rows_only: frozenset[str] | set[str] = frozenset(),
+    max_rows_only: int | None = None,
 ) -> list[str]:
-    """The canonical stalest-first window of ``window_size`` names."""
+    """The canonical stalest-first window of ``window_size`` names.
+
+    ``rows_only`` + ``max_rows_only`` (VERDICT r9 item 5): entries
+    without an oracle can never upgrade beyond the driver's weaker
+    rows-only check, so re-staging them burns hash-verification
+    slots — round 9 spent 4 of 50 slots on checks that can never
+    hash-verify. With a cap, at most ``max_rows_only`` of the
+    ``rows_only`` names (the stalest, in normal ledger order) occupy
+    window slots per round; the rest keep aging and take their one
+    slot in later rounds. Oracle-backed entries are never deferred.
+    """
     ledger = newest_driver_round(registry_names, staged_at_round, repo_root)
     never = sorted(n for n, v in ledger.items() if v is None)
     seen = sorted(
         ((v[0], v[1], n) for n, v in ledger.items() if v is not None),
     )
-    window = never + [n for _, _, n in seen]
-    return window[:window_size]
+    ordered = never + [n for _, _, n in seen]
+    if max_rows_only is None:
+        return ordered[:window_size]
+    window: list[str] = []
+    rows_only_taken = 0
+    for name in ordered:
+        if len(window) >= window_size:
+            break
+        if name in rows_only:
+            if rows_only_taken >= max_rows_only:
+                continue
+            rows_only_taken += 1
+        window.append(name)
+    return window
 
 
 def main() -> int:
     import argparse
+    import sys
+
+    sys.path.insert(0, str(REPO_ROOT))
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--round", type=int, default=None,
@@ -95,9 +122,10 @@ def main() -> int:
     parser.add_argument("--window", type=int, default=WINDOW_SIZE)
     args = parser.parse_args()
 
-    from bigdatafinalproject_hockey_spark.queries import QUERIES
+    from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL, QUERIES
 
     names = list(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLE_SQL)
     ledger = newest_driver_round(names, args.round)
     by_round: dict[object, list[str]] = {}
     for name, v in ledger.items():
@@ -105,7 +133,9 @@ def main() -> int:
     for rnd in sorted(by_round, key=lambda r: (-1 if r is None else r)):
         label = "never" if rnd is None else f"r{rnd:02d}"
         print(f"{label}: {len(by_round[rnd])} queries")
-    window = compute_window(names, args.round, args.window)
+    window = compute_window(
+        names, args.round, args.window, rows_only=rows_only, max_rows_only=1
+    )
     print(f"\n# stalest-first window ({len(window)} slots):")
     for name in window:
         v = ledger[name]

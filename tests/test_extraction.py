@@ -1,0 +1,122 @@
+"""HTML boilerplate-extraction tests (extraction.py, VERDICT r9
+item 1): parser edge cases on handcrafted markup, the link-density
+rule at its boundary, the Arrow-batched Spark stage, and the
+zero-exchange plan lock."""
+
+from __future__ import annotations
+
+from bigdatafinalproject_hockey_spark.extraction import (
+    extract_blocks,
+    extract_text,
+    extract_html_text_batched,
+)
+from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python parser semantics
+# ---------------------------------------------------------------------------
+
+
+def test_script_style_head_and_comments_skipped():
+    html = (
+        "<html><head><title>t</title><script>var a = '<div>not text</div>';"
+        "</script><style>p{}</style></head>"
+        "<body><!-- chrome --><p>real text</p>"
+        "<noscript>enable js</noscript></body></html>"
+    )
+    assert extract_blocks(html) == [("real text", "")]
+
+
+def test_entities_decoded_and_whitespace_collapsed():
+    html = "<p>  a &amp; b\n\t c&#32;d  </p>"
+    assert extract_blocks(html) == [("a & b c d", "")]
+
+
+def test_nested_blocks_segment_at_every_boundary():
+    html = "<div>a<p>b</p>c</div>"
+    assert [t for t, _ in extract_blocks(html)] == ["a", "b", "c"]
+
+
+def test_inline_tags_do_not_split_blocks():
+    html = "<p>one <b>two</b> <i>three</i> four</p>"
+    assert extract_blocks(html) == [("one two three four", "")]
+
+
+def test_void_br_flushes_like_a_block_boundary():
+    assert [t for t, _ in extract_blocks("<p>a<br/>b<br>c</p>")] == [
+        "a", "b", "c",
+    ]
+
+
+def test_unclosed_tags_and_stray_closers_are_tolerated():
+    # trailing text with no closing tags must still flush (close()),
+    # and an unmatched </div> / </a> must not underflow the counters.
+    html = "</div></a><p>head</p>tail"
+    assert [t for t, _ in extract_blocks(html)] == ["head", "tail"]
+
+
+def test_link_text_attributed_through_nesting():
+    html = "<p><a href='/'>go <b>now</b></a> rest</p>"
+    assert extract_blocks(html) == [("go now rest", "go now")]
+
+
+def test_density_boundary_is_closed_at_threshold():
+    # 5 link chars / 10 total = exactly 0.5 -> dropped (>= rule);
+    # one char less of link text -> kept.
+    dropped = "<p><a>abcde</a>fgh i</p>"  # "abcdefgh i" 10 chars, link 5
+    kept = "<p><a>abcd</a>fgh ij</p>"  # "abcdfgh ij" 10 chars, link 4
+    assert extract_text(dropped) == ("", 0, 1)
+    assert extract_text(kept) == ("abcdfgh ij", 1, 0)
+
+
+def test_empty_blocks_are_elided_not_counted():
+    html = "<div></div><div>  </div><p>x</p>"
+    assert extract_text(html) == ("x", 1, 0)
+
+
+def test_document_order_preserved_in_clean_text():
+    html = "<h1>first</h1><p>second</p><nav><a>a b c d e</a></nav><p>third</p>"
+    clean, kept, dropped = extract_text(html)
+    assert clean == "first\nsecond\nthird"
+    assert (kept, dropped) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# Spark stage + plan lock
+# ---------------------------------------------------------------------------
+
+
+def test_batched_stage_matches_pure_python(spark):
+    rows = [
+        (1, "<p>hello <a href='/'>x</a> world</p>"),
+        (2, "<nav><a>a</a><a>b</a></nav><p>kept text here</p>"),
+        (3, "<div>plain</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_blocks_kept"], r["n_blocks_dropped"])
+        for r in extract_html_text_batched(df).collect()
+    }
+    for doc_id, html in rows:
+        assert got[doc_id] == extract_text(html)
+
+
+def test_extract_html_plan_is_rowlocal_and_pruned(spark):
+    """The registered query must stay ONE Arrow-batched map stage over
+    a two-column scan: zero exchanges (raw HTML never shuffles), and
+    the documents scan reads only (doc_id, text)."""
+    plan = (
+        QUERIES["text_extract_html"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    scan = [s for s in plan.split("FileScan parquet") if "documents" in s][0]
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema

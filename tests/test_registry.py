@@ -40,13 +40,50 @@ def test_verify_first_is_computed_stalest_first():
     computed from the CORRECTNESS_r*.json artifacts (rounds <
     _STAGED_AT_ROUND) — never-verified newcomers first
     (alphabetical), then ascending by newest driver round with ties
-    in that round's artifact order. A hand edit that skips a stale
-    row or re-verifies a fresh one fails here."""
-    computed = ledger.compute_window(list(QUERIES), _STAGED_AT_ROUND)
+    in that round's artifact order. Since round 10 (VERDICT r9
+    item 5) rows-only entries are capped at ONE window slot. A hand
+    edit that skips a stale row or re-verifies a fresh one fails
+    here."""
+    computed = ledger.compute_window(
+        list(QUERIES),
+        _STAGED_AT_ROUND,
+        rows_only=set(QUERIES) - set(ORACLE_SQL),
+        max_rows_only=1,
+    )
     assert _VERIFY_FIRST == computed, (
         "staged _VERIFY_FIRST is not the computed stalest-first window; "
         "regenerate with: python scripts/staleness_ledger.py --round "
         f"{_STAGED_AT_ROUND}"
+    )
+
+
+def test_rows_only_cap_defers_all_but_the_stalest():
+    """The cap rule itself: an uncapped round-10 window would spend
+    three slots on permanently rows-only entries
+    (text_quality_classifier_fast r5, plus dedup_minhash_lsh and
+    ml_train_eval at r6); the capped window keeps only the stalest
+    one and backfills with oracle-backed rows, never dropping an
+    oracle-backed entry that the uncapped window held."""
+    rows_only = set(QUERIES) - set(ORACLE_SQL)
+    # A 100-slot view reaches past the r6 artifact head and picks up
+    # several rows-only entries — enough to exercise the cap (the
+    # actual 50-slot round-10 window happens to hold just one).
+    uncapped = ledger.compute_window(list(QUERIES), _STAGED_AT_ROUND, 100)
+    capped = ledger.compute_window(
+        list(QUERIES), _STAGED_AT_ROUND, 100,
+        rows_only=rows_only, max_rows_only=1,
+    )
+    assert len(capped) == len(uncapped)
+    assert len(set(uncapped) & rows_only) >= 2  # the cap has work to do
+    assert len(set(capped) & rows_only) == 1
+    dropped = set(uncapped) - set(capped)
+    assert dropped <= rows_only, f"oracle-backed rows displaced: {dropped}"
+    # order among surviving entries is unchanged — the cap only skips.
+    surviving = [n for n in uncapped if n in set(capped)]
+    assert capped[: len(surviving)] == surviving
+    # and the one surviving rows-only entry is the STALEST such entry.
+    assert next(n for n in uncapped if n in rows_only) == next(
+        n for n in capped if n in rows_only
     )
 
 
@@ -74,43 +111,34 @@ def test_ledger_rejects_the_round6_hand_staging():
 
 
 def test_window_staleness_bound_after_landing():
-    """Once this window lands (CORRECTNESS_r08), no registry query's
-    newest evidence may be older than r4: everything staler than r4
-    must be inside the staged window. (The round-8 registry has 54
-    stale-or-never rows — 5 newcomers + the 49-query r4 cohort — so
-    four r4 rows necessarily wait for round 9. The bound the window
-    CAN guarantee, and the one that matters, is that every straggler
-    is a rows-only smoke: an ORACLE-backed query may never be the row
-    left waiting — hash evidence ages, a rows-only run barely does.)"""
+    """Once this window lands (CORRECTNESS_r10), no ORACLE-BACKED
+    registry query's newest evidence may be older than r6: every
+    oracle-backed row staler than that must be inside the staged
+    window (never-verified newcomers included). Rows-only smokes are
+    exempt — the round-10 cap (VERDICT r9 item 5) deliberately lets
+    them age one round longer per deferral, since their evidence
+    class (rows+schema only) barely ages."""
     newest = ledger.newest_driver_round(list(QUERIES), _STAGED_AT_ROUND)
-    stale = {n for n, v in newest.items() if v is None or v[0] < 4}
-    outside = stale - set(_VERIFY_FIRST)
-    assert not outside, f"pre-r4 evidence left outside the window: {outside}"
-    r4_out = {
-        n for n, v in newest.items() if v is not None and v[0] == 4
-    } - set(_VERIFY_FIRST)
-    assert len(r4_out) <= 4, f"more than four r4 rows left outside: {r4_out}"
-    oracle_backed_out = r4_out & set(ORACLE_SQL)
+    stale = {n for n, v in newest.items() if v is None or v[0] < 6}
+    oracle_backed_out = (stale & set(ORACLE_SQL)) - set(_VERIFY_FIRST)
+    never_out = {n for n, v in newest.items() if v is None} - set(_VERIFY_FIRST)
     assert not oracle_backed_out, (
-        f"oracle-backed r4 evidence left outside the window: {oracle_backed_out}"
+        f"oracle-backed pre-r6 evidence left outside the window: "
+        f"{oracle_backed_out}"
     )
+    assert not never_out, f"never-verified queries left outside: {never_out}"
 
 
 def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
-    oracle-less. The round-9 window leads with exactly the four r4
-    stragglers round 8 could not fit (the three ML training smokes +
-    split_random — all rows-only by design: Spark-ML internals /
-    Spark RNG, each with a deterministic hash-green twin); every
-    other window entry is oracle-backed."""
+    oracle-less, and since round 10 at most ONE such entry may hold
+    a slot (VERDICT r9 item 5). Round 10's slot goes to the stalest
+    rows-only entry, text_quality_classifier_fast (r5; the xxhash64
+    fast path whose semantics are hash-pinned by its portable
+    twin)."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == [
-        "ml_train_eval_rf",
-        "ml_train_eval_gbt",
-        "ml_train_eval_mlp",
-        "split_random",
-    ], rows_only
+    assert rows_only == ["text_quality_classifier_fast"], rows_only
 
 
 def test_every_oracle_name_is_registered():
