@@ -1,0 +1,132 @@
+"""Variable-length exact substring dedup (Lee et al. 2022 style).
+
+Production exact-substring dedup ("Deduplicating Training Data Makes
+Language Models Better", Lee et al. 2022 — public method) removes any
+repeated token span of at least k tokens BETWEEN documents, not just
+aligned fixed-width chunks: the fixed 20-token segment dedup
+(`queries/curation.py q_dedup_segments`) misses a 50-token quote that
+straddles two chunk boundaries; this operator reports it as one
+maximal span.
+
+Distributed form (the paper uses a single-node suffix array; a
+shuffle-friendly equivalent): a repeated span of length L >= k is
+exactly a run of L-k+1 consecutive matching k-token shingles at a
+constant alignment offset. So:
+
+1. SHINGLE: every position p of every doc emits the fingerprint of
+   tokens [p, p+k) — pure array math on the scan, no shuffle, same
+   expression family as the chunked segment dedup.
+2. BLOCK: group by fingerprint (the inverted index — shuffle #1) and
+   keep only fingerprints occurring 2..max_block times. Pairs are
+   generated INSIDE each posting list with an array expression —
+   never an all-pairs self-join, and the cap bounds the worst-case
+   fan-out per fingerprint exactly like the jaccard tier's blocked
+   index (dedup/jaccard.py). At 100 TB the cap also neuters hub
+   shingles (boilerplate sentences repeated across millions of docs
+   would otherwise emit |occ|² pairs; production handles those with
+   the exact-dup and segment tiers first).
+3. DIAGONAL RUNS: matched positions (pos_a, pos_b) of a doc pair lie
+   on diagonal d = pos_a - pos_b; consecutive shingle matches on one
+   diagonal are one repeated span. Group runs with the classic
+   islands trick (pos_a - row_number() over the diagonal — shuffle
+   #2) and reduce each run to its maximal span: start positions +
+   span_len = run_length + k - 1.
+
+Two exchanges total; the second's (doc_a, doc_b, diag) partitioning
+is reused by the final span aggregate (grouping on a superset of the
+window keys). Everything is deterministic (md5 fingerprints, integer
+positions), so the operator carries a full value-hash DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+from bigdatafinalproject_hockey_spark.operators.partitioning import (
+    ensure_parallelism,
+)
+
+DEFAULT_MIN_SPAN = 15
+DEFAULT_MAX_BLOCK = 64
+
+
+def shingle_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = DEFAULT_MIN_SPAN
+) -> DataFrame:
+    """(doc, pos, fp): md5 of the k-token shingle at every position.
+
+    Docs shorter than k tokens emit nothing. Scan-local — the
+    tokenize/slice/md5 pipeline is all built-in expressions."""
+    toks = tokens_expr(F.col(text_col))
+    npos = (F.size(toks) - F.lit(k - 1)).cast("int")
+    # Guard npos <= 0: sequence(0, negative) DESCENDS in Spark and
+    # would fabricate positions (same guard as q_dedup_segments).
+    idx = F.when(npos > 0, F.sequence(F.lit(0), npos - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    fps = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.posexplode(fps).alias("pos", "fp")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_span: int = DEFAULT_MIN_SPAN,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Maximal cross-document repeated token spans of >= min_span
+    tokens: (doc_a < doc_b, start_a, start_b, span_len), positions
+    0-based in token space."""
+    sh = shingle_fingerprints(df, text_col, id_col, min_span)
+
+    # Inverted index: one row per duplicated fingerprint, occurrences
+    # collected and pair-expanded in-expression (doc_a < doc_b).
+    occs = (
+        sh.groupBy("fp")
+        .agg(F.collect_list(F.struct("doc", "pos")).alias("occs"))
+        .filter(
+            (F.size("occs") >= 2) & (F.size("occs") <= F.lit(max_block))
+        )
+    )
+    pairs = occs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "occs",
+                    lambda a: F.transform(
+                        F.filter("occs", lambda b: b["doc"] > a["doc"]),
+                        lambda b: F.struct(
+                            a["doc"].alias("doc_a"),
+                            a["pos"].alias("pos_a"),
+                            b["doc"].alias("doc_b"),
+                            b["pos"].alias("pos_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("m")
+    ).select("m.doc_a", "m.pos_a", "m.doc_b", "m.pos_b")
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.select(
+        "doc_a", "pos_a", "doc_b", "pos_b", diag
+    ).withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            F.min("pos_b").cast("long").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(min_span))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )

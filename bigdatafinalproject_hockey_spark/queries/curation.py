@@ -1806,3 +1806,79 @@ def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", html_fixture_expr("text", "doc_id").alias("html")
     )
     return extract_html_text_batched(docs, "html", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# variable-length exact substring dedup (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 15
+_SPAN_MAX_BLOCK = 64
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(toks) - {_SPAN_K - 1}, 0))) AS pos,
+             toks
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos+1 : pos+{_SPAN_K}], ' ')) AS fp
+      FROM s
+    ),
+    blk AS (
+      SELECT fp FROM sh GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {_SPAN_MAX_BLOCK}
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM blk)
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length EXACT substring dedup (VERDICT r9 item 3; Lee
+    et al. 2022, public method): every maximal cross-document repeated
+    token span of >= 15 tokens, as (doc_a < doc_b, start_a, start_b,
+    span_len). Finds the duplication the fixed 20-token
+    ``dedup_segments`` chunking misses — a repeated quote that
+    straddles chunk boundaries is reported here as ONE maximal span
+    with exact token coordinates (at sf0.01: spans of 23-93 tokens).
+
+    Shape (dedup/substring.py): sliding k-shingle fingerprints
+    scan-side, a capped blocked inverted index (pairs expanded
+    in-expression inside each posting list — never an all-pairs
+    join), and diagonal run-merging via the islands trick. Two
+    exchanges total; the run window's (doc_a, doc_b, diag)
+    partitioning is reused by the span aggregate. Full value-hash
+    oracle — same shingles, cap, and island grouping as a DuckDB
+    CTE."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        repeated_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repeated_spans(
+        docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK
+    )

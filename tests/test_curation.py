@@ -250,3 +250,75 @@ def test_snapshot_diff_statuses_complete(spark, monkeypatch):
     monkeypatch.setattr(curation, "load_table", lambda spark_, name, sf: df)
     rows = {r["doc_id"]: r["status"] for r in QUERIES["corpus_snapshot_diff"](spark, "unused").collect()}
     assert rows == {0: "removed", 3: "changed", 6: "changed", 8: "added", 9: "added"}
+
+
+def test_substring_spans_maximal_and_thresholded(spark):
+    """A 20-token span repeated between two docs must come back as ONE
+    maximal span of exactly 20 tokens at the right coordinates; a
+    14-token shared run (< k=15) must not be reported; docs shorter
+    than k emit nothing."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import repeated_spans
+
+    span20 = " ".join(f"w{i}" for i in range(20))
+    prefix_a = "aone atwo athree"                        # 3 tokens
+    prefix_b = "bone btwo bthree bfour bfive"            # 5 tokens
+    shared14 = " ".join(f"x{i}" for i in range(14))
+    rows = [
+        (1, f"{prefix_a} {span20} tail1 tail2", "en", "s", 0),
+        (2, f"{prefix_b} {span20} other tokens here", "en", "s", 0),
+        (3, f"{shared14} filler1 filler2", "en", "s", 0),
+        (4, f"{shared14} different ending words", "en", "s", 0),
+        (5, "too short", "en", "s", 0),
+    ]
+    df = _docs(spark, rows)
+    got = repeated_spans(df, "text", "doc_id").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.start_a, r.start_b, r.span_len) == (3, 5, 20)
+
+
+def test_substring_spans_multiple_diagonals_and_docs(spark):
+    """The same span repeated at two alignments of the same pair (two
+    diagonals) yields two spans; three docs sharing it yield all three
+    ordered pairs."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import repeated_spans
+
+    s = " ".join(f"w{i}" for i in range(15))
+    rows = [
+        (1, f"{s}", "en", "s", 0),
+        (2, f"pad1 {s}", "en", "s", 0),
+        (3, f"pad1 pad2 {s}", "en", "s", 0),
+    ]
+    got = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_len)
+        for r in repeated_spans(_docs(spark, rows), "text", "doc_id").collect()
+    }
+    assert got == {
+        (1, 2): (0, 1, 15),
+        (1, 3): (0, 2, 15),
+        (2, 3): (1, 2, 15),
+    }
+
+
+def test_substring_hub_shingles_capped(spark):
+    """A fingerprint occurring in more occurrences than max_block is a
+    hub (boilerplate) and must be skipped entirely — no pair blowup."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import repeated_spans
+
+    s = " ".join(f"w{i}" for i in range(15))
+    rows = [(i, s, "en", "s", 0) for i in range(1, 6)]  # 5 copies
+    df = _docs(spark, rows)
+    assert repeated_spans(df, "text", "doc_id", max_block=4).count() == 0
+    # with the cap above the occurrence count, all 10 pairs appear
+    assert repeated_spans(df, "text", "doc_id", max_block=8).count() == 10
+
+
+def test_substring_within_doc_repeat_not_cross_doc(spark):
+    """A span repeated twice INSIDE one doc (and nowhere else) is not
+    a cross-document pair — output is empty."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import repeated_spans
+
+    s = " ".join(f"w{i}" for i in range(15))
+    rows = [(1, f"{s} middle {s}", "en", "s", 0), (2, "unrelated text entirely", "en", "s", 0)]
+    assert repeated_spans(_docs(spark, rows), "text", "doc_id").count() == 0

@@ -739,3 +739,21 @@ def test_ann_index_delta_cost_is_delta_bounded(spark):
     # assign ⋈ enc join is delta×delta — SMJ there is fine; AQE
     # converts it at runtime)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_substring_two_exchanges_no_join(spark):
+    """Variable-length substring dedup (round 10): shingles are
+    scan-local; the only exchanges are the fingerprint inverted-index
+    groupBy and the diagonal-run window (whose partitioning the span
+    aggregate reuses — grouping keys are a superset). Pairs expand
+    in-expression inside each capped posting list, so there is NO
+    join operator of any kind in the plan, and the scan reads only
+    (doc_id, text)."""
+    plan = plan_of(spark, "dedup_substring")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no SortMerge/Hash/BNL — none needed
+    scan = [s for s in plan.split("FileScan parquet") if "documents" in s][0]
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
