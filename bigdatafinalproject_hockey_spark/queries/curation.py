@@ -804,10 +804,10 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_CAPACITY = 256
 _PACK_SHARDS = 8
 
-
-@register(
-    "pack_sequences",
-    oracle=f"""
+# The greedy packing fold as a DuckDB recursive CTE — shared by the
+# pack_sequences oracle and (round 10) the reshard_training oracle
+# that chains on top of the packed output.
+_PACK_CTE = f"""
     WITH RECURSIVE docs AS (
       SELECT doc_id, lang, doc_id % {_PACK_SHARDS} AS shard,
              CAST(len({_SQL_TOKS.format(c="text")}) AS BIGINT) AS n_tokens,
@@ -829,7 +829,13 @@ _PACK_SHARDS = 8
       FROM docs d
       JOIN packed p
         ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
-    )
+    )"""
+
+
+@register(
+    "pack_sequences",
+    oracle=_PACK_CTE
+    + """
     SELECT lang, shard, doc_id, n_tokens, seq_id, seq_fill FROM packed
     """,
 )
@@ -1881,4 +1887,98 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return repeated_spans(
         docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training reshard (reproducible global corpus shuffle)
+# ---------------------------------------------------------------------------
+
+_RESHARD_N = 16
+
+
+@register(
+    "reshard_training",
+    oracle=_PACK_CTE
+    + """,
+    keyed AS (
+      SELECT lang, shard, seq_id, doc_id, n_tokens, seq_fill,
+             md5(lang || ':' || CAST(shard AS VARCHAR) || ':'
+                 || CAST(seq_id AS VARCHAR)) AS shard_key
+      FROM packed
+    ),
+    assigned AS (
+      SELECT *, CAST(('0x' || substr(shard_key, 1, 1)) AS INTEGER)
+                    AS train_shard
+      FROM keyed
+    )
+    SELECT train_shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY train_shard
+             ORDER BY shard_key, lang, shard, seq_id, doc_id
+           ) AS BIGINT) AS shard_pos,
+           lang, shard, seq_id, doc_id, n_tokens, seq_fill, shard_key
+    FROM assigned
+    """,
+)
+def q_reshard_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training reshard (VERDICT r9 item 6) — the step
+    between sequence packing and training in every LLM data pipeline:
+    shuffle the packed corpus REPRODUCIBLY into N training shards so
+    any engine (or a re-run years later) materializes byte-identical
+    shards in byte-identical order.
+
+    Method: every packed row inherits its SEQUENCE's md5 shard key
+    (sequences are the atomic training examples — they move between
+    shards as units, and their internal doc order survives via the
+    (shard_key, ..., doc_id) sort). The training shard is the key's
+    first hex digit: N=16 CONTIGUOUS ranges of the md5 keyspace, so
+    assignment is a map-side expression — no global sort, and no
+    sampled range boundaries (repartitionByRange's boundaries depend
+    on the sampling and cluster layout, i.e. NOT reproducible) —
+    while concatenating shards in shard order still yields the whole
+    corpus in global md5-key order: a uniform, seed-free,
+    engine-portable permutation. Within-shard position is one
+    row_number window per shard (parallelism = N; at 100 TB each
+    shard sorts |corpus|/16 metadata rows — ids and counts, never
+    text or token arrays).
+
+    Cost: exactly ONE exchange beyond the packing fold (the shard
+    window) — plan-locked in tests/test_plans.py. Fully deterministic
+    → full value-hash oracle chaining the packing CTE."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs,
+        shard_cols=["lang", "shard"],
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        capacity=_PACK_CAPACITY,
+    )
+    keyed = packed.withColumn(
+        "shard_key",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("lang"),
+                F.col("shard").cast("string"),
+                F.col("seq_id").cast("string"),
+            )
+        ),
+    ).withColumn(
+        "train_shard",
+        F.conv(F.substring("shard_key", 1, 1), 16, 10).cast("int"),
+    )
+    w = Window.partitionBy("train_shard").orderBy(
+        "shard_key", "lang", "shard", "seq_id", "doc_id"
+    )
+    return keyed.select(
+        "train_shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+        "lang", "shard", "seq_id", "doc_id", "n_tokens", "seq_fill",
+        "shard_key",
     )

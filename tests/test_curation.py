@@ -322,3 +322,39 @@ def test_substring_within_doc_repeat_not_cross_doc(spark):
     s = " ".join(f"w{i}" for i in range(15))
     rows = [(1, f"{s} middle {s}", "en", "s", 0), (2, "unrelated text entirely", "en", "s", 0)]
     assert repeated_spans(_docs(spark, rows), "text", "doc_id").count() == 0
+
+
+def test_reshard_training_invariants(spark):
+    """Sequences move between training shards as UNITS (one shard per
+    (lang, shard, seq_id), contiguous positions, internal doc order
+    preserved), positions are dense 1..n per shard, and concatenating
+    shards in shard order replays the global md5-key order."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+
+    rows = QUERIES["reshard_training"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault((r.lang, r.shard, r.seq_id), []).append(r)
+    for key, grp in by_seq.items():
+        assert len({g.train_shard for g in grp}) == 1, key
+        grp.sort(key=lambda g: g.shard_pos)
+        positions = [g.shard_pos for g in grp]
+        assert positions == list(
+            range(positions[0], positions[0] + len(grp))
+        ), key  # contiguous within the shard
+        doc_ids = [g.doc_id for g in grp]
+        assert doc_ids == sorted(doc_ids), key  # pack order preserved
+    # dense 1..n positions per shard
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.train_shard, []).append(r.shard_pos)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    assert set(by_shard) <= set(range(16))
+    # shard-major concatenation == global md5-key order
+    shard_major = sorted(rows, key=lambda r: (r.train_shard, r.shard_pos))
+    global_md5 = sorted(
+        rows, key=lambda r: (r.shard_key, r.lang, r.shard, r.seq_id, r.doc_id)
+    )
+    assert [r.doc_id for r in shard_major] == [r.doc_id for r in global_md5]

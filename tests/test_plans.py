@@ -757,3 +757,15 @@ def test_dedup_substring_two_exchanges_no_join(spark):
     read_schema = scan.split("ReadSchema:")[1]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_reshard_training_adds_one_exchange(spark):
+    """The md5 reshard must add exactly ONE exchange beyond the
+    packing fold's (lang, shard) exchange: shard assignment is a
+    map-side expression (contiguous md5 ranges, never a range
+    partitioner's sampled boundaries), so only the within-shard
+    row_number window shuffles. No join, no global sort."""
+    plan = plan_of(spark, "reshard_training")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
