@@ -178,6 +178,14 @@ X10 = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_portable",
     "text_top_tokens",
+    # new in round 10 (headline stays at its 56-entry driver-tail cap;
+    # each X10 entry's sec_1x records the sf0.1 wall regardless):
+    "text_extract_html",   # row-local Arrow extraction — should be ~linear
+    "dedup_substring",     # repeated-span dedup on the NEAR-DUP corpus —
+                           # the output-explosion hard case (clone families
+                           # share full-doc spans; expect super-1x from
+                           # output growth, like the minhash pair tiers)
+    "reshard_training",    # pack fold + one shard window — ~linear
 ]
 
 
