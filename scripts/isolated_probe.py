@@ -87,8 +87,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ts_gapfill additionally measures its events_x10 ratio — the number
 # item 4 asks to confirm.
 DEFAULT = ["sim_hybrid_rrf", "ts_gapfill", "dedup_incremental_near"]
-WITH_EVENTS_X10 = {"ts_gapfill"}
+WITH_EVENTS_X10 = {
+    "ts_gapfill",
+    # round 10 (VERDICT r9 item 7): the other two events-tier x10
+    # outliers get probe verdicts too.
+    "events_dau_wau_mau",
+    "stream_session_dynamic_gap",
+}
 WITH_DOCS_X100 = {"dedup_incremental_near", "dedup_simhash", "tokenize_to_ids"}
+# round 10 (VERDICT r9 item 4): decompose pipeline_embedding_curation's
+# x10 ratio against its halves. Probed STEADY on both sides (the
+# composition's cost floor, not first-touch JIT).
+WITH_EMB_X10 = {
+    "pipeline_embedding_curation",
+    "dedup_semantic_autokey",
+    "sim_ann_ivfpq_fitted",
+}
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
@@ -151,6 +165,26 @@ def main() -> None:
             )
             print(
                 f"  {name}: x100 {dt:.3f}s / {base:.3f}s = {rec['ratio']}",
+                file=sys.stderr,
+            )
+        if name in WITH_EMB_X10:
+            x10_dir = bench._ensure_embeddings_amplified(spark, SF_DIR, 10)
+            # Key-sidecar ingests are per-source-version costs and are
+            # pre-warmed outside every timed window, exactly as in
+            # bench.py (VERDICT r7 item 2).
+            bench._prewarm_emb_sidecars(spark, SF_DIR)
+            bench._prewarm_emb_sidecars(spark, x10_dir)
+            spark.catalog.clearCache()
+            base = run_steady(spark, name, SF_DIR)
+            dt = run_steady(spark, name, x10_dir)
+            rec.update(
+                sec_1x=round(base, 3),
+                sec_10x=round(dt, 3),
+                ratio=round(dt / base, 2) if base else None,
+                protocol="steady_min_of_5",
+            )
+            print(
+                f"  {name}: emb x10 {dt:.3f}s / {base:.3f}s = {rec['ratio']}",
                 file=sys.stderr,
             )
         if name in WITH_EVENTS_X10:
