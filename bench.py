@@ -185,6 +185,8 @@ X10 = [
                            # the output-explosion hard case (clone families
                            # share full-doc spans; expect super-1x from
                            # output growth, like the minhash pair tiers)
+    "dedup_substring_rewrite",  # the apply step: detection + interval
+                           # merge + corpus rebuild (output ∝ corpus)
     "reshard_training",    # pack fold + one shard window — ~linear
 ]
 

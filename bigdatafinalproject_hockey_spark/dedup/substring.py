@@ -130,3 +130,81 @@ def repeated_spans(
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_span: int = DEFAULT_MIN_SPAN,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """The dedup ACTION over :func:`repeated_spans` (Lee et al. 2022
+    apply step): every detected repeated span keeps its lowest-id
+    copy; all higher-id copies are cut from their documents.
+
+    Per doc: cut intervals = the doc's spans on the doc_b (higher-id)
+    side of every pair, merged where they overlap (classic
+    running-max island merge — a doc can hold overlapping spans
+    shared with different partners), then the token stream is
+    rebuilt without the cut positions. Output: (doc, n_tokens,
+    n_removed, clean_text) for EVERY document, untouched docs
+    included (n_removed = 0).
+
+    Scale shape: the spans/intervals side is tiny (∝ detected
+    duplication, never ∝ corpus); interval merging costs one window
+    + one groupBy on the same doc-key exchange, and the per-doc cut
+    is a pure array expression after one equi-join of the interval
+    arrays back to the corpus scan — the corpus text moves through
+    that join once and only surviving tokens are re-materialized."""
+    spans = repeated_spans(df, text_col, id_col, min_span, max_block)
+    cuts = spans.select(
+        F.col("doc_b").alias("doc"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len")).alias("e"),
+    )
+    w_order = Window.partitionBy("doc").orderBy("s", "e")
+    prev_max = (
+        F.max("e")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = cuts.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = (
+        flagged.groupBy("doc", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = tokens_expr(F.col(text_col))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), toks.alias("toks")
+    )
+    joined = base.join(merged, "doc", "left").withColumn(
+        "ivs", F.coalesce("ivs", F.array().cast("array<struct<s:long,e:long>>"))
+    )
+    indexed = F.transform(
+        "toks", lambda x, i: F.struct(x.alias("tok"), i.alias("pos"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda t: ~F.exists(
+            "ivs",
+            lambda iv: (t["pos"] >= iv["s"]) & (t["pos"] < iv["e"]),
+        ),
+    )
+    return joined.select(
+        "doc",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda t: t["tok"])
+        ).alias("clean_text"),
+    )

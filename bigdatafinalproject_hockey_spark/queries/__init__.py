@@ -47,6 +47,7 @@ _STAGED_AT_ROUND = 10
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
     "dedup_substring",  # never verified
+    "dedup_substring_rewrite",  # never verified
     "reshard_training",  # never verified
     "text_extract_html",  # never verified
     "stream_session_dynamic_gap",  # newest r05
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "text_unigram_logprob",  # newest r06
     "text_pii_scrub",  # newest r06
     "map_functions",  # newest r06
-    "json_extract",  # newest r06
 ]
 
 

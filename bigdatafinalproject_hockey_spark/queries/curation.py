@@ -1821,10 +1821,10 @@ def q_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 15
 _SPAN_MAX_BLOCK = 64
 
-
-@register(
-    "dedup_substring",
-    oracle=f"""
+# The maximal-repeated-span detection as DuckDB CTEs — shared by the
+# dedup_substring oracle and (same round) the dedup_substring_rewrite
+# oracle that applies the cuts on top of the detected spans.
+_SPAN_CTE = f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
     ),
@@ -1855,12 +1855,21 @@ _SPAN_MAX_BLOCK = 64
                PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
              ) AS grp
       FROM m
-    )
-    SELECT doc_a, doc_b,
-           CAST(MIN(pos_a) AS BIGINT) AS start_a,
-           CAST(MIN(pos_b) AS BIGINT) AS start_b,
-           CAST(MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS BIGINT) AS span_len
-    FROM runs GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(MIN(pos_a) AS BIGINT) AS start_a,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(MAX(pos_a) - MIN(pos_a) + {_SPAN_K} AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+    )"""
+
+
+@register(
+    "dedup_substring",
+    oracle=_SPAN_CTE
+    + """
+    SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans
     """,
 )
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,4 +1990,82 @@ def q_reshard_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("shard_pos"),
         "lang", "shard", "seq_id", "doc_id", "n_tokens", "seq_fill",
         "shard_key",
+    )
+
+
+@register(
+    "dedup_substring_rewrite",
+    oracle=_SPAN_CTE
+    + """,
+    cuts AS (
+      SELECT doc_b AS doc, start_b AS cs, start_b + span_len AS ce
+      FROM spans
+    ),
+    flagged AS (
+      SELECT doc, cs, ce,
+             CASE WHEN cs > coalesce(MAX(ce) OVER (
+                    PARTITION BY doc ORDER BY cs, ce
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM cuts
+    ),
+    islands AS (
+      SELECT doc, cs, ce,
+             SUM(new_island) OVER (
+               PARTITION BY doc ORDER BY cs, ce ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc, MIN(cs) AS cs, MAX(ce) AS ce
+      FROM islands GROUP BY doc, island
+    ),
+    tok AS (
+      SELECT doc_id AS doc, toks, unnest(range(0, len(toks))) AS pos
+      FROM t
+    ),
+    kept AS (
+      SELECT k.doc, k.pos, k.toks[k.pos + 1] AS tk
+      FROM tok k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merged mm
+        WHERE mm.doc = k.doc AND k.pos >= mm.cs AND k.pos < mm.ce
+      )
+    ),
+    rebuilt AS (
+      SELECT doc, COUNT(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc
+    )
+    SELECT t.doc_id AS doc,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc
+    """,
+)
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup ACTION (Lee et al. 2022 apply step): the
+    corpus with every detected repeated span CUT from its higher-id
+    copies (the lowest-id document keeps the span). Overlapping cut
+    intervals within a doc are merged (running-max island merge — one
+    doc can share different spans with different partners), then the
+    token stream is rebuilt without the cut positions; untouched
+    docs pass through with n_removed = 0. Output: (doc, n_tokens,
+    n_removed, clean_text) for EVERY document.
+
+    Scale shape (dedup/substring.py remove_repeated_spans): the
+    cut-interval side is ∝ detected duplication, never ∝ corpus;
+    merging costs one tiny doc-keyed window+groupBy, and the corpus
+    text moves through exactly one equi-join against the per-doc
+    interval arrays before a pure array-expression rebuild. Full
+    value-hash oracle chaining the span CTE (the clean_text column is
+    hash-compared byte-for-byte)."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return remove_repeated_spans(
+        docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK
     )

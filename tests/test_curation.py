@@ -358,3 +358,43 @@ def test_reshard_training_invariants(spark):
         rows, key=lambda r: (r.shard_key, r.lang, r.shard, r.seq_id, r.doc_id)
     )
     assert [r.doc_id for r in shard_major] == [r.doc_id for r in global_md5]
+
+
+def test_substring_rewrite_cuts_higher_id_and_merges_overlaps(spark):
+    """The apply step: the lowest-id holder keeps its text intact; a
+    higher-id doc sharing overlapping spans with two different
+    partners loses the MERGED interval once; an exact full-doc copy
+    is emptied; untouched docs pass through with n_removed = 0."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        remove_repeated_spans,
+    )
+
+    w = [f"w{i}" for i in range(30)]
+    full = " ".join(w)
+    rows = [
+        (1, " ".join(w[:20]), "en", "s", 0),     # shares w0..w19 with 3
+        (2, " ".join(w[10:30]), "en", "s", 0),   # shares w10..w29 with 3
+        (3, full, "en", "s", 0),                 # loses the merged w0..w29
+        (4, full, "en", "s", 0),                 # exact copy of 3 -> emptied
+        (5, "totally different tokens here", "en", "s", 0),
+    ]
+    got = {
+        r.doc: r
+        for r in remove_repeated_spans(
+            _docs(spark, rows), "text", "doc_id"
+        ).collect()
+    }
+    assert got[1].n_removed == 0 and got[1].clean_text == " ".join(w[:20])
+    # doc 2 shares w10..w29 with doc 3 AND doc 4 (it is the lower id
+    # of neither pair with 1? doc 1 < 2: overlap w10..w19 is only 10
+    # tokens < 15, no span) -> doc 2 keeps its text (it is lower-id
+    # vs 3 and 4).
+    assert got[2].n_removed == 0
+    # doc 3: loses w0..w19 (vs 1) merged with w10..w29 (vs 2) = all 30
+    assert got[3].n_removed == 30 and got[3].clean_text == ""
+    assert got[4].n_removed == 30 and got[4].clean_text == ""
+    assert got[5].n_removed == 0
+    assert got[5].clean_text == "totally different tokens here"
+    assert all(g.n_tokens - g.n_removed == len(g.clean_text.split())
+               if g.clean_text else g.n_tokens == g.n_removed
+               for g in got.values())

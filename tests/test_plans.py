@@ -769,3 +769,17 @@ def test_reshard_training_adds_one_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange rangepartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_dedup_substring_rewrite_corpus_never_shuffles(spark):
+    """The apply step adds one doc-keyed exchange for the tiny
+    cut-interval merge (window + groupBy share it) on top of the
+    detection pass's two; the interval arrays join BACK to the corpus
+    scan broadcast at this scale (the interval side is ∝ detected
+    duplication, not ∝ corpus — at 100 TB it may legitimately grow
+    past the broadcast threshold into a shuffle join, so the lock is
+    on exchange count and no-cartesian, not the join strategy)."""
+    plan = plan_of(spark, "dedup_substring_rewrite")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
