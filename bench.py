@@ -761,7 +761,12 @@ def main() -> None:
     spark.catalog.clearCache()
     docs_x10: dict[str, dict] = {}
     for name in X10:
-        if name not in timings:
+        # Skip a probe only when the query IS a headline member whose
+        # headline run errored. Round 10 added probe-tier-only X10
+        # entries (the headline sits at its 56-entry driver-tail cap),
+        # and the old `name not in timings` guard silently skipped
+        # every non-headline entry.
+        if name in HEADLINE and name not in timings:
             continue  # headline run errored; skip its probe
         try:
             # Re-measure the 1× base ADJACENT to the probe under the

@@ -216,3 +216,31 @@ def test_x100_gate_reads_walls_not_ratios():
             f"{bound}s gate — super-linear regression (the 1x base and "
             f"ratio are noise; the wall is the signal)"
         )
+
+
+def test_every_probe_list_entry_has_a_committed_record():
+    """Probe-coverage lock (round 10): the X10 docs loop used to skip
+    any entry not in HEADLINE via its errored-headline guard, so
+    probe-tier-only queries silently produced NO record. Every name
+    in every probe list must now appear in its committed BENCH_FULL
+    tier (or in the run's error map — visible, not silent)."""
+    with open("BENCH_FULL.json") as fh:
+        full = json.load(fh)
+    errors = full.get("errors") or {}
+    tiers = {
+        "docs_x10": X10,
+        "docs_x100": X100,
+        "events_x10": X10_EVENTS,
+        "multimodal_x10": X10_MULTIMODAL,
+        "embeddings_x10": X10_EMB,
+        "embeddings_x100": X100_EMB,
+        "graph_x4": X4_GRAPH,
+    }
+    missing = [
+        f"{tier}:{name}"
+        for tier, names in tiers.items()
+        for name in names
+        if name not in (full.get(tier) or {})
+        and not any(name in k for k in errors)
+    ]
+    assert not missing, f"probe entries with no record and no error: {missing}"
