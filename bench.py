@@ -188,6 +188,10 @@ X10 = [
     "dedup_substring_rewrite",  # the apply step: detection + interval
                            # merge + corpus rebuild (output ∝ corpus)
     "reshard_training",    # pack fold + one shard window — ~linear
+    "pipeline_web_curation",  # extract -> gate -> span dedup composed;
+                           # the near-dup corpus explodes the span
+                           # stage's output exactly as for
+                           # dedup_substring (its slower half)
 ]
 
 

@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
 # stalest-first window (50 slots):
     "dedup_substring",  # never verified
     "dedup_substring_rewrite",  # never verified
+    "pipeline_web_curation",  # never verified
     "reshard_training",  # never verified
     "text_extract_html",  # never verified
     "stream_session_dynamic_gap",  # newest r05
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "sample_by_key",  # newest r06
     "text_unigram_logprob",  # newest r06
     "text_pii_scrub",  # newest r06
-    "map_functions",  # newest r06
 ]
 
 

@@ -1763,18 +1763,24 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HTML boilerplate extraction (markup -> clean text)
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "text_extract_html",
-    oracle="""
-    SELECT doc_id,
+# Closed-form expected extraction of the fixture page family
+# (extraction.html_fixture_expr) — shared by the text_extract_html
+# oracle and the composed pipeline_web_curation oracle.
+_EXTRACT_CLEAN_SQL = """
            'heading h' || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
            trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
            ' note ' || CAST(doc_id AS VARCHAR) ||
            CASE WHEN doc_id % 2 = 1
                 THEN chr(10) || 'see also item ' || CAST(doc_id AS VARCHAR)
                      || ' for more context & details'
-                ELSE '' END AS clean_text,
+                ELSE '' END"""
+
+
+@register(
+    "text_extract_html",
+    oracle=f"""
+    SELECT doc_id,
+           {_EXTRACT_CLEAN_SQL} AS clean_text,
            CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS INTEGER)
                AS n_blocks_kept,
            CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 3 END AS INTEGER)
@@ -1822,11 +1828,19 @@ _SPAN_K = 15
 _SPAN_MAX_BLOCK = 64
 
 # The maximal-repeated-span detection as DuckDB CTEs — shared by the
-# dedup_substring oracle and (same round) the dedup_substring_rewrite
-# oracle that applies the cuts on top of the detected spans.
-_SPAN_CTE = f"""
-    WITH t AS (
-      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS toks FROM documents
+# dedup_substring / dedup_substring_rewrite oracles and (parameterized
+# over its source relation) the composed pipeline_web_curation oracle.
+
+
+def _span_cte_sql(
+    source: str = "documents", text: str = "text", prefix: str = ""
+) -> str:
+    """``prefix`` lets a composed oracle inject its own upstream CTEs
+    (e.g. the extraction+gate pair) ahead of the span pipeline; it
+    must be empty or end with a comma."""
+    return f"""
+    WITH {prefix} t AS (
+      SELECT doc_id, {_SQL_TOKS.format(c=text)} AS toks FROM {source}
     ),
     s AS (
       SELECT doc_id,
@@ -1867,7 +1881,7 @@ _SPAN_CTE = f"""
 
 @register(
     "dedup_substring",
-    oracle=_SPAN_CTE
+    oracle=_span_cte_sql()
     + """
     SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans
     """,
@@ -1995,7 +2009,7 @@ def q_reshard_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_substring_rewrite",
-    oracle=_SPAN_CTE
+    oracle=_span_cte_sql()
     + """,
     cuts AS (
       SELECT doc_b AS doc, start_b AS cs, start_b + span_len AS ce
@@ -2068,4 +2082,75 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return remove_repeated_spans(
         docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed web-corpus day-0 pipeline: extract -> quality gate -> span dedup
+# ---------------------------------------------------------------------------
+
+_WEB_PIPE_PREFIX = f"""
+    clean AS (
+      SELECT doc_id,
+             {_EXTRACT_CLEAN_SQL} AS text,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS n_blocks_kept,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 3 END AS n_blocks_dropped
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, text FROM clean
+      WHERE len({_SQL_TOKS.format(c="text")}) >= 20
+        AND n_blocks_dropped * 2 < n_blocks_kept + n_blocks_dropped
+    ),"""
+
+
+@register(
+    "pipeline_web_curation",
+    oracle=_span_cte_sql(source="gated", prefix=_WEB_PIPE_PREFIX)
+    + """
+    SELECT doc_a, doc_b, start_a, start_b, span_len FROM spans
+    """,
+)
+def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-corpus DAY-0 pipeline composed end-to-end (round 10) —
+    the markup-side twin of ``pipeline_document_curation`` /
+    ``pipeline_embedding_curation``: (1) HTML -> clean text via the
+    Arrow-batched extractor (deterministic fixture pages,
+    ``extraction.py``), (2) a quality gate on the EXTRACTION's own
+    signals — >= 20 extracted tokens AND boilerplate-block share
+    < 1/2 in exact integer form (the gate does real work: even-parity
+    fixture pages carry a 3/5 dropped-block share and are cut — 250
+    of 500 docs survive at sf0.01), (3) variable-length substring
+    dedup over the SURVIVORS' clean text (7 maximal spans of 39-93
+    tokens at sf0.01). This is the production order: extract before
+    scoring, score before the expensive pair stage — the span
+    detection's inverted index is built only over gated survivors.
+
+    Plan: the extractor stage is exchange-free, the gate is a
+    map-side filter on the extractor's output columns, and the span
+    pass adds its usual two exchanges — three stages, two exchanges
+    total. Full value-hash oracle: the closed-form extraction CTE
+    chains into the gate and the shared span CTE."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        repeated_spans,
+    )
+    from bigdatafinalproject_hockey_spark.extraction import (
+        extract_html_text_batched,
+        html_fixture_expr,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", html_fixture_expr("text", "doc_id").alias("html")
+    )
+    ex = extract_html_text_batched(docs, "html", "doc_id")
+    gated = ex.filter(
+        (F.size(tokens_expr("clean_text")) >= 20)
+        & (
+            F.col("n_blocks_dropped") * 2
+            < F.col("n_blocks_kept") + F.col("n_blocks_dropped")
+        )
+    )
+    return repeated_spans(
+        gated, "clean_text", "doc_id",
+        min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK,
     )

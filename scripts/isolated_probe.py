@@ -94,7 +94,18 @@ WITH_EVENTS_X10 = {
     "events_dau_wau_mau",
     "stream_session_dynamic_gap",
 }
-WITH_DOCS_X100 = {"dedup_incremental_near", "dedup_simhash", "tokenize_to_ids"}
+WITH_DOCS_X100 = {
+    "dedup_incremental_near",
+    "dedup_simhash",
+    "tokenize_to_ids",
+    # round 10: the substring-dedup pair's input-scaling law on the
+    # DISJOINT-vocab corpus (cross-copy duplication is zero there, so
+    # only within-copy repeats replicate — output grows linearly and
+    # the probe isolates input scaling, unlike the near-dup docs_x10
+    # corpus where output explodes by design).
+    "dedup_substring",
+    "dedup_substring_rewrite",
+}
 # round 10 (VERDICT r9 item 4): decompose pipeline_embedding_curation's
 # x10 ratio against its halves. Probed STEADY on both sides (the
 # composition's cost floor, not first-touch JIT).

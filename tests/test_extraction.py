@@ -120,3 +120,84 @@ def test_extract_html_plan_is_rowlocal_and_pruned(spark):
     read_schema = scan.split("ReadSchema:")[1]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema and "lang" not in read_schema
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): fixture round-trip + parser total-ness
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _corpus_token = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=0, max_value=10**12),
+        tokens=st.lists(_corpus_token, min_size=1, max_size=40),
+    )
+    def test_fixture_roundtrip_closed_form(doc_id, tokens):
+        """For ANY corpus-charset text, extracting the fixture page
+        must reproduce the exact closed form the oracles assume —
+        this is the property the value-hash checks rest on."""
+        text = " ".join(tokens)
+        html = _fixture_html(doc_id, text)
+        clean, kept, dropped = extract_text(html)
+        expected = f"heading h{doc_id % 100}\n{text} note {doc_id}"
+        if doc_id % 2 == 1:
+            expected += f"\nsee also item {doc_id} for more context & details"
+            assert (kept, dropped) == (3, 2)
+        else:
+            assert (kept, dropped) == (2, 3)
+        assert clean == expected
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        soup=st.text(
+            alphabet="abc<>/&;!= \"'-pdivscrptyle",
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def test_parser_is_total_on_tag_soup(soup):
+        """The extractor must never raise on arbitrary malformed
+        markup (stray brackets, half-open tags, bad entities) — a
+        quarantine path upstream may feed it anything."""
+        clean, kept, dropped = extract_text(soup)
+        assert isinstance(clean, str)
+        assert kept >= 0 and dropped >= 0
+
+
+def _fixture_html(doc_id: int, text: str) -> str:
+    """Python twin of extraction.html_fixture_expr (kept in lockstep;
+    the Spark/SQL parity tests pin the expression itself)."""
+    i = str(doc_id)
+    if doc_id % 2 == 1:
+        div = (
+            f'<div>see also <a href="/item/{i}">item {i}</a> '
+            "for more context &amp; details</div>"
+        )
+    else:
+        div = (
+            '<div><a href="/r1">related article one</a> '
+            '<a href="/r2">related article two</a> extra</div>'
+        )
+    return (
+        f"<html><head><title>doc {i}</title><script>var page={i};"
+        "</script><style>p{margin:0}</style></head><body>"
+        '<nav><a href="/">home</a> <a href="/about">about</a> '
+        '<a href="/contact">contact</a></nav>'
+        f"<h1>heading h{doc_id % 100}</h1>"
+        f"<!-- boilerplate {i} -->"
+        f"<p>{text} <em>note {i}</em></p>"
+        f"{div}"
+        '<footer><a href="/terms">terms</a> '
+        '<a href="/privacy">privacy</a></footer></body></html>'
+    )

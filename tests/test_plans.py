@@ -783,3 +783,15 @@ def test_dedup_substring_rewrite_corpus_never_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pipeline_web_curation_two_exchanges_one_map_stage(spark):
+    """The composed web pipeline (extract -> gate -> span dedup) must
+    keep its stages' shapes: ONE Arrow map stage (extraction,
+    exchange-free), the gate folded map-side into it, and exactly the
+    span pass's two exchanges — no join operator anywhere."""
+    plan = plan_of(spark, "pipeline_web_curation")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
