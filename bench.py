@@ -206,6 +206,13 @@ X100 = [
     "dedup_simhash",
     "dedup_incremental_near",
     "tokenize_to_ids",
+    # round 10: the substring pair's input-scaling law (disjoint vocab
+    # -> zero cross-copy duplication; only within-copy repeats
+    # replicate, so output grows linearly and the probe isolates input
+    # scaling). Isolated steady floors at 500k docs: 29.3 s detection,
+    # 32.1 s rewrite (scripts/isolated_probe.py, round 10).
+    "dedup_substring",
+    "dedup_substring_rewrite",
 ]
 X100_COPIES = 100
 

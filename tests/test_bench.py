@@ -182,6 +182,8 @@ X100_WALL_BOUNDS_SEC = {
     "dedup_simhash": 45.0,          # r9 steady 22.7 s
     "dedup_incremental_near": 35.0,  # r9 steady 16.4 s
     "tokenize_to_ids": 12.0,        # r9 steady 4.1 s
+    "dedup_substring": 60.0,        # r10 isolated steady 29.3 s
+    "dedup_substring_rewrite": 65.0,  # r10 isolated steady 32.1 s
     # embeddings_x100 tier (200k vectors)
     "dedup_semantic_autokey": 50.0,  # r9 steady 25.3 s
     "sim_ann_pq_adc": 20.0,         # r9 steady 8.5 s
