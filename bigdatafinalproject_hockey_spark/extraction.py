@@ -237,3 +237,79 @@ def html_fixture_expr(
         F.lit('<footer><a href="/terms">terms</a> '
               '<a href="/privacy">privacy</a></footer></body></html>'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text hygiene (NFC + control/bidi-mark strip)
+# ---------------------------------------------------------------------------
+
+# C0 controls (except \t \n \r, which are whitespace), DEL, and the
+# invisible bidi/direction marks every corpus-hygiene pass strips
+# (LRM/RLM, LRE/RLE/PDF/LRO/RLO) — they survive naive cleaning and
+# poison tokenizers/dedup fingerprints.
+_CONTROL_RE = None
+
+
+def _control_re():
+    global _CONTROL_RE
+    if _CONTROL_RE is None:
+        import re
+
+        _CONTROL_RE = re.compile(
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f‎‏‪-‮]"
+        )
+    return _CONTROL_RE
+
+
+def normalize_unicode(s: str) -> tuple[str, int]:
+    """(normalized_text, n_stripped): Unicode NFC composition (é as
+    e+combining-acute becomes the single codepoint; singletons like
+    U+2126 OHM SIGN map to U+03A9 Ω) followed by control/bidi-mark
+    removal. NFC is the standard corpus canonicalization (CCNet-style
+    hygiene): without it, byte-different spellings of the same text
+    defeat exact dedup fingerprints and fragment tokenizer vocab."""
+    import unicodedata
+
+    n = unicodedata.normalize("NFC", s)
+    stripped, count = _control_re().subn("", n)
+    return stripped, count
+
+
+def normalize_unicode_batched(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched Unicode hygiene: (id, text) → (id, norm_text,
+    n_stripped). Row-local — zero exchanges, same stage shape as the
+    HTML extractor above."""
+    out_schema = f"{id_col} long, norm_text string, n_stripped int"
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, counts = [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                t, c = normalize_unicode(s)
+                ids.append(doc_id)
+                texts.append(t)
+                counts.append(c)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "norm_text": pd.Series(texts, dtype="object"),
+                    "n_stripped": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_norm, schema=out_schema)
+
+
+# Deterministic dirty-text fixture for the registered query: the
+# corpus text (pure ASCII — verified) plus a suffix exercising each
+# normalization class. Expected output is closed-form, so the oracle
+# hash-pins the NFC composition, the singleton mapping, and both
+# strip classes byte-for-byte.
+DIRTY_SUFFIX = " café Ω fi\x07nal‎ end"
+CLEAN_SUFFIX = " café Ω final end"
+
+
+def dirty_text_expr(text_col: str = "text") -> Column:
+    return F.concat(F.col(text_col), F.lit(DIRTY_SUFFIX))

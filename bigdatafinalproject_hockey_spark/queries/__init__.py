@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "pipeline_web_curation",  # never verified
     "reshard_training",  # never verified
     "text_extract_html",  # never verified
+    "text_normalize_unicode",  # never verified
     "stream_session_dynamic_gap",  # newest r05
     "multimodal_meta",  # newest r05
     "multimodal_frame_sample",  # newest r05
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "split_hash",  # newest r06
     "sample_by_key",  # newest r06
     "text_unigram_logprob",  # newest r06
-    "text_pii_scrub",  # newest r06
 ]
 
 

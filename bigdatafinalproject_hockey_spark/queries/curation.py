@@ -2154,3 +2154,56 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, "clean_text", "doc_id",
         min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text hygiene (NFC + control/bidi strip)
+# ---------------------------------------------------------------------------
+
+
+def _register_text_normalize_unicode() -> None:
+    # Oracle is built from the SAME constants as the Spark fixture, so
+    # the two can never drift: expected = text || CLEAN_SUFFIX.
+    from bigdatafinalproject_hockey_spark.extraction import CLEAN_SUFFIX
+
+    oracle = f"""
+    SELECT doc_id,
+           text || '{CLEAN_SUFFIX}' AS norm_text,
+           CAST(2 AS INTEGER) AS n_stripped
+    FROM documents
+    """
+
+    @register("text_normalize_unicode", oracle=oracle)
+    def q_text_normalize_unicode(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Unicode corpus hygiene (round 10) — the canonicalization
+        step CCNet-class pipelines run before fingerprinting and
+        tokenization: NFC composition (decomposed e+COMBINING ACUTE →
+        é; singleton U+2126 OHM SIGN → U+03A9 Ω) plus removal of C0
+        controls and invisible bidi marks (LRM/RLM/LRE/RLE/PDF/LRO/
+        RLO) — byte-different spellings of identical text otherwise
+        defeat exact-dedup fingerprints and fragment tokenizer vocab.
+        Row-local Arrow stage, zero exchanges
+        (extraction.normalize_unicode_batched).
+
+        Fixture: the (pure-ASCII, verified) corpus text plus a
+        deterministic dirty suffix exercising every normalization
+        class; the expected output is closed-form (text ||
+        CLEAN_SUFFIX, exactly 2 stripped marks), so the oracle
+        hash-pins composition, singleton mapping, and both strip
+        classes byte-for-byte. Generic-input behavior (idempotence,
+        ASCII fixed-point, arbitrary-unicode totality) is pinned by
+        hypothesis property tests."""
+        from bigdatafinalproject_hockey_spark.extraction import (
+            dirty_text_expr,
+            normalize_unicode_batched,
+        )
+
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", dirty_text_expr("text").alias("text")
+        )
+        return normalize_unicode_batched(docs, "text", "doc_id")
+
+
+_register_text_normalize_unicode()

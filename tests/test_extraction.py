@@ -201,3 +201,60 @@ def _fixture_html(doc_id: int, text: str) -> str:
         '<footer><a href="/terms">terms</a> '
         '<a href="/privacy">privacy</a></footer></body></html>'
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization (NFC + control/bidi strip)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_known_cases():
+    from bigdatafinalproject_hockey_spark.extraction import normalize_unicode
+
+    # NFC composition
+    assert normalize_unicode("café") == ("café", 0)
+    # singleton mapping (OHM SIGN -> GREEK CAPITAL OMEGA)
+    assert normalize_unicode("Ω") == ("Ω", 0)
+    # C0 controls stripped, \t \n \r kept (they are whitespace)
+    assert normalize_unicode("a\x07b\tc\nd") == ("ab\tc\nd", 1)
+    # bidi marks stripped
+    assert normalize_unicode("x‎y‪z‬") == ("xyz", 3)
+
+
+def test_normalize_unicode_plan_rowlocal(spark):
+    plan = (
+        QUERIES["text_normalize_unicode"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+if HAVE_HYPOTHESIS:
+    import unicodedata
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def test_normalize_unicode_total_and_idempotent(s):
+        """Totality + idempotence on arbitrary unicode, and ASCII
+        printable text is a fixed point."""
+        from bigdatafinalproject_hockey_spark.extraction import (
+            normalize_unicode,
+        )
+
+        out, n = normalize_unicode(s)
+        assert n >= 0
+        again, n2 = normalize_unicode(out)
+        assert again == out and n2 == 0
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=0x20,
+                                          max_codepoint=0x7E), max_size=80))
+    def test_normalize_unicode_ascii_fixed_point(s):
+        from bigdatafinalproject_hockey_spark.extraction import (
+            normalize_unicode,
+        )
+
+        assert normalize_unicode(s) == (s, 0)
