@@ -46,6 +46,7 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _STAGED_AT_ROUND = 10
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
+    "bpe_learn_merge",  # never verified
     "dedup_substring",  # never verified
     "dedup_substring_rewrite",  # never verified
     "pipeline_web_curation",  # never verified
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "text_contamination",  # newest r06
     "split_hash",  # newest r06
     "sample_by_key",  # newest r06
-    "text_unigram_logprob",  # newest r06
 ]
 
 

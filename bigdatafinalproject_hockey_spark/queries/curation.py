@@ -2207,3 +2207,119 @@ def _register_text_normalize_unicode() -> None:
 
 
 _register_text_normalize_unicode()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: one merge-learning iteration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_learn_merge",
+    oracle=f"""
+    WITH RECURSIVE occ AS (
+      SELECT unnest({_SQL_TOKS.format(c="text")}) AS tok FROM documents
+    ),
+    ch AS (
+      SELECT tok, string_split(tok, '') AS cs,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM occ GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT cs[pos+1] AS x, cs[pos+2] AS y, SUM(freq) AS cnt
+      FROM (SELECT cs, freq, unnest(range(0, len(cs)-1)) AS pos FROM ch)
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT x, y FROM pairs ORDER BY cnt DESC, x, y LIMIT 1),
+    steps AS (
+      SELECT tok, cs, freq, 1 AS i, cs[1] AS out FROM ch
+      UNION ALL
+      SELECT s.tok, s.cs, s.freq, s.i + 1,
+             CASE WHEN regexp_extract(s.out, '([^ ]+)$') = b.x
+                       AND s.cs[s.i + 1] = b.y
+                  THEN regexp_replace(s.out, '[^ ]+$', b.x || b.y)
+                  ELSE s.out || ' ' || s.cs[s.i + 1] END
+      FROM steps s, best b
+      WHERE s.i < len(s.cs)
+    )
+    SELECT s.tok, s.freq, b.x AS merge_x, b.y AS merge_y,
+           s.out AS segmented,
+           CAST(len(string_split(s.out, ' ')) AS INTEGER) AS n_symbols
+    FROM steps s, best b WHERE s.i = len(s.cs)
+    """,
+)
+def q_bpe_learn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE iteration of BPE tokenizer training (round 10; Sennrich et
+    al. 2016, public method) — the merge-learning step between corpus
+    curation and tokenization that the tier previously lacked
+    (text_bpe_token_count applies a FIXED GPT-2-style pretokenizer;
+    this op LEARNS): (1) corpus words + frequencies (the one
+    corpus-scale pass — after it, classic BPE iterates on the
+    word-TYPE table, whose size is the vocabulary, not the corpus);
+    (2) adjacent-symbol pair statistics weighted by word frequency
+    (map-side combine, the pair table is tiny); (3) the argmax pair
+    (count desc, lexicographic tiebreak — deterministic) broadcast
+    back; (4) greedy left-to-right non-overlapping merge application
+    per word as a pure expression-level F.aggregate fold over the
+    char array — no UDF, no Python. Output: every word type with its
+    frequency, the learned merge, and the word's post-merge
+    segmentation. Iterating = re-running (2)-(4) on the vocab table;
+    per-iteration cost is vocab-bound, which is exactly why
+    production BPE trainers scale.
+
+    Full value-hash oracle: pair stats + argmax in SQL, the greedy
+    fold replayed as a per-word recursive CTE (depth = word length;
+    verified against an independent Python reference)."""
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    occ = ensure_parallelism(docs).select(
+        F.explode(tokens_expr("text")).alias("tok")
+    )
+    ch = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    ).withColumn("cs", F.split("tok", ""))
+    pairs = (
+        ch.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    # guard 1-char tokens: sequence(1, 0) DESCENDS in
+                    # Spark (same trap as the shingle/segment ops)
+                    F.when(
+                        F.size("cs") > 1,
+                        F.sequence(F.lit(1), F.size("cs") - 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.struct(
+                        F.element_at("cs", i).alias("x"),
+                        F.element_at("cs", i + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.x", "p.y")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
+    with_best = ch.crossJoin(F.broadcast(best))
+    fold = F.aggregate(
+        F.expr("slice(cs, 2, size(cs) - 1)"),
+        F.array(F.element_at("cs", 1)),
+        lambda acc, c: F.when(
+            (F.element_at(acc, -1) == F.col("x")) & (c == F.col("y")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - F.lit(1)),
+                F.array(F.concat(F.col("x"), F.col("y"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(c))),
+    )
+    return with_best.select(
+        "tok",
+        "freq",
+        F.col("x").alias("merge_x"),
+        F.col("y").alias("merge_y"),
+        F.concat_ws(" ", fold).alias("segmented"),
+        F.size(fold).cast("int").alias("n_symbols"),
+    )

@@ -96,6 +96,7 @@ ALLOWED: dict[str, set[str]] = {
     "analytics_rfm_segments": {"bnl_join", "single_part_exchange"},  # scalar ref_date; ntile over per-customer agg
     "analytics_small_qty_revenue": {"single_part_exchange"},  # global revenue scalar
     "analytics_top_supplier": {"single_part_exchange"},  # global argmax scalar
+    "bpe_learn_merge": {"bnl_join"},          # 1-row argmax merge pair
     "corpus_drift": {"bnl_join"},             # top-V vocab table
     "diag_join_key_skew": {"bnl_join", "single_part_exchange"},  # scalar skew thresholds
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts

@@ -398,3 +398,37 @@ def test_substring_rewrite_cuts_higher_id_and_merges_overlaps(spark):
     assert all(g.n_tokens - g.n_removed == len(g.clean_text.split())
                if g.clean_text else g.n_tokens == g.n_removed
                for g in got.values())
+
+
+def test_bpe_learn_merge_greedy_and_tiebreak(spark):
+    """One BPE iteration on a constructed corpus: the argmax pair
+    wins with lexicographic tiebreak, and the merge applies greedily
+    left-to-right WITHOUT overlap ('aaaa' -> 'aa aa', never 'a aa a'
+    or a chained re-merge)."""
+    from bigdatafinalproject_hockey_spark.queries import QUERIES
+    import bigdatafinalproject_hockey_spark.queries.curation as cur
+
+    # freq('aaaa')=1 contributes (a,a) x3; 'zb zb' gives (z,b) x2;
+    # best = (a,a).
+    rows = [(1, "aaaa zb zb", "en", "s", 0)]
+    df = _docs(spark, rows)
+    import unittest.mock as mock
+
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = {r.tok: r for r in QUERIES["bpe_learn_merge"](spark, "ignored").collect()}
+    assert set(got) == {"aaaa", "zb"}
+    r = got["aaaa"]
+    assert (r.merge_x, r.merge_y) == ("a", "a")
+    assert r.segmented == "aa aa" and r.n_symbols == 2 and r.freq == 1
+    assert got["zb"].segmented == "z b" and got["zb"].freq == 2
+
+    # Tie: (a,b) and (b,a) both occur twice in 'abab' (plus one (b,a)
+    # from... construct exact tie: 'ab ab ba ba' -> (a,b) x2, (b,a) x2
+    # -> lexicographic winner (a,b).
+    rows = [(1, "ab ab ba ba", "en", "s", 0)]
+    df = _docs(spark, rows)
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = {r.tok: r for r in QUERIES["bpe_learn_merge"](spark, "ignored").collect()}
+    assert got["ab"].merge_x == "a" and got["ab"].merge_y == "b"
+    assert got["ab"].segmented == "ab" and got["ab"].n_symbols == 1
+    assert got["ba"].segmented == "b a"

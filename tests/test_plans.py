@@ -795,3 +795,18 @@ def test_pipeline_web_curation_two_exchanges_one_map_stage(spark):
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_learn_merge_vocab_bound_and_takeordered(spark):
+    """BPE merge learning: the corpus-scale pass is the word-frequency
+    aggregate; everything after runs on the word-TYPE table. The
+    argmax merge is TakeOrdered (never a global sort) broadcast back
+    as a 1-row table (the audited crossJoin(broadcast(scalar))
+    pattern), and the greedy merge application is a pure expression
+    fold — no Python stage anywhere."""
+    plan = plan_of(spark, "bpe_learn_merge")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
