@@ -244,9 +244,11 @@ def html_fixture_expr(
 # ---------------------------------------------------------------------------
 
 # C0 controls (except \t \n \r, which are whitespace), DEL, and the
-# invisible bidi/direction marks every corpus-hygiene pass strips
-# (LRM/RLM, LRE/RLE/PDF/LRO/RLO) — they survive naive cleaning and
-# poison tokenizers/dedup fingerprints.
+# invisible bidi/direction marks every corpus-hygiene pass strips:
+# the legacy embedding controls (LRM/RLM, LRE/RLE/PDF/LRO/RLO) AND
+# the modern isolates (LRI/RLI/FSI/PDI, U+2066-U+2069 — ADVICE r10:
+# Unicode groups them with the embeddings and they poison dedup
+# fingerprints identically). They survive naive cleaning otherwise.
 _CONTROL_RE = None
 
 
@@ -256,38 +258,49 @@ def _control_re():
         import re
 
         _CONTROL_RE = re.compile(
-            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f‎‏‪-‮]"
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f‎‏‪-‮⁦-⁩]"
         )
     return _CONTROL_RE
 
 
-def normalize_unicode(s: str) -> tuple[str, int]:
-    """(normalized_text, n_stripped): Unicode NFC composition (é as
-    e+combining-acute becomes the single codepoint; singletons like
-    U+2126 OHM SIGN map to U+03A9 Ω) followed by control/bidi-mark
-    removal. NFC is the standard corpus canonicalization (CCNet-style
-    hygiene): without it, byte-different spellings of the same text
-    defeat exact dedup fingerprints and fragment tokenizer vocab."""
+def normalize_unicode(s: str, form: str = "NFC") -> tuple[str, int]:
+    """(normalized_text, n_stripped): Unicode normalization (NFC by
+    default — é as e+combining-acute becomes the single codepoint;
+    singletons like U+2126 OHM SIGN map to U+03A9 Ω) followed by
+    control/bidi-mark removal. NFC is the standard corpus
+    canonicalization (CCNet-style hygiene): without it,
+    byte-different spellings of the same text defeat exact dedup
+    fingerprints and fragment tokenizer vocab.
+
+    ``form="NFKC"`` adds COMPATIBILITY folding (ligature ﬁ → fi,
+    fullwidth ５ → 5, circled ② → 2, superscripts, …) — the variant
+    GPT-2/tiktoken-family tokenizer pipelines canonicalize with
+    (VERDICT r10 item 8); NFC-only is the CCNet choice. Both share
+    the same strip class."""
     import unicodedata
 
-    n = unicodedata.normalize("NFC", s)
+    n = unicodedata.normalize(form, s)
     stripped, count = _control_re().subn("", n)
     return stripped, count
 
 
 def normalize_unicode_batched(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
 ) -> DataFrame:
     """Arrow-batched Unicode hygiene: (id, text) → (id, norm_text,
     n_stripped). Row-local — zero exchanges, same stage shape as the
-    HTML extractor above."""
+    HTML extractor above. ``form`` selects NFC (default) or NFKC
+    compatibility folding."""
     out_schema = f"{id_col} long, norm_text string, n_stripped int"
 
     def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, texts, counts = [], [], []
             for doc_id, s in zip(pdf[id_col], pdf[text_col]):
-                t, c = normalize_unicode(s)
+                t, c = normalize_unicode(s, form)
                 ids.append(doc_id)
                 texts.append(t)
                 counts.append(c)
@@ -304,12 +317,28 @@ def normalize_unicode_batched(
 
 # Deterministic dirty-text fixture for the registered query: the
 # corpus text (pure ASCII — verified) plus a suffix exercising each
-# normalization class. Expected output is closed-form, so the oracle
-# hash-pins the NFC composition, the singleton mapping, and both
-# strip classes byte-for-byte.
-DIRTY_SUFFIX = " café Ω fi\x07nal‎ end"
-CLEAN_SUFFIX = " café Ω final end"
+# normalization class (NFC composition e+combining-acute, singleton
+# OHM, a C0 control, a legacy bidi mark, and — ADVICE r10 — a
+# bidi-isolate pair wrapping the last word). Expected output is
+# closed-form, so the oracle hash-pins the composition, the
+# singleton mapping, and every strip class byte-for-byte.
+# n_stripped = 4 (BEL, U+200E, U+2066, U+2069).
+DIRTY_SUFFIX = " cafe\u0301 \u2126 fi\x07nal\u200e \u2066end\u2069"
+CLEAN_SUFFIX = " caf\u00e9 \u03a9 final end"
+DIRTY_N_STRIPPED = 4
+
+# The NFKC twin's fixture adds the compatibility-fold classes on top
+# (ligature U+FB01 fi -> fi, fullwidth U+FF15 5 -> 5, circled
+# U+2461 2 -> 2) plus one strip class from each half.
+# n_stripped = 2 (BEL, U+2066).
+DIRTY_NFKC_SUFFIX = " cafe\u0301 \ufb01ve \uff15\u2461\x07 o\u2066k"
+CLEAN_NFKC_SUFFIX = " caf\u00e9 five 52 ok"
+DIRTY_NFKC_N_STRIPPED = 2
 
 
 def dirty_text_expr(text_col: str = "text") -> Column:
     return F.concat(F.col(text_col), F.lit(DIRTY_SUFFIX))
+
+
+def dirty_nfkc_text_expr(text_col: str = "text") -> Column:
+    return F.concat(F.col(text_col), F.lit(DIRTY_NFKC_SUFFIX))

@@ -2164,12 +2164,15 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _register_text_normalize_unicode() -> None:
     # Oracle is built from the SAME constants as the Spark fixture, so
     # the two can never drift: expected = text || CLEAN_SUFFIX.
-    from bigdatafinalproject_hockey_spark.extraction import CLEAN_SUFFIX
+    from bigdatafinalproject_hockey_spark.extraction import (
+        CLEAN_SUFFIX,
+        DIRTY_N_STRIPPED,
+    )
 
     oracle = f"""
     SELECT doc_id,
            text || '{CLEAN_SUFFIX}' AS norm_text,
-           CAST(2 AS INTEGER) AS n_stripped
+           CAST({DIRTY_N_STRIPPED} AS INTEGER) AS n_stripped
     FROM documents
     """
 
@@ -2189,12 +2192,14 @@ def _register_text_normalize_unicode() -> None:
 
         Fixture: the (pure-ASCII, verified) corpus text plus a
         deterministic dirty suffix exercising every normalization
-        class; the expected output is closed-form (text ||
-        CLEAN_SUFFIX, exactly 2 stripped marks), so the oracle
-        hash-pins composition, singleton mapping, and both strip
-        classes byte-for-byte. Generic-input behavior (idempotence,
-        ASCII fixed-point, arbitrary-unicode totality) is pinned by
-        hypothesis property tests."""
+        class — including (ADVICE r10) the modern bidi ISOLATES
+        U+2066-U+2069 alongside the legacy embedding controls; the
+        expected output is closed-form (text || CLEAN_SUFFIX, exactly
+        4 stripped marks), so the oracle hash-pins composition,
+        singleton mapping, and every strip class byte-for-byte.
+        Generic-input behavior (idempotence, ASCII fixed-point,
+        arbitrary-unicode totality) is pinned by hypothesis property
+        tests."""
         from bigdatafinalproject_hockey_spark.extraction import (
             dirty_text_expr,
             normalize_unicode_batched,
@@ -2207,6 +2212,56 @@ def _register_text_normalize_unicode() -> None:
 
 
 _register_text_normalize_unicode()
+
+
+def _register_text_normalize_nfkc() -> None:
+    from bigdatafinalproject_hockey_spark.extraction import (
+        CLEAN_NFKC_SUFFIX,
+        DIRTY_NFKC_N_STRIPPED,
+    )
+
+    oracle = f"""
+    SELECT doc_id,
+           text || '{CLEAN_NFKC_SUFFIX}' AS norm_text,
+           CAST({DIRTY_NFKC_N_STRIPPED} AS INTEGER) AS n_stripped
+    FROM documents
+    """
+
+    @register("text_normalize_nfkc", oracle=oracle)
+    def q_text_normalize_nfkc(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """NFKC compatibility-fold hygiene (round 11; VERDICT r10
+        item 8) — the ``text_normalize_unicode`` twin for
+        GPT-2/tiktoken-family pipelines: COMPATIBILITY decomposition
+        + canonical composition folds presentation variants into
+        their plain forms (ligature U+FB01 fi -> "fi", fullwidth
+        U+FF15 -> "5", circled U+2461 -> "2") on top of the NFC
+        composition and control/bidi strip the NFC op performs.
+        CCNet-class pipelines stop at NFC (reversible); tokenizer
+        training wants NFKC so "fi" and the ligature share vocab
+        mass. Same zero-exchange Arrow-batched row-local stage
+        (extraction.normalize_unicode_batched, form="NFKC").
+
+        Fixture: corpus text plus a dirty suffix exercising the
+        compatibility classes and one strip class from each half;
+        expected output is closed-form (text || CLEAN_NFKC_SUFFIX,
+        exactly 2 stripped marks), giving a full value-hash oracle
+        from shared constants."""
+        from bigdatafinalproject_hockey_spark.extraction import (
+            dirty_nfkc_text_expr,
+            normalize_unicode_batched,
+        )
+
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", dirty_nfkc_text_expr("text").alias("text")
+        )
+        return normalize_unicode_batched(
+            docs, "text", "doc_id", form="NFKC"
+        )
+
+
+_register_text_normalize_nfkc()
 
 
 # ---------------------------------------------------------------------------

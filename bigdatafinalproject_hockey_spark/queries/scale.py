@@ -1234,6 +1234,9 @@ def q_ann_recall_eval_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     centroids = _ivf_centroids(emb)
     cb = pq_codebooks(emb)
+    # Both persists below are released by the caller's per-tier
+    # spark.catalog.clearCache() (bench + driver), NOT in-function —
+    # see "Cache lifetime" in the docstring (VERDICT r10 item 6).
     assign = ivf_cell_assignment(emb, centroids).persist(
         StorageLevel.MEMORY_AND_DISK
     )

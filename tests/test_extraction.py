@@ -219,6 +219,46 @@ def test_normalize_unicode_known_cases():
     assert normalize_unicode("a\x07b\tc\nd") == ("ab\tc\nd", 1)
     # bidi marks stripped
     assert normalize_unicode("x‎y‪z‬") == ("xyz", 3)
+    # bidi ISOLATES stripped too (ADVICE r10: LRI/RLI/FSI/PDI,
+    # U+2066-U+2069, grouped with the embeddings by Unicode)
+    assert normalize_unicode("a⁦b⁧c⁨d⁩e") == (
+        "abcde", 4,
+    )
+
+
+def test_normalize_unicode_nfkc_known_cases():
+    from bigdatafinalproject_hockey_spark.extraction import (
+        CLEAN_NFKC_SUFFIX,
+        DIRTY_NFKC_N_STRIPPED,
+        DIRTY_NFKC_SUFFIX,
+        normalize_unicode,
+    )
+
+    # compatibility folds NFC leaves alone
+    assert normalize_unicode("ﬁve", "NFKC") == ("five", 0)
+    assert normalize_unicode("５②", "NFKC") == ("52", 0)
+    assert normalize_unicode("ﬁve") == ("ﬁve", 0)  # NFC keeps
+    # strip classes still apply under NFKC
+    assert normalize_unicode("a\x07b⁦c", "NFKC") == ("abc", 2)
+    # the registered fixture's closed form
+    assert normalize_unicode(DIRTY_NFKC_SUFFIX, "NFKC") == (
+        CLEAN_NFKC_SUFFIX,
+        DIRTY_NFKC_N_STRIPPED,
+    )
+
+
+def test_normalize_unicode_nfc_fixture_closed_form():
+    from bigdatafinalproject_hockey_spark.extraction import (
+        CLEAN_SUFFIX,
+        DIRTY_N_STRIPPED,
+        DIRTY_SUFFIX,
+        normalize_unicode,
+    )
+
+    assert normalize_unicode(DIRTY_SUFFIX) == (
+        CLEAN_SUFFIX,
+        DIRTY_N_STRIPPED,
+    )
 
 
 def test_normalize_unicode_plan_rowlocal(spark):
