@@ -16,15 +16,20 @@ constant alignment offset. So:
 1. SHINGLE: every position p of every doc emits the fingerprint of
    tokens [p, p+k) — pure array math on the scan, no shuffle, same
    expression family as the chunked segment dedup.
-2. BLOCK: group by fingerprint (the inverted index — shuffle #1) and
-   keep only fingerprints occurring 2..max_block times. Pairs are
-   generated INSIDE each posting list with an array expression —
-   never an all-pairs self-join, and the cap bounds the worst-case
-   fan-out per fingerprint exactly like the jaccard tier's blocked
-   index (dedup/jaccard.py). At 100 TB the cap also neuters hub
-   shingles (boilerplate sentences repeated across millions of docs
-   would otherwise emit |occ|² pairs; production handles those with
-   the exact-dup and segment tiers first).
+2. BLOCK: count occurrences per fingerprint with a spill-safe window
+   over the fp partition and keep only rows in the 2..max_block band,
+   THEN collect posting lists (the inverted index) on the SAME
+   exchange — the count prefilter (ADVICE r10) guarantees a hub
+   shingle's posting list never materializes in an unspillable
+   aggregation buffer. Pairs are generated INSIDE each (now
+   ≤ max_block) posting list with an array expression — never an
+   all-pairs self-join, and the cap bounds the worst-case fan-out
+   per fingerprint exactly like the jaccard tier's blocked index
+   (dedup/jaccard.py). At 100 TB the cap also neuters hub shingles
+   (boilerplate sentences repeated across millions of docs would
+   otherwise emit |occ|² pairs; production handles those with the
+   exact-dup and segment tiers first — executable proof:
+   tests/test_curation.py boilerplate-interaction test).
 3. DIAGONAL RUNS: matched positions (pos_a, pos_b) of a doc pair lie
    on diagonal d = pos_a - pos_b; consecutive shingle matches on one
    diagonal are one repeated span. Group runs with the classic
@@ -32,10 +37,11 @@ constant alignment offset. So:
    #2) and reduce each run to its maximal span: start positions +
    span_len = run_length + k - 1.
 
-Two exchanges total; the second's (doc_a, doc_b, diag) partitioning
-is reused by the final span aggregate (grouping on a superset of the
-window keys). Everything is deterministic (md5 fingerprints, integer
-positions), so the operator carries a full value-hash DuckDB oracle.
+Two exchanges total (the fp window+groupBy share the first; the
+diagonal-run window's (doc_a, doc_b, diag) partitioning is reused by
+the final span aggregate). Everything is deterministic (md5
+fingerprints, integer positions), so the operator carries a full
+value-hash DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -86,14 +92,30 @@ def repeated_spans(
     0-based in token space."""
     sh = shingle_fingerprints(df, text_col, id_col, min_span)
 
-    # Inverted index: one row per duplicated fingerprint, occurrences
-    # collected and pair-expanded in-expression (doc_a < doc_b).
+    # HUB PREFILTER (ADVICE r10): count each fingerprint's occurrences
+    # with a WINDOW over the fp partition and drop rows outside the
+    # 2..max_block band BEFORE any posting list is collected. The old
+    # shape collect_list'ed the full list and size-capped after — so a
+    # hub shingle (boilerplate repeated across millions of docs at
+    # 100 TB) materialized its entire occurrence list in ONE
+    # unspillable aggregation buffer before being thrown away, an
+    # OOM/skew risk exactly on the keys the cap exists for. The
+    # window count runs in sort-based WindowExec, which SPILLS its
+    # per-group buffer; hub rows are then filtered as a stream, and
+    # the collect_list groupBy reuses the window's fp partitioning
+    # (no extra exchange, no second evaluation of the upstream — a
+    # count-prefilter via groupBy+semi-join would re-run the whole
+    # input lineage, doubling e.g. the composed web pipeline's Arrow
+    # extraction stage). Post-filter, every posting-list buffer is
+    # bounded by max_block.
+    w_fp = Window.partitionBy("fp")
     occs = (
-        sh.groupBy("fp")
-        .agg(F.collect_list(F.struct("doc", "pos")).alias("occs"))
+        sh.withColumn("n_occ", F.count(F.lit(1)).over(w_fp))
         .filter(
-            (F.size("occs") >= 2) & (F.size("occs") <= F.lit(max_block))
+            (F.col("n_occ") >= 2) & (F.col("n_occ") <= F.lit(max_block))
         )
+        .groupBy("fp")
+        .agg(F.collect_list(F.struct("doc", "pos")).alias("occs"))
     )
     pairs = occs.select(
         F.explode(
@@ -150,6 +172,16 @@ def remove_repeated_spans(
     rebuilt without the cut positions. Output: (doc, n_tokens,
     n_removed, clean_text) for EVERY document, untouched docs
     included (n_removed = 0).
+
+    EXEMPTION (ADVICE r10, documented at the call site too): spans
+    repeated in MORE than ``max_block`` documents are invisible to
+    the detection pass (its hub cap) and therefore pass through this
+    rewrite uncut. That is the intended division of labor — mass-
+    duplicated boilerplate is exactly what the exact-dup
+    (dedup/exact.py) and fixed-chunk segment (q_dedup_segments)
+    tiers remove wholesale, and the boilerplate-interaction test in
+    tests/test_curation.py pins both halves of the contract
+    executably.
 
     Scale shape: the spans/intervals side is tiny (∝ detected
     duplication, never ∝ corpus); interval merging costs one window

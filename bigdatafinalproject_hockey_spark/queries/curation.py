@@ -2060,13 +2060,20 @@ def q_reshard_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The substring-dedup ACTION (Lee et al. 2022 apply step): the
-    corpus with every detected repeated span CUT from its higher-id
+    corpus with every DETECTED repeated span CUT from its higher-id
     copies (the lowest-id document keeps the span). Overlapping cut
     intervals within a doc are merged (running-max island merge — one
     doc can share different spans with different partners), then the
     token stream is rebuilt without the cut positions; untouched
     docs pass through with n_removed = 0. Output: (doc, n_tokens,
     n_removed, clean_text) for EVERY document.
+
+    NOT CUT here (ADVICE r10): spans repeated in more than max_block
+    (64) documents — the detection pass's hub cap hides them, so
+    mass-duplicated boilerplate passes through this rewrite and is
+    instead removed by the exact-dup / segment tiers that run before
+    it in a composed pipeline (see remove_repeated_spans's EXEMPTION
+    note and the boilerplate-interaction test pinning both halves).
 
     Scale shape (dedup/substring.py remove_repeated_spans): the
     cut-interval side is ∝ detected duplication, never ∝ corpus;

@@ -314,6 +314,77 @@ def test_substring_hub_shingles_capped(spark):
     assert repeated_spans(df, "text", "doc_id", max_block=8).count() == 10
 
 
+def test_substring_boilerplate_division_of_labor(spark):
+    """VERDICT r10 item 7 — the documented hub exemption, executable:
+    a boilerplate sentence repeated in MORE than max_block documents
+    is (a) invisible to the substring span detector (its hub cap) and
+    to the rewrite built on it, but (b) STILL caught by the
+    fixed-chunk segment tier that a composed pipeline runs first —
+    so the division of labor the docstrings claim actually holds.
+    A control quote shared by just two docs proves the hub prefilter
+    didn't suppress legitimate detection in the same corpus."""
+    from pyspark.sql import Window
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        remove_repeated_spans,
+        repeated_spans,
+    )
+    from bigdatafinalproject_hockey_spark.functions.text import tokens_expr
+
+    # 7 docs (> max_block=4): 20 unique prefix tokens (doc-specific),
+    # then the SAME 20-token boilerplate sentence aligned at segment 1.
+    boiler = " ".join(f"bp{i}" for i in range(20))
+    rows = [
+        (d, " ".join(f"u{d}x{i}" for i in range(20)) + " " + boiler,
+         "en", "s", 0)
+        for d in range(1, 8)
+    ]
+    # Control: docs 100/101 share a 15-token quote nothing else has.
+    quote = " ".join(f"q{i}" for i in range(15))
+    rows += [
+        (100, f"{quote} tail one hundred", "en", "s", 0),
+        (101, f"intro one oh one {quote}", "en", "s", 0),
+    ]
+    df = _docs(spark, rows)
+
+    spans = repeated_spans(df, "text", "doc_id", max_block=4)
+    got = {(r.doc_a, r.doc_b) for r in spans.collect()}
+    # (a) the boilerplate (7 > max_block occurrences) emits NO pair...
+    assert not any(a < 100 for a, _ in got)
+    # ...and the rewrite therefore leaves those docs uncut,
+    assert (
+        remove_repeated_spans(df, "text", "doc_id", max_block=4)
+        .filter((F.col("doc") < 100) & (F.col("n_removed") > 0))
+        .count()
+        == 0
+    )
+    # ...while the in-band control quote is still detected.
+    assert got == {(100, 101)}
+
+    # (b) the segment tier catches exactly what the cap exempted:
+    # segment 1 (tokens 20..39) is the identical boilerplate in all 7
+    # docs -> corpus-wide first-occurrence keeps 1, removes 6 (the
+    # same chunking/window shape as q_dedup_segments).
+    toks = tokens_expr(F.col("text"))
+    nseg = F.ceil(F.size(toks) / F.lit(20)).cast("int")
+    idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 20 + 1, 20)))
+    )
+    seg = df.select("doc_id", F.posexplode(segs).alias("seg_idx", "fp"))
+    rn = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "seg_idx")
+    )
+    dup_boiler_segs = (
+        seg.withColumn("rn", rn)
+        .filter((F.col("doc_id") < 100) & (F.col("seg_idx") == 1)
+                & (F.col("rn") > 1))
+        .count()
+    )
+    assert dup_boiler_segs == 6
+
+
 def test_substring_within_doc_repeat_not_cross_doc(spark):
     """A span repeated twice INSIDE one doc (and nowhere else) is not
     a cross-document pair — output is empty."""

@@ -742,10 +742,13 @@ def test_ann_index_delta_cost_is_delta_bounded(spark):
 
 
 def test_dedup_substring_two_exchanges_no_join(spark):
-    """Variable-length substring dedup (round 10): shingles are
-    scan-local; the only exchanges are the fingerprint inverted-index
-    groupBy and the diagonal-run window (whose partitioning the span
-    aggregate reuses — grouping keys are a superset). Pairs expand
+    """Variable-length substring dedup (round 10; hub prefilter
+    round 11): shingles are scan-local; the only exchanges are the
+    fingerprint exchange (shared by the spill-safe hub-count window
+    AND the posting-list groupBy — the ADVICE r10 prefilter adds no
+    exchange and no second evaluation of the input) and the
+    diagonal-run window (whose partitioning the span aggregate
+    reuses — grouping keys are a superset). Pairs expand
     in-expression inside each capped posting list, so there is NO
     join operator of any kind in the plan, and the scan reads only
     (doc_id, text)."""
