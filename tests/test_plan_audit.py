@@ -35,6 +35,12 @@ EXPECTED_CAPTURE_KEYS = {
     "graph_triangle_count#edges_ingest",
     "graph_bfs_hops#edges_ingest",
     # checkpoint-truncated iteration stages
+    "pipeline_web_to_shards#extract_norm",
+    "pipeline_web_to_shards#rewrite",
+    "pipeline_web_to_shards#tokenize_meta",
+    "bpe_learn_vocab#wordtypes",
+    *{f"bpe_learn_vocab#best{i}" for i in range(1, 9)},
+    *{f"bpe_learn_vocab#merge{i}" for i in range(1, 9)},
     "graph_triangle_count#oriented",
     "graph_bfs_hops#round1",
     "graph_bfs_hops#round2",

@@ -813,3 +813,50 @@ def test_bpe_learn_merge_vocab_bound_and_takeordered(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_learn_vocab_no_python_stage_and_truncated_iterations(spark):
+    """Full BPE merge-table learning (round 11): the k iterations run
+    EAGERLY with localCheckpoint truncation (lineage would otherwise
+    double per level), so the RETURNED plan is just the final vocab
+    RDD scan + the broadcast merge-list attach — no Python stage, no
+    cartesian, no data-sized shuffle. The per-iteration pair-stats /
+    argmax / fold plans are audited through their plancapture hooks
+    (bpe_learn_vocab#best{i} / #merge{i} — presence locked by
+    tests/test_plan_audit.py)."""
+    plan = plan_of(spark, "bpe_learn_vocab")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    # the merge-list attach is the audited 1-row broadcast pattern
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_url_blocklist_broadcast_anti_one_window(spark):
+    """URL blocklist filtering (round 11): canonicalization and
+    domain extraction are scan-local expressions, the blocklist
+    anti-join must BROADCAST (a shuffled anti-join of the corpus
+    against a tiny domain table would be the scale bug), and the
+    only exchange is the per-canonical-URL first-occurrence
+    window."""
+    plan = plan_of(spark, "filter_url_blocklist")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_web_to_shards_checkpointed_stages(spark):
+    """The composed web→shards chain (round 11) materializes its
+    fan-out boundaries eagerly (extract+norm / rewrite / meta — each
+    audited via its plancapture hook), so the RETURNED plan is just
+    the metadata table through packing and the reshard: one grouped
+    Arrow fold, the shard window, no re-derivation of any Arrow
+    extraction stage (a lazy chain rendered EIGHT of them), no
+    cartesian, no parquet re-scan."""
+    plan = plan_of(spark, "pipeline_web_to_shards")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "MapInPandas" not in plan          # Arrow stages checkpointed
+    assert plan.count("FileScan parquet") == 0  # reads the checkpoint
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
