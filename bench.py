@@ -192,6 +192,16 @@ X10 = [
                            # the near-dup corpus explodes the span
                            # stage's output exactly as for
                            # dedup_substring (its slower half)
+    # new in round 11:
+    "pipeline_web_to_shards",  # the FULL day-0 chain (extract -> gate ->
+                           # normalize -> rewrite -> tokenize -> pack ->
+                           # reshard); near-dup clones explode the span
+                           # half like its pipeline_web_curation subset
+    "bpe_learn_vocab",     # corpus pass scales ~linearly; the 8 learn
+                           # iterations are VOCAB-bound (word types grow
+                           # only with the near-dup tag tokens)
+    "filter_url_blocklist",  # scan-local canonicalization + broadcast
+                           # anti-join + one URL window — ~linear
 ]
 
 
@@ -977,6 +987,45 @@ def main() -> None:
         "suite_band": suite_band,
         "errors": errors,
     }
+    # Isolated floors for the TOP-10 headline entries (round 11,
+    # VERDICT r10 item 5): re-measure the suite's slowest queries in
+    # a FRESH process+JVM (scripts/isolated_probe.py, floors-only
+    # mode) so any future suite-embedded "regression" is classifiable
+    # from the committed artifact alone — an entry whose isolated
+    # floor is stable while its suite number moved is session-state
+    # noise, not a plan regression. The subprocess runs AFTER this
+    # session stops: two resident JVMs would contend for the same
+    # cores and corrupt both measurements.
+    top10 = [
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    ]
+    out["isolated_floors"] = {}
+    spark.stop()
+    if top10:
+        try:
+            import subprocess
+
+            probe_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts",
+                "isolated_probe.py",
+            )
+            proc = subprocess.run(
+                [sys.executable, probe_path, "--floors-only", *top10],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                check=True,
+            )
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            out["isolated_floors"] = rec.get("probes", {})
+            print(
+                f"[floors] {len(out['isolated_floors'])} isolated floors "
+                f"recorded for the top-10 headline entries",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["isolated_floors"] = f"{type(exc).__name__}: {exc}"[:200]
     # Full uncapped record → file + stderr (humans, SURVEY, judge).
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -989,7 +1038,6 @@ def main() -> None:
     # (see module docstring). Wall + all headline timings always;
     # probe RATIOS appended only while the line stays under the cap.
     print(build_summary_line(out))
-    spark.stop()
 
 
 def build_summary_line(out: dict, cap: int = 1960) -> str:

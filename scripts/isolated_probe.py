@@ -143,11 +143,27 @@ def run_steady(spark, name: str, sf_dir: str, n: int = 5) -> float:
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    # --floors-only (round 11, VERDICT r10 item 5): record ONLY the
+    # fresh-session sec_isolated/sec_steady floors, skipping the
+    # amplified-corpus tier extras — the mode bench.py subprocesses
+    # after each official run to stamp the top-10 headline entries'
+    # floors into BENCH_FULL.json.
+    floors_only = "--floors-only" in args
+    names = [a for a in args if not a.startswith("--")] or DEFAULT
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
     spark = get_session()
+    # Key sidecars for semantic-dedup/IVF entries are per-source-
+    # version ingests, prewarmed outside every timed window exactly
+    # as bench.py's headline pass does (VERDICT r7 item 2) — without
+    # this a floors run would charge the one-off ingest to whichever
+    # probed query touches it first.
+    try:
+        bench._prewarm_emb_sidecars(spark, SF_DIR)
+    except Exception:  # noqa: BLE001  (no embeddings ops probed)
+        pass
     probes: dict[str, dict] = {}
     for name in names:
         rec: dict = {"sec_isolated": round(run_warm(spark, name, SF_DIR), 3)}
@@ -161,6 +177,9 @@ def main() -> None:
             f"{rec['sec_steady']}s steady",
             file=sys.stderr,
         )
+        if floors_only:
+            probes[name] = rec
+            continue
         if name in WITH_DOCS_X100:
             x100_dir = bench._ensure_docs_amplified(
                 spark, SF_DIR, bench.X100_COPIES, disjoint_vocab=True

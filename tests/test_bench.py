@@ -246,3 +246,24 @@ def test_every_probe_list_entry_has_a_committed_record():
         and not any(name in k for k in errors)
     ]
     assert not missing, f"probe entries with no record and no error: {missing}"
+
+
+def test_isolated_floors_cover_top10_headline_entries():
+    """Round 11 (VERDICT r10 item 5): the committed BENCH_FULL must
+    carry fresh-process isolated floors for the suite's ten slowest
+    headline entries, so a future cross-round headline move can be
+    classified (suite-state noise vs real regression) from the
+    artifact alone. Every floor entry must name a headline query and
+    carry both protocol numbers."""
+    with open("BENCH_FULL.json") as fh:
+        full = json.load(fh)
+    floors = full.get("isolated_floors")
+    assert floors, "BENCH_FULL.json has no isolated_floors section"
+    timings = full["queries"]
+    expect = {
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    }
+    assert set(floors) == expect, (set(floors), expect)
+    for name, rec in floors.items():
+        assert name in HEADLINE, name
+        assert rec["sec_isolated"] > 0 and rec["sec_steady"] > 0, (name, rec)
