@@ -17,13 +17,14 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-11 window (VERDICT r10 item 2): the computed stalest-first
-window leads with this round's four never-verified newcomers
+window leads with this round's six never-verified newcomers
 (bpe_learn_vocab, filter_url_blocklist, pipeline_web_to_shards,
-text_normalize_nfkc), then ALL 16 remaining r6-evidence rows — the
-exact list the r10 judge named as the rotation target — then the 30
-stalest r7 rows. The rows-only cap (``max_rows_only=1``) continues:
-this round's single rows-only slot goes to ``ml_train_eval`` (r7);
-``dedup_minhash_lsh`` and ``split_random`` defer.
+quality_tertile_split, text_normalize_nfkc, tokenize_bpe_corpus),
+then ALL 16 remaining r6-evidence rows — the exact list the r10
+judge named as the rotation target — then the 28 stalest r7 rows. The rows-only cap
+(``max_rows_only=1``) continues: this round's single rows-only slot
+goes to ``ml_train_eval`` (r7); ``dedup_minhash_lsh`` and
+``split_random`` defer.
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -47,7 +48,9 @@ _VERIFY_FIRST = [
     "bpe_learn_vocab",  # never verified
     "filter_url_blocklist",  # never verified
     "pipeline_web_to_shards",  # never verified
+    "quality_tertile_split",  # never verified
     "text_normalize_nfkc",  # never verified
+    "tokenize_bpe_corpus",  # never verified
     "text_unigram_logprob",  # newest r06
     "text_pii_scrub",  # newest r06
     "map_functions",  # newest r06
@@ -92,8 +95,6 @@ _VERIFY_FIRST = [
     "dedup_minhash_lsh_portable",  # newest r07
     "multimodal_features",  # newest r07
     "join_skew_salted",  # newest r07
-    "tokenize_to_ids",  # newest r07
-    "dedup_incremental_near",  # newest r07
 ]
 
 

@@ -46,11 +46,12 @@ TMP_DIR = "/root/repo/.tmp"
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_unigram_logprob",
-    oracle=f"""
+# Corpus unigram-LM scoring CTEs — shared by the text_unigram_logprob
+# oracle and (round 11) the CCNet-style quality_tertile_split that
+# buckets on the same score.
+_UNIGRAM_CTES = f"""
     WITH tk AS (
-      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      SELECT doc_id, lang, unnest({_SQL_TOKS.format(c="text")}) AS token
       FROM documents
     ),
     v AS (SELECT token, COUNT(*) AS tf FROM tk GROUP BY token),
@@ -58,12 +59,21 @@ TMP_DIR = "/root/repo/.tmp"
     vw AS (
       SELECT token, log10(tf / CAST(corpus_n AS DOUBLE)) AS logp
       FROM v CROSS JOIN tot
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(logp), 6) AS avg_logprob
-    FROM tk JOIN vw USING (token)
-    GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(logp), 6) AS avg_logprob
+      FROM tk JOIN vw USING (token)
+      GROUP BY doc_id, lang
+    )"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_UNIGRAM_CTES
+    + """
+    SELECT doc_id, n_tokens, avg_logprob FROM scored
     """,
 )
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +95,76 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tk.join(F.broadcast(vw), "token").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         round6(F.avg("logp")).alias("avg_logprob"),
+    )
+
+
+@register(
+    "quality_tertile_split",
+    oracle=_UNIGRAM_CTES
+    + """
+    SELECT doc_id, lang, n_tokens, avg_logprob,
+           CAST(tile AS INTEGER) AS tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS split
+    FROM (
+      SELECT *, NTILE(3) OVER (
+        PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+      ) AS tile
+      FROM scored
+    )
+    """,
+)
+def q_quality_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (round 11; Wenzek et al. 2019,
+    public method) — the perplexity-bucketed partitioning that
+    pipeline made standard: score every document with the corpus
+    unigram LM (the same two-pass scoring as
+    ``text_unigram_logprob`` — the KenLM stand-in), then split each
+    LANGUAGE into equal-size tertiles by score (best third = 'head',
+    then 'middle', 'tail'); downstream training mixes sample
+    tertiles at different rates instead of hard-thresholding.
+
+    Shape: the scoring is the unigram op's broadcast-vocab plan (two
+    hash aggregations, map-side scoring join); the split adds ONE
+    ntile window partitioned by lang over the doc-level score table
+    (metadata-width rows — ids, counts, one double — never text).
+    Deterministic: scores are rounded to 6 dp and the window orders
+    by (score desc, doc_id), so tile boundaries are total-ordered;
+    ntile's extra-row rule is the standard floor distribution both
+    engines share → full value-hash oracle chaining the shared
+    unigram CTEs."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("corpus_n"))
+    vw = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log10(F.col("tf") / F.col("corpus_n").cast("double")).alias("logp"),
+    )
+    scored = (
+        tk.join(F.broadcast(vw), "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            round6(F.avg("logp")).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_logprob",
+        tile.cast("int").alias("tile"),
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("split"),
     )
 
 
@@ -2837,14 +2917,16 @@ def _bpe_pair_merge_fold(seg_col: str = "seg"):
     )
 
 
-def _bpe_vocab_oracle(k: int) -> str:
+def _bpe_learn_ctes(k: int) -> str:
     """Unrolled DuckDB replay of k BPE merge-learning iterations —
     the ``graph_pagerank`` fixed-k unrolling precedent applied to
     tokenizer training. Each iteration is three CTEs (pair stats /
     argmax / fold), with the greedy merge application expressed as a
     ``list_reduce`` over the previous segmentation (byte-identical to
     the Spark F.aggregate fold; cross-checked against an independent
-    Python BPE in tests/test_curation.py)."""
+    Python BPE in tests/test_curation.py). Ends after the ``merges``
+    CTE — shared by the bpe_learn_vocab and tokenize_bpe_corpus
+    oracles, which append their own final SELECTs."""
     parts = [
         f"""
     WITH occ AS (
@@ -2888,13 +2970,78 @@ def _bpe_vocab_oracle(k: int) -> str:
     )
     bs = ", ".join(f"b{i}" for i in range(1, k + 1))
     parts.append(f""",
-    merges AS (SELECT {merge_concat} AS merges FROM {bs})
+    merges AS (SELECT {merge_concat} AS merges FROM {bs})""")
+    return "".join(parts)
+
+
+def _bpe_vocab_oracle(k: int) -> str:
+    return (
+        _bpe_learn_ctes(k)
+        + f"""
     SELECT s.tok, s.freq, s.seg AS segmented,
            CAST(len(string_split(s.seg, ' ')) AS INTEGER) AS n_symbols,
            m.merges
     FROM seg{k} s, merges m
-    """)
-    return "".join(parts)
+    """
+    )
+
+
+def _bpe_learn(spark: SparkSession, docs: DataFrame, k: int):
+    """The k-iteration BPE merge-learning loop (Sennrich et al. 2016)
+    shared by ``bpe_learn_vocab`` (emits the learned model) and
+    ``tokenize_bpe_corpus`` (applies it to the corpus). Returns the
+    final word-type table ``ch`` (tok, freq, seg: array of learned
+    symbols; localCheckpointed) and the list of per-iteration 1-row
+    argmax DataFrames (checkpointed, each tagged with its iteration).
+    See q_bpe_learn_vocab's docstring for the scale decomposition."""
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+    from bigdatafinalproject_hockey_spark.plancapture import capture
+
+    occ = ensure_parallelism(docs).select(
+        F.explode(tokens_expr("text")).alias("tok")
+    )
+    ch = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("seg", F.split("tok", ""))
+    )
+    capture("wordtypes", ch)
+    ch = ch.localCheckpoint(eager=True)
+
+    bests = []
+    for i in range(1, k + 1):
+        pairs = (
+            ch.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        # guard 1-symbol segs: sequence(1, 0) DESCENDS
+                        F.when(
+                            F.size("seg") > 1,
+                            F.sequence(F.lit(1), F.size("seg") - 1),
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda j: F.struct(
+                            F.element_at("seg", j).alias("x"),
+                            F.element_at("seg", j + 1).alias("y"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
+        capture(f"best{i}", best)
+        best = best.localCheckpoint(eager=True)
+        bests.append(best.select(F.lit(i).alias("it"), "x", "y"))
+        merged = ch.crossJoin(F.broadcast(best)).select(
+            "tok", "freq", _bpe_pair_merge_fold("seg").alias("seg")
+        )
+        capture(f"merge{i}", merged)
+        ch = merged.localCheckpoint(eager=True)
+    return ch, bests
 
 
 @register("bpe_learn_vocab", oracle=_bpe_vocab_oracle(_BPE_K))
@@ -2935,54 +3082,8 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent Python BPE for the full k in tests/test_curation.py).
     No reference analog (the reference tokenizes nothing); this is
     the brief's text-analysis tier."""
-    from bigdatafinalproject_hockey_spark.operators.partitioning import (
-        ensure_parallelism,
-    )
-    from bigdatafinalproject_hockey_spark.plancapture import capture
-
     docs = load_table(spark, "documents", sf_dir)
-    occ = ensure_parallelism(docs).select(
-        F.explode(tokens_expr("text")).alias("tok")
-    )
-    ch = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .withColumn("seg", F.split("tok", ""))
-    )
-    capture("wordtypes", ch)
-    ch = ch.localCheckpoint(eager=True)
-
-    bests = []
-    for i in range(1, _BPE_K + 1):
-        pairs = (
-            ch.select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        # guard 1-symbol segs: sequence(1, 0) DESCENDS
-                        F.when(
-                            F.size("seg") > 1,
-                            F.sequence(F.lit(1), F.size("seg") - 1),
-                        ).otherwise(F.array().cast("array<int>")),
-                        lambda j: F.struct(
-                            F.element_at("seg", j).alias("x"),
-                            F.element_at("seg", j + 1).alias("y"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
-        capture(f"best{i}", best)
-        best = best.localCheckpoint(eager=True)
-        bests.append(best.select(F.lit(i).alias("it"), "x", "y"))
-        merged = ch.crossJoin(F.broadcast(best)).select(
-            "tok", "freq", _bpe_pair_merge_fold("seg").alias("seg")
-        )
-        capture(f"merge{i}", merged)
-        ch = merged.localCheckpoint(eager=True)
+    ch, bests = _bpe_learn(spark, docs, _BPE_K)
 
     mtab = bests[0]
     for b in bests[1:]:
@@ -3004,4 +3105,120 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("seg", " ").alias("segmented"),
         F.size("seg").cast("int").alias("n_symbols"),
         "merges",
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    merge_rows = "\n      UNION ALL ".join(
+        f"SELECT b{i}.x || b{i}.y AS sym, 1 AS tier, {i} AS rk FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        _bpe_learn_ctes(k)
+        + f""",
+    alpha AS (
+      SELECT DISTINCT unnest(string_split(tok, '')) AS sym FROM ch
+    ),
+    alpha_ids AS (
+      SELECT sym, 0 AS tier,
+             ROW_NUMBER() OVER (ORDER BY sym) AS rk
+      FROM alpha
+    ),
+    merge_syms AS (
+      {merge_rows}
+    ),
+    sym_first AS (
+      SELECT sym, MIN(tier * 100000 + rk) AS ord
+      FROM (SELECT * FROM alpha_ids UNION ALL SELECT * FROM merge_syms)
+      GROUP BY sym
+    ),
+    symtab AS (
+      SELECT sym,
+             CAST(ROW_NUMBER() OVER (ORDER BY ord) - 1 AS INTEGER)
+               AS sym_id
+      FROM sym_first
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+      FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk
+            FROM documents)
+    ),
+    segx AS (
+      SELECT tok,
+             unnest(range(len(string_split(seg, ' ')))) AS sub_pos,
+             unnest(string_split(seg, ' ')) AS sym
+      FROM seg{k}
+    )
+    SELECT c.doc_id, CAST(c.pos AS INT) AS pos,
+           CAST(s.sub_pos AS INT) AS sub_pos,
+           s.sym AS symbol, t.sym_id
+    FROM corpus c JOIN segx s USING (tok) JOIN symtab t ON s.sym = t.sym
+    """
+    )
+
+
+@register("tokenize_bpe_corpus", oracle=_bpe_apply_oracle(_BPE_K))
+def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply half of learned subword tokenization
+    (round 11): train the k=8 merge table (the shared ``_bpe_learn``
+    loop), build the canonical BPE symbol vocabulary (base alphabet
+    in sorted order, then merged symbols in LEARN order — the id
+    scheme of a real BPE vocab file; duplicate strings keep their
+    first id), and tokenize the corpus with it: every corpus token
+    position expands to its learned subword symbols with dense
+    sub-positions and symbol ids.
+
+    Scale shape — the production encode path: learning is vocab-bound
+    (see bpe_learn_vocab); the APPLY is one corpus scan + TWO
+    broadcast joins (word-type → segmentation, symbol → id; both
+    tables are vocabulary-sized) — the corpus itself never shuffles,
+    exactly how a real tokenizer worker memoizes word→pieces. The
+    symbol-table construction windows run over the tiny
+    alphabet+merge set (audited single-partition exchanges).
+
+    Output: (doc_id, pos, sub_pos, symbol, sym_id) — the exploded
+    layout ``pack_sequences`` consumes, the learned-vocabulary twin
+    of ``tokenize_to_ids``' fixed top-V scheme. Full value-hash
+    oracle: the shared unrolled learn CTEs chained into the
+    vocabulary construction and the apply joins."""
+    docs = load_table(spark, "documents", sf_dir)
+    ch, bests = _bpe_learn(spark, docs, _BPE_K)
+
+    alpha = ch.select(F.explode(F.split("tok", "")).alias("sym")).distinct()
+    wa = Window.orderBy("sym")
+    alpha_ids = alpha.select(
+        "sym", F.lit(0).alias("tier"), F.row_number().over(wa).alias("rk")
+    )
+    mtab = bests[0]
+    for b in bests[1:]:
+        mtab = mtab.unionByName(b)
+    merge_syms = mtab.select(
+        F.concat("x", "y").alias("sym"),
+        F.lit(1).alias("tier"),
+        F.col("it").alias("rk"),
+    )
+    sym_first = (
+        alpha_ids.unionByName(merge_syms)
+        .groupBy("sym")
+        .agg(F.min(F.col("tier") * 100000 + F.col("rk")).alias("ord"))
+    )
+    ws = Window.orderBy("ord")
+    symtab = sym_first.select(
+        "sym", (F.row_number().over(ws) - 1).cast("int").alias("sym_id")
+    )
+
+    corpus = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    )
+    segx = ch.select("tok", F.posexplode("seg").alias("sub_pos", "sym"))
+    return (
+        corpus.join(F.broadcast(segx), "tok")
+        .join(F.broadcast(symtab), "sym")
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("sub_pos").cast("int").alias("sub_pos"),
+            F.col("sym").alias("symbol"),
+            "sym_id",
+        )
     )

@@ -100,6 +100,9 @@ ALLOWED: dict[str, set[str]] = {
     "bpe_learn_vocab": {"bnl_join", "single_part_exchange"},  # per-iteration
                                               # 1-row argmax merges; k-row
                                               # merge-list fold
+    "tokenize_bpe_corpus": {"bnl_join", "single_part_exchange"},  # shared
+                                              # learn loop; symbol-table
+                                              # windows over alphabet+merges
     "corpus_drift": {"bnl_join"},             # top-V vocab table
     "diag_join_key_skew": {"bnl_join", "single_part_exchange"},  # scalar skew thresholds
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts
@@ -128,6 +131,9 @@ ALLOWED: dict[str, set[str]] = {
     "stream_fanout_multi_sink": {"single_part_exchange"},  # global readout scalars
     "text_tfidf_top_terms": {"bnl_join", "single_part_exchange"},  # scalar corpus doc count
     "text_unigram_logprob": {"bnl_join", "single_part_exchange"},  # scalar vocab total
+    "quality_tertile_split": {"bnl_join", "single_part_exchange"},  # same
+                                              # scalar vocab total as its
+                                              # unigram base
 }
 
 SF = "/root/testdata/sf0.01"

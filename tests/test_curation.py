@@ -618,3 +618,101 @@ def test_filter_url_blocklist_semantics(spark):
     # the odd pair member carried tracking params + no-www http —
     # same canonical page, hence dropped (not blocked).
     assert got[4].canon_url == "site2.example.com/en/article/2"
+
+
+def test_tokenize_bpe_corpus_applies_learned_segmentation(spark):
+    """BPE encode (round 11): applying the learned merge table must
+    reproduce the independent Python BPE's segmentation at every
+    corpus position, and symbol ids must follow the canonical BPE
+    vocab scheme — sorted base alphabet first, then merged symbols in
+    learn order (first occurrence wins on duplicates)."""
+    import collections
+    import re as _re
+    import unittest.mock as mock
+
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "lower lowest newer newest wider widest low new",
+        "the theme there then the the then there",
+    ]
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    df = _docs(spark, rows)
+
+    # independent reference: learn + apply + canonical vocab ids
+    toks_by_doc = [
+        [w for w in _re.split("[^a-z0-9]+", t.lower()) if w] for t in texts
+    ]
+    freq = collections.Counter(w for ws in toks_by_doc for w in ws)
+    segs = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(cur._BPE_K):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        assert pc
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        x, y = best
+        for w in segs:
+            s = segs[w]
+            out = [s[0]]
+            for c in s[1:]:
+                if out[-1] == x and c == y:
+                    out[-1] = x + y
+                else:
+                    out.append(c)
+            segs[w] = out
+    vocab_order = sorted({c for w in freq for c in w})
+    for x, y in merges:
+        if x + y not in vocab_order:
+            vocab_order.append(x + y)
+    sym_id = {s: i for i, s in enumerate(vocab_order)}
+
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = QUERIES["tokenize_bpe_corpus"](spark, "ignored").collect()
+
+    by_pos = collections.defaultdict(dict)
+    for r in got:
+        by_pos[(r.doc_id, r.pos)][r.sub_pos] = (r.symbol, r.sym_id)
+    for d, ws in enumerate(toks_by_doc):
+        for p, w in enumerate(ws):
+            subs = by_pos[(d, p)]
+            assert sorted(subs) == list(range(len(segs[w]))), (d, p, subs)
+            syms = [subs[i][0] for i in sorted(subs)]
+            assert syms == segs[w], (w, syms, segs[w])
+            assert "".join(syms) == w
+            for i in sorted(subs):
+                assert subs[i][1] == sym_id[subs[i][0]], (subs[i], sym_id)
+
+
+def test_quality_tertile_split_balanced_and_ordered(spark):
+    """CCNet head/middle/tail split (round 11): per language the three
+    tertiles must be equal-size (±1, ntile's floor rule), every head
+    doc must score >= every tail doc of its language, and the split
+    must cover each language's full doc set exactly once."""
+    import collections
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["quality_tertile_split"](spark, sf).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    # token-less docs drop out of unigram scoring; corpus has none
+    assert len(rows) == n_docs
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        assert r.split == {1: "head", 2: "middle", 3: "tail"}[r.tile]
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        sizes = collections.Counter(r.tile for r in rs)
+        assert set(sizes) <= {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head_min = min(r.avg_logprob for r in rs if r.tile == 1)
+        tail_max = max(r.avg_logprob for r in rs if r.tile == 3)
+        assert head_min >= tail_max, (lang, head_min, tail_max)

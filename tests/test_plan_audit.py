@@ -41,6 +41,9 @@ EXPECTED_CAPTURE_KEYS = {
     "bpe_learn_vocab#wordtypes",
     *{f"bpe_learn_vocab#best{i}" for i in range(1, 9)},
     *{f"bpe_learn_vocab#merge{i}" for i in range(1, 9)},
+    "tokenize_bpe_corpus#wordtypes",
+    *{f"tokenize_bpe_corpus#best{i}" for i in range(1, 9)},
+    *{f"tokenize_bpe_corpus#merge{i}" for i in range(1, 9)},
     "graph_triangle_count#oriented",
     "graph_bfs_hops#round1",
     "graph_bfs_hops#round2",

@@ -860,3 +860,19 @@ def test_pipeline_web_to_shards_checkpointed_stages(spark):
     assert plan.count("FileScan parquet") == 0  # reads the checkpoint
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_tokenize_bpe_corpus_apply_is_broadcast_only(spark):
+    """BPE encode (round 11): the corpus-side apply must be ONE scan
+    + two BROADCAST joins (word-type segmentation and symbol-id
+    tables are vocabulary-sized) — the corpus never shuffles. The
+    only exchanges are over the tiny alphabet/symbol-table side
+    (allowlisted single-partition windows + two vocab-sized hash
+    aggregations); the learn loop's stages are audited via their
+    plancapture hooks."""
+    plan = plan_of(spark, "tokenize_bpe_corpus")
+    assert plan.count("FileScan parquet") == 1       # corpus scanned once
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # tiny sym tables
