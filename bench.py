@@ -987,6 +987,34 @@ def main() -> None:
         "suite_band": suite_band,
         "errors": errors,
     }
+    # Hardware/session calibration wall (round 11, ADVICE r10): a
+    # FIXED registry-independent workload (range scan + expression
+    # aggregate over 50M generated rows, steady min-of-5) whose wall
+    # pins this machine+JVM's speed into the artifact. The x100 wall
+    # gates (tests/test_bench.py X100_WALL_BOUNDS_SEC) scale their
+    # bounds UP by calib_wall_sec / CALIB_REFERENCE_SEC on slower
+    # hardware, so a committed record from a slower box no longer
+    # fails the absolute-seconds gates spuriously. (Faster hardware
+    # keeps the pinned bounds — a floor, so regressions can't hide
+    # behind a fast machine any more than they could before.)
+    calib_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr(
+                "sum(id * 3 + (id % 7)) AS s",
+                "count(1) AS c",
+                "avg(id % 1000) AS a",
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        calib_runs.append(time.perf_counter() - t0)
+    out["calib_wall_sec"] = round(min(calib_runs), 3)
+    print(f"[calib] {out['calib_wall_sec']}s steady", file=sys.stderr)
+
     # Isolated floors for the TOP-10 headline entries (round 11,
     # VERDICT r10 item 5): re-measure the suite's slowest queries in
     # a FRESH process+JVM (scripts/isolated_probe.py, floors-only

@@ -2686,6 +2686,26 @@ def _url_fixture_expr():
     )
 
 
+def url_canon_expr(url_col: str):
+    """Canonical URL: strip scheme, a leading www., query string /
+    fragment, then a host port (example.com:8080/x and example.com/x
+    are one page) — all scan-local regexps, shared semantics with the
+    oracle's CTE."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(url_col), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "[?#].*$",
+            "",
+        ),
+        "^([^/:]+):[0-9]+",
+        "$1",
+    )
+
+
 @register(
     "filter_url_blocklist",
     oracle=f"""
@@ -2694,8 +2714,9 @@ def _url_fixture_expr():
     ),
     c AS (
       SELECT doc_id, url,
-             regexp_replace(regexp_replace(regexp_replace(
-               url, '^https?://', ''), '^www\\.', ''), '[?#].*$', '')
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
+               '^([^/:]+):[0-9]+', '\\1')
                AS canon_url
       FROM u
     ),
@@ -2751,17 +2772,8 @@ def q_filter_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", _url_fixture_expr().alias("url")
     )
-    canon = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("url"), "^https?://", ""),
-            "^www\\.",
-            "",
-        ),
-        "[?#].*$",
-        "",
-    )
     host = F.regexp_extract(F.col("canon_url"), "^([^/]+)", 1)
-    d = docs.withColumn("canon_url", canon).withColumn(
+    d = docs.withColumn("canon_url", url_canon_expr("url")).withColumn(
         "domain", F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     )
     blk = spark.createDataFrame(

@@ -192,15 +192,40 @@ X100_WALL_BOUNDS_SEC = {
 }
 
 
+# The calibration wall of the machine the bounds above were pinned on
+# (ADVICE r10: absolute-seconds gates fail spuriously on slower
+# hardware). bench.py records each run's own calib_wall_sec (a fixed
+# registry-independent 50M-row expression aggregate, steady
+# min-of-5); the gates scale UP by committed_calib / REFERENCE when
+# the committing machine is slower, and floor at 1.0 so a fast
+# machine cannot relax the pinned bounds. Reference measured on the
+# pinning machine under the SAME protocol the artifact records —
+# end-of-bench deep-warm steady min-of-5 (0.086 s on local[32];
+# a fresh session reads ~0.19 s, so the reference must come from the
+# in-bench measurement, not a standalone run); a small cushion keeps
+# ordinary session noise from inflating the gates.
+CALIB_REFERENCE_SEC = 0.1
+
+
+def _calib_scale(full: dict) -> float:
+    calib = full.get("calib_wall_sec")
+    if not calib:
+        return 1.0  # pre-round-11 artifact: unscaled absolute gates
+    return max(1.0, calib / CALIB_REFERENCE_SEC)
+
+
 def test_x100_gate_reads_walls_not_ratios():
     """Every committed x100 record must hold a steady wall under its
     generous bound — this fails the suite on a genuine super-linear
     regression even when the overhead-dominated 1x denominator makes
     the ratio unreadable, and it fails if an x100 tier entry stops
     being measured (wall missing) without being removed from the
-    probe lists."""
+    probe lists. Bounds scale with the committed run's hardware
+    calibration (ADVICE r10) so a slower box fails only on relative
+    regression, never on raw seconds."""
     with open("BENCH_FULL.json") as fh:
         full = json.load(fh)
+    scale = _calib_scale(full)
     records = {}
     for tier in ("docs_x100", "embeddings_x100"):
         records.update(full.get(tier) or {})
@@ -213,10 +238,11 @@ def test_x100_gate_reads_walls_not_ratios():
             f"{name}: x100 probe entry has no wall bound — add one "
             "(≈2x its committed steady wall)"
         )
-        assert rec["sec_100x"] <= bound, (
+        assert rec["sec_100x"] <= bound * scale, (
             f"{name}: x100 steady wall {rec['sec_100x']}s exceeds the "
-            f"{bound}s gate — super-linear regression (the 1x base and "
-            f"ratio are noise; the wall is the signal)"
+            f"{bound}s gate (calib scale {scale:.2f}) — super-linear "
+            f"regression (the 1x base and ratio are noise; the wall is "
+            f"the signal)"
         )
 
 

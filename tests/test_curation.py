@@ -716,3 +716,81 @@ def test_quality_tertile_split_balanced_and_ordered(spark):
         head_min = min(r.avg_logprob for r in rs if r.tile == 1)
         tail_max = max(r.avg_logprob for r in rs if r.tile == 3)
         assert head_min >= tail_max, (lang, head_min, tail_max)
+
+
+def test_bpe_fold_expression_matches_python_on_random_arrays(spark):
+    """The greedy merge fold (_bpe_pair_merge_fold) is the core
+    expression trick of the BPE tier — pin it against a from-scratch
+    Python fold on 400 seeded-random symbol arrays, including the
+    overlap case ([a,a,a] + (a,a) -> [aa,a]) and multi-char symbols,
+    under a deliberately adversarial tiny alphabet."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdatafinalproject_hockey_spark.queries.curation import (
+        _bpe_pair_merge_fold,
+    )
+
+    rng = random.Random(11)
+    syms = ["a", "b", "aa", "ab", "ba"]
+    rows = []
+    for i in range(400):
+        arr = [rng.choice(syms) for _ in range(rng.randint(1, 12))]
+        x, y = rng.choice(syms), rng.choice(syms)
+        rows.append((i, arr, x, y))
+
+    def py_fold(arr, x, y):
+        out = [arr[0]]
+        for c in arr[1:]:
+            if out[-1] == x and c == y:
+                out[-1] = x + y
+            else:
+                out.append(c)
+        return out
+
+    df = spark.createDataFrame(
+        rows, "id int, seg array<string>, x string, y string"
+    )
+    got = {
+        r.id: r.folded
+        for r in df.select(
+            "id", _bpe_pair_merge_fold("seg").alias("folded")
+        ).collect()
+    }
+    for i, arr, x, y in rows:
+        assert got[i] == py_fold(arr, x, y), (arr, x, y, got[i])
+    # the canonical overlap case, explicitly
+    one = spark.createDataFrame(
+        [(0, ["a", "a", "a"], "a", "a")],
+        "id int, seg array<string>, x string, y string",
+    )
+    assert one.select(
+        _bpe_pair_merge_fold("seg").alias("f")
+    ).first().f == ["aa", "a"]
+
+
+def test_url_canon_expr_equivalence_classes(spark):
+    """Canonicalization must unify every presentation variant of one
+    page — scheme, www., tracking params, fragments, and (round-11
+    hardening) host ports — while preserving path distinctions."""
+    from bigdatafinalproject_hockey_spark.queries.curation import (
+        url_canon_expr,
+    )
+
+    cases = [
+        ("https://site.example.com/a/b", "site.example.com/a/b"),
+        ("http://www.site.example.com/a/b", "site.example.com/a/b"),
+        ("https://site.example.com/a/b?utm_source=x&y=2", "site.example.com/a/b"),
+        ("http://site.example.com/a/b#frag", "site.example.com/a/b"),
+        ("https://site.example.com:8080/a/b", "site.example.com/a/b"),
+        ("https://www.site.example.com:443/a/b?q=1#f", "site.example.com/a/b"),
+        # path distinctions survive
+        ("https://site.example.com/a/c", "site.example.com/a/c"),
+        # a colon later in the PATH is not a port
+        ("https://site.example.com/a:b", "site.example.com/a:b"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expect string")
+    rows = df.select("expect", url_canon_expr("url").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.expect, (r.got, r.expect)
