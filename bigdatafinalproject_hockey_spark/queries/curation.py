@@ -176,6 +176,166 @@ _SQL_BIGRAMS = (
 )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 Table A1 structure,
+# bounds scaled to this corpus's length regime so every rule's both
+# sides are exercised at the driver SFs — the paper's 50-word floor
+# would cut most synthetic docs).
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_TOP = 0.125
+_GOPHER_MAX_DIGIT = 0.2
+_GOPHER_MAX_DUPBG = 0.1
+
+
+@register(
+    "filter_gopher_rules",
+    oracle=f"""
+    WITH tkx AS (
+      SELECT doc_id, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    cx AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM tkx GROUP BY doc_id, token
+    ),
+    tstats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_words,
+             ROUND(SUM(cnt * len(token)) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS mean_word_len,
+             ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS top_token_ratio,
+             ROUND(SUM(CASE WHEN regexp_matches(token, '[0-9]')
+                            THEN cnt ELSE 0 END)
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS digit_token_ratio
+      FROM cx GROUP BY doc_id
+    ),
+    bgx AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS.format(t="tk2")}) AS b
+      FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk2
+            FROM documents)
+    ),
+    bcx AS (
+      SELECT doc_id, b, COUNT(*) AS cnt FROM bgx GROUP BY doc_id, b
+    ),
+    btx AS (
+      SELECT doc_id,
+             ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS dup_bigram_ratio
+      FROM bcx GROUP BY doc_id
+    ),
+    jx AS (
+      SELECT t.*, COALESCE(b.dup_bigram_ratio, 0.0) AS dup_bigram_ratio
+      FROM tstats t LEFT JOIN btx b USING (doc_id)
+    )
+    SELECT doc_id, n_words, mean_word_len, top_token_ratio,
+           digit_token_ratio, dup_bigram_ratio,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AS r_len,
+           (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
+             AS r_wordlen,
+           (top_token_ratio <= {_GOPHER_MAX_TOP}) AS r_top,
+           (digit_token_ratio <= {_GOPHER_MAX_DIGIT}) AS r_digit,
+           (dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}) AS r_dupbg,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL}
+                 AND {_GOPHER_MAX_MWL})
+            AND top_token_ratio <= {_GOPHER_MAX_TOP}
+            AND digit_token_ratio <= {_GOPHER_MAX_DIGIT}
+            AND dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}) AS keep
+    FROM jx
+    """,
+)
+def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality-rule filter (round 11; Rae et
+    al. 2021 Table A1 structure, public method) — the rule battery
+    every large English web corpus runs alongside model-based quality
+    scores: per document, word count bounds, mean word length bounds,
+    most-frequent-token share, digit-token share, and duplicate-
+    BIGRAM mass (the n-gram repetition class the paper's dup-ngram
+    rules target; the within-doc twin of the cross-doc substring
+    tier), each emitted as a signal AND a boolean rule verdict plus
+    the composite ``keep``. Downstream pipelines filter on ``keep``
+    or re-weight by individual rules. Thresholds are corpus-scaled
+    (documented at the constants) so both sides of every binding rule
+    are exercised at the driver SFs: at sf0.01, 457/500 pass the
+    length rule, 427 the top-token rule, 491 the dup-bigram rule.
+
+    Shape: two explode→(doc, gram) count→per-doc rollup legs (token
+    and bigram), each one exchange pair with map-side combine (the
+    shuffle carries counts, never tokens), joined doc-keyed; all
+    rules are scan-local expressions over ROUNDED signals (6 dp both
+    engines, so rule booleans can never disagree at the hash
+    boundary). Token-less docs emit no row (nothing to score — the
+    q_text_repetition_score convention). Full value-hash oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    tk = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    c = tk.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        round6(
+            F.sum(F.col("cnt") * F.length("token"))
+            / F.sum("cnt").cast("double")
+        ).alias("mean_word_len"),
+        round6(F.max("cnt") / F.sum("cnt").cast("double")).alias(
+            "top_token_ratio"
+        ),
+        round6(
+            F.sum(
+                F.when(F.col("token").rlike("[0-9]"), F.col("cnt")).otherwise(
+                    0
+                )
+            )
+            / F.sum("cnt").cast("double")
+        ).alias("digit_token_ratio"),
+    )
+    toks = tokens_expr(F.col("text"))
+    bgs = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select("doc_id", F.explode(bgs).alias("b"))
+    bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    bt = bc.groupBy("doc_id").agg(
+        round6(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt").cast("double")
+        ).alias("dup_bigram_ratio")
+    )
+    j = t.join(bt, "doc_id", "left").withColumn(
+        "dup_bigram_ratio", F.coalesce("dup_bigram_ratio", F.lit(0.0))
+    )
+    r_len = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    r_wordlen = (F.col("mean_word_len") >= _GOPHER_MIN_MWL) & (
+        F.col("mean_word_len") <= _GOPHER_MAX_MWL
+    )
+    r_top = F.col("top_token_ratio") <= _GOPHER_MAX_TOP
+    r_digit = F.col("digit_token_ratio") <= _GOPHER_MAX_DIGIT
+    r_dupbg = F.col("dup_bigram_ratio") <= _GOPHER_MAX_DUPBG
+    return j.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "top_token_ratio",
+        "digit_token_ratio",
+        "dup_bigram_ratio",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_top.alias("r_top"),
+        r_digit.alias("r_digit"),
+        r_dupbg.alias("r_dupbg"),
+        (r_len & r_wordlen & r_top & r_digit & r_dupbg).alias("keep"),
+    )
+
+
 @register(
     "text_bigram_logprob",
     oracle=f"""

@@ -794,3 +794,38 @@ def test_url_canon_expr_equivalence_classes(spark):
     rows = df.select("expect", url_canon_expr("url").alias("got")).collect()
     for r in rows:
         assert r.got == r.expect, (r.got, r.expect)
+
+
+def test_filter_gopher_rules_edges(spark):
+    """Rule-boundary and degeneracy edges: a token-less doc emits no
+    row; a doc repeating one token trips the top-token rule; a doc of
+    exactly the minimum word count passes the length rule while a
+    19-word doc fails it; single-token docs get dup_bigram_ratio 0
+    via the left-join coalesce."""
+    import unittest.mock as mock
+
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+
+    distinct20 = " ".join(f"word{i:02d}" for i in range(20))
+    distinct19 = " ".join(f"word{i:02d}" for i in range(19))
+    rows = [
+        (1, "", "en", "s", 0),                      # token-less
+        (2, "spam " * 30, "en", "s", 0),            # one token repeated
+        (3, distinct20, "en", "s", 0),              # exactly at the floor
+        (4, distinct19, "en", "s", 0),              # one under
+        (5, "solitary", "en", "s", 0),              # single token
+    ]
+    df = _docs(spark, rows)
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = {
+            r.doc_id: r
+            for r in QUERIES["filter_gopher_rules"](
+                spark, "ignored"
+            ).collect()
+        }
+    assert 1 not in got
+    assert got[2].top_token_ratio == 1.0 and not got[2].r_top
+    assert got[2].dup_bigram_ratio > 0.9 and not got[2].r_dupbg
+    assert got[3].r_len and not got[4].r_len
+    assert got[5].dup_bigram_ratio == 0.0 and got[5].r_dupbg
+    assert not got[5].r_len and not got[5].keep

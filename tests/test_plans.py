@@ -876,3 +876,14 @@ def test_tokenize_bpe_corpus_apply_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # tiny sym tables
+
+
+def test_filter_gopher_rules_two_count_legs_no_shuffled_join(spark):
+    """Gopher rule battery (round 11): two explode→count→rollup legs
+    (token, bigram) — four exchanges with map-side combine, the
+    doc-keyed merge never a shuffled join beyond them, no cartesian;
+    rules are scan-local expressions over the rolled-up signals."""
+    plan = plan_of(spark, "filter_gopher_rules")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
