@@ -40,6 +40,23 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col))
 
 
+def bigrams_expr(toks: Column) -> Column:
+    """Adjacent token bigrams ("w_i w_i+1") of a token array — the
+    ONE Spark definition matching queries/curation.py's
+    ``_SQL_BIGRAMS`` oracle form (round-11 dedup: the bigram-LM and
+    Gopher-rule ops previously each built this with a different
+    idiom). Arrays of < 2 tokens yield an empty array."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def distinct_tokens_expr(col: Column | str) -> Column:
     return F.array_distinct(tokens_expr(col))
 

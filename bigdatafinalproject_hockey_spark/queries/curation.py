@@ -27,6 +27,7 @@ from bigdatafinalproject_hockey_spark.functions.hashing import (
     splitmix64,
 )
 from bigdatafinalproject_hockey_spark.functions.text import (
+    bigrams_expr,
     md5_fingerprint_expr,
     tokens_expr,
 )
@@ -291,17 +292,10 @@ def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").cast("double")
         ).alias("digit_token_ratio"),
     )
-    toks = tokens_expr(F.col("text"))
-    bgs = F.when(
-        F.size(toks) > 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = docs.select("doc_id", F.explode(bgs).alias("b"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(bigrams_expr(tokens_expr(F.col("text")))).alias("b"),
+    )
     bc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
     bt = bc.groupBy("doc_id").agg(
         round6(
@@ -371,16 +365,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the instance stream; shuffles only for the model-building
     aggregations. Docs with <2 tokens drop out."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens_expr(F.col("text"))
-    n = F.size(toks)
-    bgs = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bgs = bigrams_expr(tokens_expr(F.col("text")))
     inst = docs.select("doc_id", F.explode(bgs).alias("bigram"))
     bgc = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
     hist = bgc.groupBy(
@@ -3020,40 +3005,13 @@ def q_bpe_learn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = occ.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     ).withColumn("cs", F.split("tok", ""))
-    pairs = (
-        ch.select(
-            "freq",
-            F.explode(
-                F.transform(
-                    # guard 1-char tokens: sequence(1, 0) DESCENDS in
-                    # Spark (same trap as the shingle/segment ops)
-                    F.when(
-                        F.size("cs") > 1,
-                        F.sequence(F.lit(1), F.size("cs") - 1),
-                    ).otherwise(F.array().cast("array<int>")),
-                    lambda i: F.struct(
-                        F.element_at("cs", i).alias("x"),
-                        F.element_at("cs", i + 1).alias("y"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .groupBy("p.x", "p.y")
-        .agg(F.sum("freq").alias("cnt"))
-    )
+    # pair stats / argmax / greedy fold are the SHARED helpers the
+    # k-iteration trainer loops over (round-11 dedup — one definition
+    # of the merge semantics for both ops and the oracle fold).
+    pairs = _bpe_pair_stats(ch, "cs")
     best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
     with_best = ch.crossJoin(F.broadcast(best))
-    fold = F.aggregate(
-        F.expr("slice(cs, 2, size(cs) - 1)"),
-        F.array(F.element_at("cs", 1)),
-        lambda acc, c: F.when(
-            (F.element_at(acc, -1) == F.col("x")) & (c == F.col("y")),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - F.lit(1)),
-                F.array(F.concat(F.col("x"), F.col("y"))),
-            ),
-        ).otherwise(F.concat(acc, F.array(c))),
-    )
+    fold = _bpe_pair_merge_fold("cs")
     return with_best.select(
         "tok",
         "freq",
@@ -3069,6 +3027,41 @@ def q_bpe_learn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BPE_K = 8
+
+
+def _bpe_pair_stats(ch: DataFrame, seg_col: str = "seg") -> DataFrame:
+    """Adjacent-symbol pair statistics over the word-type table,
+    weighted by word frequency (map-side combine): (x, y, cnt).
+    Shared by the single-step op and every trainer iteration."""
+    return (
+        ch.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    # guard 1-symbol segs: sequence(1, 0) DESCENDS in
+                    # Spark (same trap as the shingle/segment ops)
+                    F.when(
+                        F.size(seg_col) > 1,
+                        F.sequence(F.lit(1), F.size(seg_col) - 1),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda j: F.struct(
+                        F.element_at(seg_col, j).alias("x"),
+                        F.element_at(seg_col, j + 1).alias("y"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.x", "p.y")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_merge_table(bests: list) -> DataFrame:
+    """Union the per-iteration 1-row argmax frames into the learned
+    (it, x, y) merge table — shared by both trainer consumers."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), bests)
 
 
 def _bpe_pair_merge_fold(seg_col: str = "seg"):
@@ -3184,26 +3177,7 @@ def _bpe_learn(spark: SparkSession, docs: DataFrame, k: int):
 
     bests = []
     for i in range(1, k + 1):
-        pairs = (
-            ch.select(
-                "freq",
-                F.explode(
-                    F.transform(
-                        # guard 1-symbol segs: sequence(1, 0) DESCENDS
-                        F.when(
-                            F.size("seg") > 1,
-                            F.sequence(F.lit(1), F.size("seg") - 1),
-                        ).otherwise(F.array().cast("array<int>")),
-                        lambda j: F.struct(
-                            F.element_at("seg", j).alias("x"),
-                            F.element_at("seg", j + 1).alias("y"),
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.x", "p.y")
-            .agg(F.sum("freq").alias("cnt"))
-        )
+        pairs = _bpe_pair_stats(ch, "seg")
         best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
         capture(f"best{i}", best)
         best = best.localCheckpoint(eager=True)
@@ -3257,9 +3231,7 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     ch, bests = _bpe_learn(spark, docs, _BPE_K)
 
-    mtab = bests[0]
-    for b in bests[1:]:
-        mtab = mtab.unionByName(b)
+    mtab = _bpe_merge_table(bests)
     # 8-row global fold into the ordered merge-list string (audited
     # single-partition exchange — |k| rows, never data-sized).
     merges_row = mtab.agg(
@@ -3361,9 +3333,7 @@ def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_ids = alpha.select(
         "sym", F.lit(0).alias("tier"), F.row_number().over(wa).alias("rk")
     )
-    mtab = bests[0]
-    for b in bests[1:]:
-        mtab = mtab.unionByName(b)
+    mtab = _bpe_merge_table(bests)
     merge_syms = mtab.select(
         F.concat("x", "y").alias("sym"),
         F.lit(1).alias("tier"),

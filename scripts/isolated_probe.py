@@ -159,11 +159,21 @@ def main() -> None:
     # version ingests, prewarmed outside every timed window exactly
     # as bench.py's headline pass does (VERDICT r7 item 2) — without
     # this a floors run would charge the one-off ingest to whichever
-    # probed query touches it first.
+    # probed query touches it first. A prewarm failure must be LOUD
+    # in the provenance (stderr + the output JSON), not swallowed:
+    # if an embeddings op IS probed after a real failure, its floor
+    # silently absorbs the ingest — the exact misattribution the
+    # prewarm exists to prevent.
+    prewarm_error = None
     try:
         bench._prewarm_emb_sidecars(spark, SF_DIR)
-    except Exception:  # noqa: BLE001  (no embeddings ops probed)
-        pass
+    except Exception as exc:  # noqa: BLE001
+        prewarm_error = f"{type(exc).__name__}: {exc}"[:200]
+        print(
+            f"  WARNING: sidecar prewarm failed ({prewarm_error}) — "
+            "floors for embeddings ops may carry the one-off ingest",
+            file=sys.stderr,
+        )
     probes: dict[str, dict] = {}
     for name in names:
         rec: dict = {"sec_isolated": round(run_warm(spark, name, SF_DIR), 3)}
@@ -233,16 +243,23 @@ def main() -> None:
             )
         probes[name] = rec
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "isolated_probe_sec",
-                "measure": "warm_best_of_2",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "probes": probes,
-            }
-        )
-    )
+    record = {
+        "metric": "isolated_probe_sec",
+        # floors runs carry BOTH protocols per entry (sec_isolated =
+        # warm_best_of_2, sec_steady = steady_min_of_5) — label the
+        # record accordingly so provenance re-derivation can't
+        # misclassify sec_steady (ADVICE-class fix, round 11).
+        "measure": (
+            "floors(warm_best_of_2+steady_min_of_5)"
+            if floors_only
+            else "warm_best_of_2"
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "probes": probes,
+    }
+    if prewarm_error:
+        record["prewarm_error"] = prewarm_error
+    print(json.dumps(record))
     spark.stop()
 
 
