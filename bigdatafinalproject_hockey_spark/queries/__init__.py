@@ -17,11 +17,12 @@ each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
 Round-11 window (VERDICT r10 item 2): the computed stalest-first
-window leads with this round's seven never-verified newcomers
+window leads with this round's eight never-verified newcomers
 (bpe_learn_vocab, filter_gopher_rules, filter_url_blocklist,
-pipeline_web_to_shards, quality_tertile_split, text_normalize_nfkc,
-tokenize_bpe_corpus), then ALL 16 remaining r6-evidence rows — the exact list the r10
-judge named as the rotation target — then the 27 stalest r7 rows. The rows-only cap
+pack_efficiency_report, pipeline_web_to_shards,
+quality_tertile_split, text_normalize_nfkc, tokenize_bpe_corpus),
+then ALL 16 remaining r6-evidence rows — the exact list the r10
+judge named as the rotation target — then the 26 stalest r7 rows. The rows-only cap
 (``max_rows_only=1``) continues: this round's single rows-only slot
 goes to ``ml_train_eval`` (r7); ``dedup_minhash_lsh`` and
 ``split_random`` defer.
@@ -48,6 +49,7 @@ _VERIFY_FIRST = [
     "bpe_learn_vocab",  # never verified
     "filter_gopher_rules",  # never verified
     "filter_url_blocklist",  # never verified
+    "pack_efficiency_report",  # never verified
     "pipeline_web_to_shards",  # never verified
     "quality_tertile_split",  # never verified
     "text_normalize_nfkc",  # never verified
@@ -94,7 +96,6 @@ _VERIFY_FIRST = [
     "dedup_simhash",  # newest r07
     "sim_ann_lsh",  # newest r07
     "dedup_minhash_lsh_portable",  # newest r07
-    "multimodal_features",  # newest r07
 ]
 
 

@@ -1088,6 +1088,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_efficiency_report",
+    oracle=_PACK_CTE
+    + f"""
+    SELECT lang, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) /
+                 (CAST(MAX(seq_id) + 1 AS DOUBLE) * {_PACK_CAPACITY}), 6)
+             AS fill_ratio,
+           ROUND(1.0 - SUM(n_tokens) /
+                 (CAST(MAX(seq_id) + 1 AS DOUBLE) * {_PACK_CAPACITY}), 6)
+             AS waste_ratio
+    FROM packed
+    GROUP BY lang, shard
+    """,
+)
+def q_pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency QA (round 11) — the readout a training-data
+    pipeline checks before shipping shards: per (lang, shard) packing
+    group, the document/sequence counts, total token mass, and the
+    FILL RATIO of the greedy packing (tokens / (sequences ×
+    capacity)); waste_ratio is the padding fraction a training run
+    would burn. Greedy next-fit packing typically fills 85-95% at
+    this corpus's doc-length distribution — a collapsing fill ratio
+    after an upstream change (e.g. a dedup pass shortening docs below
+    the capacity's sweet spot) is the regression this report
+    catches.
+
+    Shape: one aggregation over the packing fold's output, grouped
+    on the fold's exact keys — Catalyst re-shuffles it (grouped-map
+    output partitioning is not propagated through
+    FlatMapGroupsInPandas), but the exchanged rows are per-DOC
+    metadata (ids + counts, never text), so the report adds one
+    metadata-width exchange at any corpus size. Deterministic
+    integer counts + 6-dp ratios → full value-hash oracle chaining
+    the shared packing recursive CTE."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        docs,
+        shard_cols=["lang", "shard"],
+        order_col="doc_id",
+        tokens_col="n_tokens",
+        capacity=_PACK_CAPACITY,
+    )
+    denom = (F.max("seq_id") + 1).cast("double") * F.lit(_PACK_CAPACITY)
+    return packed.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        round6(F.sum("n_tokens") / denom).alias("fill_ratio"),
+        round6(F.lit(1.0) - F.sum("n_tokens") / denom).alias("waste_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source document cap (domain balancing)
 # ---------------------------------------------------------------------------
