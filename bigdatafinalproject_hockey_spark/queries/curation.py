@@ -2896,7 +2896,12 @@ def url_canon_expr(url_col: str):
     """Canonical URL: strip scheme, a leading www., query string /
     fragment, then a host port (example.com:8080/x and example.com/x
     are one page) — all scan-local regexps, shared semantics with the
-    oracle's CTE."""
+    oracle's CTE. The port match is anchored at a PATH boundary
+    (ADVICE r11): the digits must run to '/' or end-of-string, so a
+    malformed authority like host:8080abc/x keeps its colon (distinct
+    URL) instead of being conflated with hostabc/x; the boundary is a
+    captured group (not a lookahead) because the oracle's RE2 engine
+    has no lookahead."""
     return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
@@ -2907,8 +2912,8 @@ def url_canon_expr(url_col: str):
             "[?#].*$",
             "",
         ),
-        "^([^/:]+):[0-9]+",
-        "$1",
+        "^([^/:]+):[0-9]+(/|$)",
+        "$1$2",
     )
 
 
@@ -2922,7 +2927,7 @@ def url_canon_expr(url_col: str):
       SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
-               '^([^/:]+):[0-9]+', '\\1')
+               '^([^/:]+):[0-9]+(/|$)', '\\1\\2')
                AS canon_url
       FROM u
     ),
@@ -3117,11 +3122,16 @@ def _bpe_pair_stats(ch: DataFrame, seg_col: str = "seg") -> DataFrame:
     )
 
 
-def _bpe_merge_table(bests: list) -> DataFrame:
+def _bpe_merge_table(spark: SparkSession, bests: list) -> DataFrame:
     """Union the per-iteration 1-row argmax frames into the learned
-    (it, x, y) merge table — shared by both trainer consumers."""
+    (it, x, y) merge table — shared by the trainer consumers. An
+    EMPTY bests list (a corpus with no adjacent pairs at all) yields
+    an empty typed table so downstream folds/joins degrade to
+    identity instead of crashing (ADVICE r11 early-stop)."""
     from functools import reduce
 
+    if not bests:
+        return spark.createDataFrame([], "it int, x string, y string")
     return reduce(lambda a, b: a.unionByName(b), bests)
 
 
@@ -3143,6 +3153,20 @@ def _bpe_pair_merge_fold(seg_col: str = "seg"):
     )
 
 
+def _bpe_fold_sql(seg_ref: str) -> str:
+    """The greedy left-to-right merge application of (b.x, b.y) to a
+    space-joined segmentation string, as a DuckDB ``list_reduce`` —
+    byte-identical to the Spark ``_bpe_pair_merge_fold`` expression.
+    Shared by the learn-loop CTEs and the frozen-vocab delta encode."""
+    return f"""list_reduce(
+               string_split({seg_ref}, ' '),
+               (acc, c) -> CASE
+                 WHEN regexp_extract(acc, '([^ ]+)$') = b.x AND c = b.y
+                 THEN regexp_replace(acc, '[^ ]+$', b.x || b.y)
+                 ELSE acc || ' ' || c END
+             )"""
+
+
 def _bpe_learn_ctes(k: int) -> str:
     """Unrolled DuckDB replay of k BPE merge-learning iterations —
     the ``graph_pagerank`` fixed-k unrolling precedent applied to
@@ -3150,9 +3174,14 @@ def _bpe_learn_ctes(k: int) -> str:
     argmax / fold), with the greedy merge application expressed as a
     ``list_reduce`` over the previous segmentation (byte-identical to
     the Spark F.aggregate fold; cross-checked against an independent
-    Python BPE in tests/test_curation.py). Ends after the ``merges``
-    CTE — shared by the bpe_learn_vocab and tokenize_bpe_corpus
-    oracles, which append their own final SELECTs."""
+    Python BPE in tests/test_curation.py). An iteration whose argmax
+    is EMPTY (corpus fully merged before k — ADVICE r11) falls back
+    to the previous segmentation via a LEFT join, so the partial
+    merge table survives instead of cascading to an empty result;
+    the merges string aggregates whichever iterations fired. Ends
+    after the ``merges`` CTE — shared by the bpe_learn_vocab /
+    tokenize_bpe_corpus / tokenize_bpe_delta oracles, which append
+    their own final SELECTs."""
     parts = [
         f"""
     WITH occ AS (
@@ -3182,21 +3211,19 @@ def _bpe_learn_ctes(k: int) -> str:
     b{i} AS (SELECT x, y FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
     seg{i} AS (
       SELECT s.tok, s.freq,
-             list_reduce(
-               string_split(s.seg, ' '),
-               (acc, c) -> CASE
-                 WHEN regexp_extract(acc, '([^ ]+)$') = b.x AND c = b.y
-                 THEN regexp_replace(acc, '[^ ]+$', b.x || b.y)
-                 ELSE acc || ' ' || c END
-             ) AS seg
-      FROM seg{p} s, b{i} b
+             CASE WHEN b.x IS NULL THEN s.seg
+                  ELSE {_bpe_fold_sql("s.seg")} END AS seg
+      FROM seg{p} s LEFT JOIN b{i} b ON TRUE
     )""")
-    merge_concat = " || ' ' || ".join(
-        f"b{i}.x || '+' || b{i}.y" for i in range(1, k + 1)
+    merge_rows = "\n        UNION ALL ".join(
+        f"SELECT {i} AS it, x, y FROM b{i}" for i in range(1, k + 1)
     )
-    bs = ", ".join(f"b{i}" for i in range(1, k + 1))
     parts.append(f""",
-    merges AS (SELECT {merge_concat} AS merges FROM {bs})""")
+    merges AS (
+      SELECT COALESCE(string_agg(x || '+' || y, ' ' ORDER BY it), '')
+               AS merges
+      FROM ({merge_rows})
+    )""")
     return "".join(parts)
 
 
@@ -3242,6 +3269,16 @@ def _bpe_learn(spark: SparkSession, docs: DataFrame, k: int):
         best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
         capture(f"best{i}", best)
         best = best.localCheckpoint(eager=True)
+        # EARLY STOP (ADVICE r11): an empty argmax means the corpus is
+        # fully merged before iteration k — keep the partial merge
+        # table and current segmentation instead of letting the empty
+        # crossJoin cascade every later stage (and the output) to
+        # empty. The count is a metadata read of the 1-row frame the
+        # eager localCheckpoint above already materialized, not a new
+        # corpus-scale job. The oracle's LEFT-join fallback
+        # (seg_i := seg_{i-1} when b_i is empty) matches exactly.
+        if best.count() == 0:
+            break
         bests.append(best.select(F.lit(i).alias("it"), "x", "y"))
         merged = ch.crossJoin(F.broadcast(best)).select(
             "tok", "freq", _bpe_pair_merge_fold("seg").alias("seg")
@@ -3278,9 +3315,13 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-derive seg_{i-1} once for the pair stats and once for the
       fold, doubling work per level (2^k blowup); each stage's plan
       is surfaced to the audit via plancapture.
-    - Degenerate corpora cascade to an EMPTY result in both engines
-      identically (an empty argmax empties the crossJoin and every
-      later CTE), so the oracle holds on any input.
+    - Degenerate corpora STOP EARLY (ADVICE r11): an empty argmax at
+      iteration i ends the loop with the i-1 merges already learned —
+      the partial merge table and current segmentation are the
+      output, matching real trainer behavior on a fully-merged
+      corpus. The oracle's per-iteration LEFT-join fallback
+      (seg_i := seg_{i-1} when b_i is empty) reproduces this
+      exactly, so the oracle holds on any input.
 
     Output: (tok, freq, segmented, n_symbols, merges) where merges is
     the ordered learned merge list ("x+y ..." — constant across
@@ -3292,7 +3333,7 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     ch, bests = _bpe_learn(spark, docs, _BPE_K)
 
-    mtab = _bpe_merge_table(bests)
+    mtab = _bpe_merge_table(spark, bests)
     # 8-row global fold into the ordered merge-list string (audited
     # single-partition exchange — |k| rows, never data-sized).
     merges_row = mtab.agg(
@@ -3313,14 +3354,46 @@ def q_bpe_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_oracle(k: int) -> str:
+def _bpe_symtab(spark: SparkSession, ch: DataFrame, bests: list) -> DataFrame:
+    """Canonical BPE symbol-id table (sym, sym_id): base alphabet in
+    sorted order first, then merged symbols in LEARN order — the id
+    scheme of a real BPE vocab file; duplicate strings keep their
+    first id. Shared by the corpus encode and the delta encode; the
+    windows run over the tiny alphabet+merge set (audited
+    single-partition exchanges)."""
+    alpha = ch.select(F.explode(F.split("tok", "")).alias("sym")).distinct()
+    wa = Window.orderBy("sym")
+    alpha_ids = alpha.select(
+        "sym", F.lit(0).alias("tier"), F.row_number().over(wa).alias("rk")
+    )
+    mtab = _bpe_merge_table(spark, bests)
+    merge_syms = mtab.select(
+        F.concat("x", "y").alias("sym"),
+        F.lit(1).alias("tier"),
+        F.col("it").alias("rk"),
+    )
+    sym_first = (
+        alpha_ids.unionByName(merge_syms)
+        .groupBy("sym")
+        .agg(F.min(F.col("tier") * 100000 + F.col("rk")).alias("ord"))
+    )
+    ws = Window.orderBy("ord")
+    return sym_first.select(
+        "sym", (F.row_number().over(ws) - 1).cast("int").alias("sym_id")
+    )
+
+
+def _bpe_symtab_ctes(k: int) -> str:
+    """Canonical BPE symbol-id table CTEs (sorted base alphabet
+    first, then merged symbols in learn order; duplicate strings keep
+    their first id) — shared by the tokenize_bpe_corpus and
+    tokenize_bpe_delta oracles. Appends after the learn CTEs; ends
+    with the ``symtab`` CTE."""
     merge_rows = "\n      UNION ALL ".join(
         f"SELECT b{i}.x || b{i}.y AS sym, 1 AS tier, {i} AS rk FROM b{i}"
         for i in range(1, k + 1)
     )
-    return (
-        _bpe_learn_ctes(k)
-        + f""",
+    return f""",
     alpha AS (
       SELECT DISTINCT unnest(string_split(tok, '')) AS sym FROM ch
     ),
@@ -3342,7 +3415,14 @@ def _bpe_apply_oracle(k: int) -> str:
              CAST(ROW_NUMBER() OVER (ORDER BY ord) - 1 AS INTEGER)
                AS sym_id
       FROM sym_first
-    ),
+    )"""
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    return (
+        _bpe_learn_ctes(k)
+        + _bpe_symtab_ctes(k)
+        + f""",
     corpus AS (
       SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
       FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk
@@ -3388,27 +3468,7 @@ def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary construction and the apply joins."""
     docs = load_table(spark, "documents", sf_dir)
     ch, bests = _bpe_learn(spark, docs, _BPE_K)
-
-    alpha = ch.select(F.explode(F.split("tok", "")).alias("sym")).distinct()
-    wa = Window.orderBy("sym")
-    alpha_ids = alpha.select(
-        "sym", F.lit(0).alias("tier"), F.row_number().over(wa).alias("rk")
-    )
-    mtab = _bpe_merge_table(bests)
-    merge_syms = mtab.select(
-        F.concat("x", "y").alias("sym"),
-        F.lit(1).alias("tier"),
-        F.col("it").alias("rk"),
-    )
-    sym_first = (
-        alpha_ids.unionByName(merge_syms)
-        .groupBy("sym")
-        .agg(F.min(F.col("tier") * 100000 + F.col("rk")).alias("ord"))
-    )
-    ws = Window.orderBy("ord")
-    symtab = sym_first.select(
-        "sym", (F.row_number().over(ws) - 1).cast("int").alias("sym_id")
-    )
+    symtab = _bpe_symtab(spark, ch, bests)
 
     corpus = docs.select(
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
@@ -3423,5 +3483,147 @@ def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sub_pos").cast("int").alias("sub_pos"),
             F.col("sym").alias("symbol"),
             "sym_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: frozen-vocab delta encode (unseen text)
+# ---------------------------------------------------------------------------
+
+# Delta-batch fixture: every 7th document re-arrives as "new" text in
+# which odd token positions are REVERSED (reverse of a seen word is
+# almost never itself a seen word type, but draws on the same
+# alphabet) — a deterministic mix of seen and genuinely unseen word
+# types, shared closed-form with the oracle.
+_BPE_DELTA_MOD = 7
+
+
+def _bpe_delta_oracle(k: int) -> str:
+    parts = [
+        _bpe_learn_ctes(k),
+        _bpe_symtab_ctes(k),
+        f""",
+    dcorpus AS (
+      SELECT doc_id, CAST(pos AS INT) AS pos,
+             CASE WHEN pos % 2 = 1 THEN reverse(tok) ELSE tok END AS tok
+      FROM (
+        SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+        FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk
+              FROM documents WHERE doc_id % {_BPE_DELTA_MOD} = 0)
+      )
+    ),
+    dtypes AS (SELECT DISTINCT tok FROM dcorpus),
+    u0 AS (
+      SELECT d.tok, array_to_string(string_split(d.tok, ''), ' ') AS seg
+      FROM dtypes d ANTI JOIN seg{k} s USING (tok)
+    )""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    u{i} AS (
+      SELECT u.tok,
+             CASE WHEN b.x IS NULL THEN u.seg
+                  ELSE {_bpe_fold_sql("u.seg")} END AS seg
+      FROM u{i - 1} u LEFT JOIN b{i} b ON TRUE
+    )""")
+    parts.append(f""",
+    allseg AS (
+      SELECT tok, seg, TRUE AS known_type FROM seg{k}
+      UNION ALL
+      SELECT tok, seg, FALSE AS known_type FROM u{k}
+    ),
+    dsegx AS (
+      SELECT tok, known_type,
+             unnest(range(len(string_split(seg, ' ')))) AS sub_pos,
+             unnest(string_split(seg, ' ')) AS sym
+      FROM allseg
+    )
+    SELECT c.doc_id, c.pos, CAST(s.sub_pos AS INT) AS sub_pos,
+           s.sym AS symbol, t.sym_id, s.known_type
+    FROM dcorpus c JOIN dsegx s USING (tok)
+         JOIN symtab t ON s.sym = t.sym
+    """)
+    return "".join(parts)
+
+
+@register("tokenize_bpe_delta", oracle=_bpe_delta_oracle(_BPE_K))
+def q_tokenize_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE delta encode — tokenize NEW text against a FROZEN merge
+    table (round 12; VERDICT r11 item 1), completing the tokenizer
+    lifecycle the way ``ann_index_delta`` completed ANN: train once
+    (``bpe_learn_vocab``), encode the day-0 corpus
+    (``tokenize_bpe_corpus``), then encode each ARRIVING batch
+    without re-learning. ``tokenize_bpe_corpus``'s inner join against
+    the training-corpus word-type table silently drops any word type
+    unseen at train time; this op closes that gap the way a real
+    tokenizer worker does — seen word types reuse the frozen
+    (broadcast) word→pieces table, and UNSEEN word types get the
+    ranked merges replayed over their char-split seed (the learn
+    loop's apply half — the shared ``_bpe_pair_merge_fold``
+    expression per merge, in learn order — without re-learning).
+
+    Scale shape: the replay runs on the DISTINCT unseen word types
+    only — cost ∝ |new word types|, never ∝ |batch| (the memoization
+    that makes production tokenizer fleets cheap); each of the k
+    folds is a pure expression over a 1-row broadcast merge, the
+    frozen segmentation + symbol tables broadcast, and the delta
+    batch itself never shuffles. A word type that WAS seen at train
+    time replays to the identical segmentation (the fold is
+    deterministic given the merge list — pinned by test), so the
+    seen/unseen split is a pure memoization, not a semantic fork.
+
+    Output: (doc_id, pos, sub_pos, symbol, sym_id, known_type) —
+    the ``tokenize_bpe_corpus`` layout plus the seen-at-train-time
+    provenance flag. Full value-hash oracle: the shared learn +
+    symtab CTEs chained into the delta fixture, the unseen-type
+    ANTI join, and the k-fold replay; per-position equality with an
+    independent Python BPE on the unseen words pinned by test."""
+    docs = load_table(spark, "documents", sf_dir)
+    ch, bests = _bpe_learn(spark, docs, _BPE_K)
+    symtab = _bpe_symtab(spark, ch, bests)
+
+    base = docs.filter((F.col("doc_id") % _BPE_DELTA_MOD) == 0)
+    dcorpus = base.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok0")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.when((F.col("pos") % 2) == 1, F.reverse("tok0"))
+        .otherwise(F.col("tok0"))
+        .alias("tok"),
+    )
+
+    # Unseen word types: anti-join the frozen vocab, then replay the
+    # learned merges in order over the char-split seed — each fold is
+    # the SAME expression the trainer applied at that iteration, so a
+    # seen type would replay to its frozen segmentation byte-for-byte.
+    unseen = dcorpus.select("tok").distinct().join(
+        F.broadcast(ch.select("tok")), "tok", "left_anti"
+    )
+    useg = unseen.withColumn("seg", F.split("tok", ""))
+    for b in bests:
+        useg = useg.crossJoin(F.broadcast(b.select("x", "y"))).select(
+            "tok", _bpe_pair_merge_fold("seg").alias("seg")
+        )
+
+    allseg = (
+        ch.select("tok", "seg")
+        .withColumn("known_type", F.lit(True))
+        .unionByName(useg.withColumn("known_type", F.lit(False)))
+    )
+    dsegx = allseg.select(
+        "tok", "known_type", F.posexplode("seg").alias("sub_pos", "sym")
+    )
+    return (
+        dcorpus.join(F.broadcast(dsegx), "tok")
+        .join(F.broadcast(symtab), "sym")
+        .select(
+            "doc_id",
+            "pos",
+            F.col("sub_pos").cast("int").alias("sub_pos"),
+            F.col("sym").alias("symbol"),
+            "sym_id",
+            "known_type",
         )
     )

@@ -505,14 +505,54 @@ def test_bpe_learn_merge_greedy_and_tiebreak(spark):
     assert got["ba"].segmented == "b a"
 
 
+def _py_bpe(texts, k):
+    """Independent from-scratch Python BPE (Sennrich 2016 textbook
+    form) — the external reference the Spark trainer/encoders are
+    checked against. Shared by the learn-vocab and delta-encode
+    tests."""
+    import collections
+    import re as _re
+
+    toks = []
+    for t in texts:
+        toks += [w for w in _re.split("[^a-z0-9]+", t.lower()) if w]
+    freq = collections.Counter(toks)
+    segs = {w: list(w) for w in freq}
+    merges = []
+    for _ in range(k):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        assert pc, "corpus too small for the requested k"
+        best = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append(best)
+        for w in segs:
+            segs[w] = _py_bpe_apply_merge(segs[w], *best)
+    return freq, segs, merges
+
+
+def _py_bpe_apply_merge(s, x, y):
+    """One greedy left-to-right non-overlapping merge application —
+    the Python twin of the Spark/DuckDB fold expression."""
+    out = [s[0]]
+    for c in s[1:]:
+        if out[-1] == x and c == y:
+            out[-1] = x + y
+        else:
+            out.append(c)
+    return out
+
+
 def test_bpe_learn_vocab_matches_independent_python_bpe(spark):
     """VERDICT r10 item 1's acceptance test: the k-iteration Spark
     trainer must reproduce a from-scratch Python BPE (Sennrich 2016
     textbook form — pair counts over word types, (count desc, pair)
     argmax, greedy left-to-right merge) for the FULL k on a corpus
     rich enough that later merges combine multi-char symbols."""
-    import collections
-    import re as _re
     import unittest.mock as mock
 
     from bigdatafinalproject_hockey_spark.queries import curation as cur
@@ -527,37 +567,7 @@ def test_bpe_learn_vocab_matches_independent_python_bpe(spark):
     rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
     df = _docs(spark, rows)
 
-    def py_bpe(texts, k):
-        toks = []
-        for t in texts:
-            toks += [w for w in _re.split("[^a-z0-9]+", t.lower()) if w]
-        freq = collections.Counter(toks)
-        segs = {w: list(w) for w in freq}
-        merges = []
-        for _ in range(k):
-            pc = collections.Counter()
-            for w, f in freq.items():
-                s = segs[w]
-                for a, b in zip(s, s[1:]):
-                    pc[(a, b)] += f
-            assert pc, "corpus too small for the requested k"
-            best = min(
-                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-            )[0]
-            merges.append(best)
-            x, y = best
-            for w in segs:
-                s = segs[w]
-                out = [s[0]]
-                for c in s[1:]:
-                    if out[-1] == x and c == y:
-                        out[-1] = x + y
-                    else:
-                        out.append(c)
-                segs[w] = out
-        return freq, segs, merges
-
-    freq, segs, merges = py_bpe(texts, cur._BPE_K)
+    freq, segs, merges = _py_bpe(texts, cur._BPE_K)
     # the corpus must actually exercise a multi-char-symbol merge
     assert any(len(x) > 1 or len(y) > 1 for x, y in merges), merges
     expect_merges = " ".join(f"{x}+{y}" for x, y in merges)
@@ -576,18 +586,63 @@ def test_bpe_learn_vocab_matches_independent_python_bpe(spark):
         assert r.merges == expect_merges
 
 
-def test_bpe_learn_vocab_degenerate_corpus_is_empty(spark):
-    """Single-letter-only corpora run out of pairs immediately; both
-    engines must cascade to an EMPTY result (the oracle's empty-argmax
-    cross joins empty every later CTE — the Spark loop mirrors it by
-    never breaking early)."""
+def test_bpe_learn_vocab_early_stop_keeps_partial_merges(spark):
+    """ADVICE r11: a corpus fully merged before k iterations must
+    keep the vocabulary learned so far instead of cascading to an
+    empty result. 'ab ab ab' learns one merge (a+b) and stops at the
+    empty iteration-2 argmax; a pair-less corpus stops immediately
+    with char segmentations and an empty merge list. The oracle's
+    LEFT-join seg fallback must agree with the Spark loop's break in
+    both cases."""
     import unittest.mock as mock
 
-    from bigdatafinalproject_hockey_spark.queries import curation as cur
+    import duckdb
 
-    df = _docs(spark, [(1, "a b c d e", "en", "s", 0)])
-    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
-        assert QUERIES["bpe_learn_vocab"](spark, "ignored").count() == 0
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+    from tests.oracle_utils import compare_frames
+
+    for rows, expect in [
+        (
+            [(1, "ab ab ab", "en", "s", 0), (2, "ab ab", "en", "s", 0)],
+            {"ab": ("ab", 1, "a+b", 5)},
+        ),
+        (
+            [(1, "a b c", "en", "s", 0)],
+            {"a": ("a", 1, "", 1), "b": ("b", 1, "", 1), "c": ("c", 1, "", 1)},
+        ),
+    ]:
+        df = _docs(spark, rows)
+        with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+            got = {
+                r.tok: r
+                for r in QUERIES["bpe_learn_vocab"](
+                    spark, "ignored"
+                ).collect()
+            }
+        assert set(got) == set(expect)
+        for tok, (seg, nsym, merges, freq) in expect.items():
+            r = got[tok]
+            assert (r.segmented, r.n_symbols, r.merges, r.freq) == (
+                seg, nsym, merges, freq,
+            ), (tok, r)
+        # oracle agreement on the degenerate corpus (the driver only
+        # ever runs real SFs; this pins the early-stop parity)
+        con = duckdb.connect()
+        vals = ", ".join(f"({r[0]}, 'en', '{r[1]}')" for r in rows)
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"(VALUES {vals}) t(doc_id, lang, text)"
+        )
+        import pandas as pd
+
+        spark_pdf = pd.DataFrame(
+            [r.asDict() for r in got.values()],
+            columns=["tok", "freq", "segmented", "n_symbols", "merges"],
+        )
+        oracle_pdf = con.execute(
+            cur._bpe_vocab_oracle(cur._BPE_K)
+        ).fetchdf()
+        compare_frames(spark_pdf, oracle_pdf, "bpe_learn_vocab-degenerate")
 
 
 def test_filter_url_blocklist_semantics(spark):
@@ -829,3 +884,98 @@ def test_filter_gopher_rules_edges(spark):
     assert got[3].r_len and not got[4].r_len
     assert got[5].dup_bigram_ratio == 0.0 and got[5].r_dupbg
     assert not got[5].r_len and not got[5].keep
+
+
+def test_tokenize_bpe_delta_unseen_replay_matches_python(spark):
+    """VERDICT r11 item 1's acceptance test: the frozen-vocab delta
+    encode must (a) give SEEN word types their frozen segmentation
+    via the broadcast table, flagged known_type=True, and (b) give
+    UNSEEN word types the ranked-merge replay over their char-split
+    seed — per-position equal to an independent Python BPE applying
+    the same frozen merges — flagged known_type=False. The fixture
+    (odd positions reversed) must actually contain unseen types."""
+    import re as _re
+    import unittest.mock as mock
+
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the slow brown bear walks under the lazy fox",
+        "lower lowest newer newest wider widest low new",
+        "lower lowest newer newest low new low new",
+        "the theme there then the the then there",
+    ]
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    df = _docs(spark, rows)
+    _, segs, merges = _py_bpe(texts, cur._BPE_K)
+
+    def replay(word):
+        s = list(word)
+        for x, y in merges:
+            s = _py_bpe_apply_merge(s, x, y)
+        return s
+
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = QUERIES["tokenize_bpe_delta"](spark, "ignored").collect()
+
+    # the delta fixture takes doc_id % 7 == 0 -> only doc 0 here
+    toks0 = [w for w in _re.split("[^a-z0-9]+", texts[0].lower()) if w]
+    delta = [w if p % 2 == 0 else w[::-1] for p, w in enumerate(toks0)]
+    by_pos: dict = {}
+    for r in got:
+        assert r.doc_id == 0
+        by_pos.setdefault(r.pos, []).append(r)
+    assert set(by_pos) == set(range(len(delta)))
+    unseen_checked = 0
+    for p, w in enumerate(delta):
+        rs = sorted(by_pos[p], key=lambda r: r.sub_pos)
+        assert [r.sub_pos for r in rs] == list(range(len(rs)))
+        syms = [r.symbol for r in rs]
+        if w in segs:
+            assert syms == segs[w], (w, syms, segs[w])
+            assert all(r.known_type for r in rs), w
+        else:
+            assert syms == replay(w), (w, syms, replay(w))
+            assert all(not r.known_type for r in rs), w
+            unseen_checked += 1
+    assert unseen_checked >= 2, "fixture produced no unseen word types"
+    # a SEEN type replayed through the frozen merges must reproduce
+    # its frozen segmentation (the memoization is not a semantic fork)
+    for w in segs:
+        assert replay(w) == segs[w], w
+
+
+def test_url_canon_port_strip_is_path_anchored(spark):
+    """ADVICE r11: the port-strip step must only fire when the digits
+    run to a path boundary — 'host:8080abc/x' is a malformed
+    authority, not host 'hostabc', and must keep its colon (staying a
+    DISTINCT canonical URL) in BOTH engines."""
+    import duckdb
+
+    from bigdatafinalproject_hockey_spark.queries.curation import (
+        url_canon_expr,
+    )
+
+    cases = {
+        "https://host:8080/x": "host/x",
+        "http://www.host:8080": "host",
+        "https://host:8080abc/x": "host:8080abc/x",
+        "https://host:80a/b": "host:80a/b",
+        "https://host:80/90": "host/90",
+        "https://host/x?utm=1#f": "host/x",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", url_canon_expr("url").alias("canon"))
+    got = {r.url: r.canon for r in df.collect()}
+    assert got == cases
+    sql = (
+        "SELECT regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(url, '^https?://', ''), '^www\\.', ''),"
+        " '[?#].*$', ''), '^([^/:]+):[0-9]+(/|$)', '\\1\\2') FROM u"
+    )
+    con = duckdb.connect()
+    for u, want in cases.items():
+        con.execute(f"CREATE OR REPLACE VIEW u AS SELECT '{u}' AS url")
+        assert con.execute(sql).fetchone()[0] == want, u
