@@ -36,6 +36,7 @@ EXPECTED_CAPTURE_KEYS = {
     "graph_bfs_hops#edges_ingest",
     # checkpoint-truncated iteration stages
     "pipeline_web_to_shards#extract_norm",
+    "pipeline_web_to_shards#decon",
     "pipeline_web_to_shards#rewrite",
     "pipeline_web_to_shards#tokenize_meta",
     "bpe_learn_vocab#wordtypes",
@@ -44,6 +45,10 @@ EXPECTED_CAPTURE_KEYS = {
     "tokenize_bpe_corpus#wordtypes",
     *{f"tokenize_bpe_corpus#best{i}" for i in range(1, 9)},
     *{f"tokenize_bpe_corpus#merge{i}" for i in range(1, 9)},
+    # frozen-vocab delta encode retrains the same frozen model
+    "tokenize_bpe_delta#wordtypes",
+    *{f"tokenize_bpe_delta#best{i}" for i in range(1, 9)},
+    *{f"tokenize_bpe_delta#merge{i}" for i in range(1, 9)},
     "graph_triangle_count#oriented",
     "graph_bfs_hops#round1",
     "graph_bfs_hops#round2",
