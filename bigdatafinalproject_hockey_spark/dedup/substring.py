@@ -160,6 +160,7 @@ def remove_repeated_spans(
     id_col: str,
     min_span: int = DEFAULT_MIN_SPAN,
     max_block: int = DEFAULT_MAX_BLOCK,
+    count_hub_exempt: bool = False,
 ) -> DataFrame:
     """The dedup ACTION over :func:`repeated_spans` (Lee et al. 2022
     apply step): every detected repeated span keeps its lowest-id
@@ -181,7 +182,18 @@ def remove_repeated_spans(
     (dedup/exact.py) and fixed-chunk segment (q_dedup_segments)
     tiers remove wholesale, and the boilerplate-interaction test in
     tests/test_curation.py pins both halves of the contract
-    executably.
+    executably. With ``count_hub_exempt=True`` (round 12, VERDICT
+    r11 item 8) the exemption becomes MEASURABLE data, not just
+    prose: every output row carries ``n_hub_exempt`` — the number of
+    this doc's shingle positions whose fingerprint occurs more than
+    ``max_block`` times corpus-wide — so a downstream stage can
+    assert "the exempt mass is near zero because the boilerplate
+    tiers already ran" instead of trusting a docstring. The counting
+    branch costs one extra fp-keyed count aggregation (map-side
+    combine; spill-safe hash agg of counts, no posting lists) whose
+    above-cap survivors are TINY and broadcast back onto a second
+    shingle scan — opt-in, so composed pipelines that run the
+    boilerplate tiers first don't pay it.
 
     Scale shape: the spans/intervals side is tiny (∝ detected
     duplication, never ∝ corpus); interval merging costs one window
@@ -232,11 +244,39 @@ def remove_repeated_spans(
             lambda iv: (t["pos"] >= iv["s"]) & (t["pos"] < iv["e"]),
         ),
     )
-    return joined.select(
-        "doc",
+    out_cols = [
+        F.col("doc"),
         F.size("toks").cast("long").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(
             " ", F.transform(kept, lambda t: t["tok"])
         ).alias("clean_text"),
+    ]
+    if not count_hub_exempt:
+        return joined.select(*out_cols)
+    # Hub-exemption observability (see docstring): count per doc the
+    # shingle positions whose fingerprint is above the cap. The fp
+    # count aggregation combines map-side and spills (hash agg of
+    # counts — never a posting list); its above-cap survivors are the
+    # handful of boilerplate fingerprints, which broadcast onto a
+    # fresh shingle scan for the doc-keyed count.
+    sh = shingle_fingerprints(df, text_col, id_col, min_span)
+    hub_fps = (
+        sh.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > max_block)
+        .select("fp")
+    )
+    hub = (
+        sh.join(F.broadcast(hub_fps), "fp")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hub_exempt"))
+    )
+    return (
+        joined.select(*out_cols)
+        .join(hub, "doc", "left")
+        .withColumn(
+            "n_hub_exempt",
+            F.coalesce(F.col("n_hub_exempt"), F.lit(0).cast("long")),
+        )
     )

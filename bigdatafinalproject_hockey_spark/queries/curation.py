@@ -47,9 +47,9 @@ TMP_DIR = "/root/repo/.tmp"
 # ---------------------------------------------------------------------------
 
 
-# Corpus unigram-LM scoring CTEs — shared by the text_unigram_logprob
-# oracle and (round 11) the CCNet-style quality_tertile_split that
-# buckets on the same score.
+# Corpus-GLOBAL unigram-LM scoring CTEs (text_unigram_logprob's
+# oracle). quality_tertile_split used these until round 12, when it
+# moved to the faithful per-language LMs (_UNIGRAM_LANG_CTES below).
 _UNIGRAM_CTES = f"""
     WITH tk AS (
       SELECT doc_id, lang, unnest({_SQL_TOKS.format(c="text")}) AS token
@@ -99,9 +99,36 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-LANGUAGE unigram-LM scoring CTEs (round 12, VERDICT r11
+# item 6): CCNet trains one LM per language, so the vocabulary,
+# normalizer, and scoring join are all keyed by (lang, token) — the
+# faithful shape the round-11 corpus-global LM approximated.
+_UNIGRAM_LANG_CTES = f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS.format(c="text")}) AS token
+      FROM documents
+    ),
+    v AS (
+      SELECT lang, token, COUNT(*) AS tf FROM tk GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, SUM(tf) AS lang_n FROM v GROUP BY lang),
+    vw AS (
+      SELECT v.lang, v.token,
+             log10(tf / CAST(lang_n AS DOUBLE)) AS logp
+      FROM v JOIN tot USING (lang)
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(AVG(logp), 6) AS avg_logprob
+      FROM tk JOIN vw USING (lang, token)
+      GROUP BY doc_id, lang
+    )"""
+
+
 @register(
     "quality_tertile_split",
-    oracle=_UNIGRAM_CTES
+    oracle=_UNIGRAM_LANG_CTES
     + """
     SELECT doc_id, lang, n_tokens, avg_logprob,
            CAST(tile AS INTEGER) AS tile,
@@ -116,36 +143,43 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet's head/middle/tail split (round 11; Wenzek et al. 2019,
-    public method) — the perplexity-bucketed partitioning that
-    pipeline made standard: score every document with the corpus
-    unigram LM (the same two-pass scoring as
-    ``text_unigram_logprob`` — the KenLM stand-in), then split each
-    LANGUAGE into equal-size tertiles by score (best third = 'head',
-    then 'middle', 'tail'); downstream training mixes sample
-    tertiles at different rates instead of hard-thresholding.
+    """CCNet's head/middle/tail split (round 11; per-language LMs
+    round 12, VERDICT r11 item 6; Wenzek et al. 2019, public method)
+    — the perplexity-bucketed partitioning that pipeline made
+    standard: score every document with ITS LANGUAGE'S unigram LM
+    (CCNet trains one KenLM per language — the vocabulary, the
+    normalizer, and the scoring join are all keyed by (lang, token)),
+    then split each language into equal-size tertiles by score (best
+    third = 'head', then 'middle', 'tail'); downstream training mixes
+    sample tertiles at different rates instead of hard-thresholding.
+    A doc's tertile CAN differ from the round-11 corpus-global
+    scoring (pinned by test) — a token common in one language but
+    rare corpus-wide scores differently under its own LM.
 
-    Shape: the scoring is the unigram op's broadcast-vocab plan (two
-    hash aggregations, map-side scoring join); the split adds ONE
-    ntile window partitioned by lang over the doc-level score table
-    (metadata-width rows — ids, counts, one double — never text).
-    Deterministic: scores are rounded to 6 dp and the window orders
-    by (score desc, doc_id), so tile boundaries are total-ordered;
-    ntile's extra-row rule is the standard floor distribution both
-    engines share → full value-hash oracle chaining the shared
-    unigram CTEs."""
+    Shape: the per-lang LM costs the same plan as the global one —
+    two hash aggregations now keyed by (lang, token) / lang, and the
+    scoring join stays map-side because the union of per-language
+    vocabularies is still vocabulary-class (broadcast); the split
+    adds ONE ntile window partitioned by lang over the doc-level
+    score table (metadata-width rows — ids, counts, one double —
+    never text). Deterministic: scores are rounded to 6 dp and the
+    window orders by (score desc, doc_id), so tile boundaries are
+    total-ordered; ntile's extra-row rule is the standard floor
+    distribution both engines share → full value-hash oracle from
+    the per-lang CTEs."""
     docs = load_table(spark, "documents", sf_dir)
     tk = docs.select(
         "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
     )
-    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    tot = vocab.agg(F.sum("tf").alias("corpus_n"))
-    vw = vocab.crossJoin(F.broadcast(tot)).select(
+    vocab = tk.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = vocab.groupBy("lang").agg(F.sum("tf").alias("lang_n"))
+    vw = vocab.join(F.broadcast(tot), "lang").select(
+        "lang",
         "token",
-        F.log10(F.col("tf") / F.col("corpus_n").cast("double")).alias("logp"),
+        F.log10(F.col("tf") / F.col("lang_n").cast("double")).alias("logp"),
     )
     scored = (
-        tk.join(F.broadcast(vw), "token")
+        tk.join(F.broadcast(vw), ["lang", "token"])
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -186,6 +220,25 @@ _GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
 _GOPHER_MAX_TOP = 0.125
 _GOPHER_MAX_DIGIT = 0.2
 _GOPHER_MAX_DUPBG = 0.1
+# Line-level rule battery (round 12, VERDICT r11 item 5 — the rest of
+# Table A1): bullet-line share, ellipsis-line share, symbol-to-word
+# ratio ('#' and '…' characters), and required stop-word presence.
+# The raw corpus has no line structure or punctuation, so the line
+# rules run over a deterministic LINE RENDERING of each document (the
+# html/url fixture precedent): tokens wrap at _GOPHER_LINE_W per
+# line, and doc_id-keyed periods decorate lines with '- ' bullets,
+# '# ' symbols, and ' ...' ellipses so every rule sees real per-doc
+# variance. Thresholds are corpus-scaled like the ones above (the
+# paper's 90%/30% line rules keep their spirit; the symbol bound is
+# scaled to the 1-hash-per-line fixture density); the stop-word list
+# is the corpus's function words plus two absent ones so presence
+# actually splits docs (sf0.01: 317 of 500 contain >= 2).
+_GOPHER_LINE_W = 8
+_GOPHER_MAX_BULLET = 0.9
+_GOPHER_MAX_ELLIPSIS = 0.3
+_GOPHER_MAX_SYMBOL = 0.028
+_GOPHER_MIN_STOP = 2
+_GOPHER_STOPWORDS = ("a", "the", "of", "and")
 
 
 @register(
@@ -208,7 +261,10 @@ _GOPHER_MAX_DUPBG = 0.1
                AS top_token_ratio,
              ROUND(SUM(CASE WHEN regexp_matches(token, '[0-9]')
                             THEN cnt ELSE 0 END)
-                   / CAST(SUM(cnt) AS DOUBLE), 6) AS digit_token_ratio
+                   / CAST(SUM(cnt) AS DOUBLE), 6) AS digit_token_ratio,
+             CAST(SUM(CASE WHEN token IN
+                      ({", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)})
+                      THEN 1 ELSE 0 END) AS INTEGER) AS n_stop_words
       FROM cx GROUP BY doc_id
     ),
     bgx AS (
@@ -225,12 +281,54 @@ _GOPHER_MAX_DUPBG = 0.1
                AS dup_bigram_ratio
       FROM bcx GROUP BY doc_id
     ),
+    lfx AS (
+      SELECT doc_id,
+             (1 + doc_id % 4) AS bp, (3 + doc_id % 6) AS hr,
+             (2 + doc_id % 5) AS eq,
+             {_SQL_TOKS.format(c="text")} AS tk
+      FROM documents
+    ),
+    pagex AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(len(tk) / {_GOPHER_LINE_W}.0) AS INT)),
+                 i -> (CASE WHEN i % bp = 0 THEN '- ' ELSE '' END)
+                      || (CASE WHEN i % hr = 1 THEN '# ' ELSE '' END)
+                      || array_to_string(
+                           tk[i*{_GOPHER_LINE_W}+1 :
+                              i*{_GOPHER_LINE_W}+{_GOPHER_LINE_W}], ' ')
+                      || (CASE WHEN i % eq = 0 THEN ' ...' ELSE '' END)
+               ), chr(10)) AS page
+      FROM lfx WHERE len(tk) > 0
+    ),
+    linesx AS (
+      SELECT doc_id,
+             CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines,
+             len(list_filter(string_split(page, chr(10)),
+                             l -> starts_with(l, '- '))) AS n_bullet,
+             len(list_filter(string_split(page, chr(10)),
+                             l -> ends_with(l, '...'))) AS n_ellipsis,
+             len(page) - len(replace(replace(page, '#', ''), '…', ''))
+               AS n_sym
+      FROM pagex
+    ),
     jx AS (
-      SELECT t.*, COALESCE(b.dup_bigram_ratio, 0.0) AS dup_bigram_ratio
+      SELECT t.*, COALESCE(b.dup_bigram_ratio, 0.0) AS dup_bigram_ratio,
+             l.n_lines,
+             ROUND(l.n_bullet / CAST(l.n_lines AS DOUBLE), 6)
+               AS bullet_line_ratio,
+             ROUND(l.n_ellipsis / CAST(l.n_lines AS DOUBLE), 6)
+               AS ellipsis_line_ratio,
+             ROUND(l.n_sym / CAST(t.n_words AS DOUBLE), 6)
+               AS symbol_word_ratio
       FROM tstats t LEFT JOIN btx b USING (doc_id)
+           JOIN linesx l USING (doc_id)
     )
     SELECT doc_id, n_words, mean_word_len, top_token_ratio,
-           digit_token_ratio, dup_bigram_ratio,
+           digit_token_ratio, dup_bigram_ratio, n_lines,
+           bullet_line_ratio, ellipsis_line_ratio, symbol_word_ratio,
+           n_stop_words,
            (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
              AS r_len,
            (mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL})
@@ -238,37 +336,57 @@ _GOPHER_MAX_DUPBG = 0.1
            (top_token_ratio <= {_GOPHER_MAX_TOP}) AS r_top,
            (digit_token_ratio <= {_GOPHER_MAX_DIGIT}) AS r_digit,
            (dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}) AS r_dupbg,
+           (bullet_line_ratio <= {_GOPHER_MAX_BULLET}) AS r_bullet,
+           (ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS}) AS r_ellipsis,
+           (symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}) AS r_symbol,
+           (n_stop_words >= {_GOPHER_MIN_STOP}) AS r_stop,
            ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
             AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL}
                  AND {_GOPHER_MAX_MWL})
             AND top_token_ratio <= {_GOPHER_MAX_TOP}
             AND digit_token_ratio <= {_GOPHER_MAX_DIGIT}
-            AND dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}) AS keep
+            AND dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}
+            AND bullet_line_ratio <= {_GOPHER_MAX_BULLET}
+            AND ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS}
+            AND symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}
+            AND n_stop_words >= {_GOPHER_MIN_STOP}) AS keep
     FROM jx
     """,
 )
 def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style composite quality-rule filter (round 11; Rae et
-    al. 2021 Table A1 structure, public method) — the rule battery
-    every large English web corpus runs alongside model-based quality
-    scores: per document, word count bounds, mean word length bounds,
-    most-frequent-token share, digit-token share, and duplicate-
-    BIGRAM mass (the n-gram repetition class the paper's dup-ngram
-    rules target; the within-doc twin of the cross-doc substring
-    tier), each emitted as a signal AND a boolean rule verdict plus
-    the composite ``keep``. Downstream pipelines filter on ``keep``
-    or re-weight by individual rules. Thresholds are corpus-scaled
-    (documented at the constants) so both sides of every binding rule
-    are exercised at the driver SFs: at sf0.01, 457/500 pass the
-    length rule, 427 the top-token rule, 491 the dup-bigram rule.
+    """Gopher-style composite quality-rule filter (round 11; line
+    rules completed round 12, VERDICT r11 item 5; Rae et al. 2021
+    Table A1 structure, public method) — the rule battery every large
+    English web corpus runs alongside model-based quality scores: per
+    document, word count bounds, mean word length bounds,
+    most-frequent-token share, digit-token share, duplicate-BIGRAM
+    mass (the n-gram repetition class the paper's dup-ngram rules
+    target; the within-doc twin of the cross-doc substring tier),
+    and — round 12 — the LINE-level battery: bullet-line share,
+    ellipsis-line share, symbol-to-word ratio ('#'/'…' chars), and
+    required stop-word presence (>= 2 distinct of the list). Each is
+    emitted as a signal AND a boolean rule verdict plus the composite
+    ``keep``. Downstream pipelines filter on ``keep`` or re-weight by
+    individual rules. The raw corpus has no line structure, so the
+    line rules parse a deterministic LINE RENDERING (tokens wrapped 8
+    per line with doc_id-keyed bullet/hash/ellipsis decoration
+    periods — the html/url fixture precedent, constants above).
+    Thresholds are corpus-scaled (documented at the constants) so
+    both sides of every binding rule are exercised at the driver SFs:
+    at sf0.01, 457/500 pass the length rule, 427 the top-token rule,
+    491 the dup-bigram rule, 375 the bullet rule, 212 the ellipsis
+    rule, 203 the symbol rule, 317 the stop-word rule; keep = 57.
 
     Shape: two explode→(doc, gram) count→per-doc rollup legs (token
     and bigram), each one exchange pair with map-side combine (the
-    shuffle carries counts, never tokens), joined doc-keyed; all
-    rules are scan-local expressions over ROUNDED signals (6 dp both
-    engines, so rule booleans can never disagree at the hash
-    boundary). Token-less docs emit no row (nothing to score — the
-    q_text_repetition_score convention). Full value-hash oracle."""
+    shuffle carries counts, never tokens), plus the scan-local line
+    leg (render → split → classify as pure array expressions) that
+    ships 5 metadata ints per doc into the doc-keyed merge — page
+    text never shuffles; all rules are scan-local expressions over
+    ROUNDED signals (6 dp both engines, so rule booleans can never
+    disagree at the hash boundary). Token-less docs emit no row
+    (nothing to score — the q_text_repetition_score convention).
+    Full value-hash oracle."""
     docs = load_table(spark, "documents", sf_dir)
     tk = docs.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("token")
@@ -291,6 +409,15 @@ def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.sum("cnt").cast("double")
         ).alias("digit_token_ratio"),
+        # c is one row per DISTINCT (doc, token), so the indicator sum
+        # counts distinct stop words present (the Rae presence rule)
+        F.sum(
+            F.when(
+                F.col("token").isin(*_GOPHER_STOPWORDS), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_stop_words"),
     )
     bg = docs.select(
         "doc_id",
@@ -302,8 +429,73 @@ def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt").cast("double")
         ).alias("dup_bigram_ratio")
     )
-    j = t.join(bt, "doc_id", "left").withColumn(
-        "dup_bigram_ratio", F.coalesce("dup_bigram_ratio", F.lit(0.0))
+    # Line-signal leg (round 12): render the deterministic page, then
+    # PARSE it — split on newlines, classify each line by its bullet
+    # prefix / ellipsis suffix, count symbol chars. All scan-local
+    # expressions; the leg ships 5 metadata ints per doc into the
+    # doc-keyed merge, never the page text.
+    toks = tokens_expr(F.col("text"))
+    w = _GOPHER_LINE_W
+    nlines = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    bp = F.col("doc_id") % 4 + 1
+    hr = F.col("doc_id") % 6 + 3
+    eq = F.col("doc_id") % 5 + 2
+    idx = F.when(nlines > 0, F.sequence(F.lit(0), nlines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    page = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.when(i % bp == 0, F.lit("- ")).otherwise(F.lit("")),
+                F.when(i % hr == 1, F.lit("# ")).otherwise(F.lit("")),
+                F.array_join(F.slice(toks, i * w + 1, w), " "),
+                F.when(i % eq == 0, F.lit(" ...")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    lx = (
+        docs.select("doc_id", page.alias("page"))
+        .filter(F.length("page") > 0)
+        .select(
+            "doc_id",
+            F.split("page", "\n").alias("lines"),
+            (
+                F.length("page")
+                - F.length(F.translate("page", "#…", ""))
+            ).alias("n_sym"),
+        )
+        .select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size(
+                F.filter("lines", lambda ln: ln.startswith("- "))
+            ).alias("n_bullet"),
+            F.size(
+                F.filter("lines", lambda ln: ln.endswith("..."))
+            ).alias("n_ellipsis"),
+            "n_sym",
+        )
+    )
+    j = (
+        t.join(bt, "doc_id", "left")
+        .withColumn(
+            "dup_bigram_ratio", F.coalesce("dup_bigram_ratio", F.lit(0.0))
+        )
+        .join(lx, "doc_id")
+        .withColumn(
+            "bullet_line_ratio",
+            round6(F.col("n_bullet") / F.col("n_lines").cast("double")),
+        )
+        .withColumn(
+            "ellipsis_line_ratio",
+            round6(F.col("n_ellipsis") / F.col("n_lines").cast("double")),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            round6(F.col("n_sym") / F.col("n_words").cast("double")),
+        )
     )
     r_len = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
         F.col("n_words") <= _GOPHER_MAX_WORDS
@@ -314,6 +506,10 @@ def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_top = F.col("top_token_ratio") <= _GOPHER_MAX_TOP
     r_digit = F.col("digit_token_ratio") <= _GOPHER_MAX_DIGIT
     r_dupbg = F.col("dup_bigram_ratio") <= _GOPHER_MAX_DUPBG
+    r_bullet = F.col("bullet_line_ratio") <= _GOPHER_MAX_BULLET
+    r_ellipsis = F.col("ellipsis_line_ratio") <= _GOPHER_MAX_ELLIPSIS
+    r_symbol = F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL
+    r_stop = F.col("n_stop_words") >= _GOPHER_MIN_STOP
     return j.select(
         "doc_id",
         "n_words",
@@ -321,12 +517,31 @@ def q_filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_ratio",
         "digit_token_ratio",
         "dup_bigram_ratio",
+        "n_lines",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "symbol_word_ratio",
+        "n_stop_words",
         r_len.alias("r_len"),
         r_wordlen.alias("r_wordlen"),
         r_top.alias("r_top"),
         r_digit.alias("r_digit"),
         r_dupbg.alias("r_dupbg"),
-        (r_len & r_wordlen & r_top & r_digit & r_dupbg).alias("keep"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_symbol.alias("r_symbol"),
+        r_stop.alias("r_stop"),
+        (
+            r_len
+            & r_wordlen
+            & r_top
+            & r_digit
+            & r_dupbg
+            & r_bullet
+            & r_ellipsis
+            & r_symbol
+            & r_stop
+        ).alias("keep"),
     )
 
 
@@ -2511,8 +2726,17 @@ _REWRITE_CTES = """,
     "dedup_substring_rewrite",
     oracle=_span_cte_sql()
     + _REWRITE_CTES
-    + """
-    SELECT doc, n_tokens, n_removed, dtext AS clean_text FROM rw
+    + f""",
+    hubfp AS (
+      SELECT fp FROM sh GROUP BY fp HAVING COUNT(*) > {_SPAN_MAX_BLOCK}
+    ),
+    hubdoc AS (
+      SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_hub_exempt
+      FROM sh WHERE fp IN (SELECT fp FROM hubfp) GROUP BY doc_id
+    )
+    SELECT rw.doc, rw.n_tokens, rw.n_removed, rw.dtext AS clean_text,
+           CAST(COALESCE(h.n_hub_exempt, 0) AS BIGINT) AS n_hub_exempt
+    FROM rw LEFT JOIN hubdoc h ON rw.doc = h.doc
     """,
 )
 def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2531,6 +2755,12 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead removed by the exact-dup / segment tiers that run before
     it in a composed pipeline (see remove_repeated_spans's EXEMPTION
     note and the boilerplate-interaction test pinning both halves).
+    Round 12 (VERDICT r11 item 8) makes the exemption MEASURABLE:
+    every row carries ``n_hub_exempt``, the doc's count of shingle
+    positions whose fingerprint is above the cap — 0 across the
+    driver corpora (no hub shingles there; the boilerplate test pins
+    the nonzero side), so downstream stages can assert the exempt
+    mass instead of trusting this paragraph.
 
     Scale shape (dedup/substring.py remove_repeated_spans): the
     cut-interval side is ∝ detected duplication, never ∝ corpus;
@@ -2545,7 +2775,8 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return remove_repeated_spans(
-        docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK
+        docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK,
+        count_hub_exempt=True,
     )
 
 

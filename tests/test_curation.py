@@ -350,13 +350,20 @@ def test_substring_boilerplate_division_of_labor(spark):
     got = {(r.doc_a, r.doc_b) for r in spans.collect()}
     # (a) the boilerplate (7 > max_block occurrences) emits NO pair...
     assert not any(a < 100 for a, _ in got)
-    # ...and the rewrite therefore leaves those docs uncut,
-    assert (
-        remove_repeated_spans(df, "text", "doc_id", max_block=4)
-        .filter((F.col("doc") < 100) & (F.col("n_removed") > 0))
-        .count()
-        == 0
-    )
+    # ...and the rewrite therefore leaves those docs uncut, while
+    # n_hub_exempt (round 12) REPORTS the exempt positions: each
+    # boilerplate doc holds exactly 6 shingle positions (20..25)
+    # whose 15-token window sits fully inside the shared 20-token
+    # boilerplate; the control docs hold none.
+    rw = {
+        r.doc: r
+        for r in remove_repeated_spans(
+            df, "text", "doc_id", max_block=4, count_hub_exempt=True
+        ).collect()
+    }
+    assert all(rw[d].n_removed == 0 for d in range(1, 8))
+    assert all(rw[d].n_hub_exempt == 6 for d in range(1, 8))
+    assert rw[100].n_hub_exempt == 0 and rw[101].n_hub_exempt == 0
     # ...while the in-band control quote is still detected.
     assert got == {(100, 101)}
 
@@ -979,3 +986,35 @@ def test_url_canon_port_strip_is_path_anchored(spark):
     for u, want in cases.items():
         con.execute(f"CREATE OR REPLACE VIEW u AS SELECT '{u}' AS url")
         assert con.execute(sql).fetchone()[0] == want, u
+
+
+def test_tertile_split_per_lang_lm_differs_from_global():
+    """VERDICT r11 item 6's acceptance test: scoring each language
+    with ITS OWN unigram LM (the faithful CCNet shape) must actually
+    move tertile assignments relative to the round-11 corpus-global
+    LM — a token common in one language but rare corpus-wide scores
+    differently under its own LM. Pure-DuckDB check on the driver
+    corpus (no JVM)."""
+    import duckdb
+
+    from bigdatafinalproject_hockey_spark.queries.curation import (
+        _UNIGRAM_CTES,
+        _UNIGRAM_LANG_CTES,
+    )
+
+    tail = """
+    SELECT doc_id, CAST(tile AS INTEGER) AS tile
+    FROM (SELECT *, NTILE(3) OVER (
+            PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+          ) AS tile FROM scored)
+    """
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    g = dict(con.execute(_UNIGRAM_CTES + tail).fetchall())
+    p = dict(con.execute(_UNIGRAM_LANG_CTES + tail).fetchall())
+    assert set(g) == set(p)  # same docs scored either way
+    moved = sum(1 for d in g if g[d] != p[d])
+    assert moved > 0, "per-lang LM did not move any tertile"
