@@ -40,62 +40,62 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 11
+# COMPUTED: python scripts/staleness_ledger.py --round 12
 # (rows-only entries capped at 1 slot; tests/test_registry.py asserts
 # this list equals the computation — the ledger cannot drift by hand).
-_STAGED_AT_ROUND = 11
+_STAGED_AT_ROUND = 12
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
-    "bpe_learn_vocab",  # never verified
-    "filter_gopher_rules",  # never verified
-    "filter_url_blocklist",  # never verified
-    "pack_efficiency_report",  # never verified
-    "pipeline_web_to_shards",  # never verified
-    "quality_tertile_split",  # never verified
-    "text_normalize_nfkc",  # never verified
-    "tokenize_bpe_corpus",  # never verified
-    "text_unigram_logprob",  # newest r06
-    "text_pii_scrub",  # newest r06
-    "map_functions",  # newest r06
-    "json_extract",  # newest r06
-    "sessionize_events",  # newest r06
-    "win_first_last",  # newest r06
-    "win_lag",  # newest r06
-    "win_running_sum",  # newest r06
-    "win_range_interval",  # newest r06
-    "reshape_unpivot",  # newest r06
-    "sample_stratified",  # newest r06
-    "stream_tumbling_agg",  # newest r06
-    "stream_sliding_agg",  # newest r06
-    "stream_dedup",  # newest r06
-    "stream_session_window",  # newest r06
-    "stream_static_enrich",  # newest r06
-    "ann_recall_eval",  # newest r07
-    "codebook_kmeans_refine",  # newest r07
-    "dedup_semantic",  # newest r07
-    "dedup_semantic_scaled",  # newest r07
-    "embedding_pq_encode",  # newest r07
-    "ml_centroid_classify",  # newest r07
-    "multimodal_decode_wav",  # newest r07
-    "sample_temperature",  # newest r07
-    "sim_ann_ivf_multiprobe",  # newest r07
-    "sim_ann_ivfpq",  # newest r07
-    "sim_ann_pq_adc",  # newest r07
-    "ml_train_eval",  # newest r07
-    "pack_sequences",  # newest r07
-    "join_bucketed",  # newest r07
-    "cap_per_source",  # newest r07
-    "corpus_drift",  # newest r07
-    "chunk_overlap",  # newest r07
-    "dedup_incremental",  # newest r07
-    "scan_chunked",  # newest r07
-    "clean_types",  # newest r07
-    "filter_clean",  # newest r07
-    "derive_features",  # newest r07
-    "str_clean",  # newest r07
-    "dedup_simhash",  # newest r07
-    "sim_ann_lsh",  # newest r07
-    "dedup_minhash_lsh_portable",  # newest r07
+    "decontaminate_corpus",  # never verified
+    "tokenize_bpe_delta",  # never verified
+    "dedup_minhash_lsh",  # newest r07
+    "multimodal_features",  # newest r07
+    "join_skew_salted",  # newest r07
+    "tokenize_to_ids",  # newest r07
+    "dedup_incremental_near",  # newest r07
+    "topk_per_group",  # newest r07
+    "events_funnel",  # newest r07
+    "join_asof",  # newest r07
+    "stream_foreachbatch_upsert",  # newest r07
+    "agg_count_group",  # newest r07
+    "win_row_number",  # newest r07
+    "win_expanding_avg",  # newest r07
+    "win_sliding_avg",  # newest r07
+    "agg_pivot",  # newest r07
+    "agg_windowed_distinct",  # newest r07
+    "join_full_outer",  # newest r07
+    "stream_stream_join",  # newest r07
+    "scan_jsonl_roundtrip",  # newest r07
+    "scan_csv_roundtrip",  # newest r07
+    "set_intersect",  # newest r07
+    "set_except",  # newest r07
+    "win_rank_family",  # newest r07
+    "date_functions",  # newest r07
+    "ml_eval_deterministic",  # newest r07
+    "dedup_semantic_autokey",  # newest r08
+    "scan_rowgroups_pruned",  # newest r08
+    "sim_ann_ivfpq_fitted",  # newest r08
+    "sim_ann_ivfpq_multiprobe",  # newest r08
+    "sim_ann_ivfpq_residual",  # newest r08
+    "agg_approx",  # newest r08
+    "sink_console",  # newest r08
+    "text_quality_classifier",  # newest r08
+    "corpus_snapshot_diff",  # newest r08
+    "stream_dedup_within_watermark",  # newest r08
+    "join_bloom_pruned",  # newest r08
+    "mv_incremental_agg",  # newest r08
+    "scan_schema_evolution",  # newest r08
+    "merge_scd2",  # newest r08
+    "join_scd2_pointintime",  # newest r08
+    "ml_eval_calibration",  # newest r08
+    "embedding_quantize",  # newest r08
+    "sort_zorder",  # newest r08
+    "scan_files_pruned",  # newest r08
+    "events_retention_cohort",  # newest r08
+    "pipeline_incremental_curation",  # newest r08
+    "analytics_shipping_priority",  # newest r08
+    "analytics_large_orders",  # newest r08
+    "stream_scd2_cdc",  # newest r08
 ]
 
 

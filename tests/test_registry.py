@@ -133,12 +133,12 @@ def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
     oracle-less, and since round 10 at most ONE such entry may hold
-    a slot (VERDICT r9 item 5). Round 11's slot goes to the stalest
-    rows-only entry, ml_train_eval (r7; training is inherently
-    RNG-dependent — its evaluation math is hash-pinned four ways by
-    the ml_eval_* twins)."""
+    a slot (VERDICT r9 item 5). Round 12's slot goes to the stalest
+    rows-only entry, dedup_minhash_lsh (r7; Spark-hash-seeded
+    signatures have no DuckDB twin — the portable-hash variant
+    dedup_minhash_lsh_portable is the fully hash-checked twin)."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == ["ml_train_eval"], rows_only
+    assert rows_only == ["dedup_minhash_lsh"], rows_only
 
 
 def test_every_oracle_name_is_registered():
