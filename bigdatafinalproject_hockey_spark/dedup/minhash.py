@@ -70,18 +70,21 @@ def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def shingles_expr(col, n: int = 3):
+def shingles_expr(col, n: int = 3, distinct: bool = True):
     """Word n-gram shingles from the token array.
 
     Built by zip_with-ing n-1 shifted copies of the token array —
     O(tokens) array ops per row. (A transform-over-indices with
     per-index slice/indexing is ~40× slower: nested HOF indexing
     doesn't codegen and re-evaluates the array per position.)
-    n=1 degenerates to the distinct token set.
+    n=1 degenerates to the distinct token set. ``distinct=False``
+    (round 12) keeps the POSITIONAL gram array — element i is the
+    gram starting at token position i — for consumers that cut or
+    annotate spans (decontaminate_redact) rather than set-compare.
     """
     toks = tokens_expr(col)
     if n <= 1:
-        return F.array_distinct(toks)
+        return F.array_distinct(toks) if distinct else toks
     acc = toks
     for k in range(1, n):
         shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
@@ -89,7 +92,7 @@ def shingles_expr(col, n: int = 3):
     full = F.when(
         F.size(toks) >= n, F.slice(acc, 1, F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(full)
+    return F.array_distinct(full) if distinct else full
 
 
 def shingle_hashes_from_token_hashes_expr(th_col, n: int = 3):

@@ -207,6 +207,53 @@ def remove_repeated_spans(
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("span_len")).alias("e"),
     )
+    side = merge_cut_intervals(cuts)
+    if count_hub_exempt:
+        # Hub-exemption observability (see docstring): count per doc
+        # the shingle positions whose fingerprint is above the cap.
+        # The fp count aggregation combines map-side and spills (hash
+        # agg of counts — never a posting list); its above-cap
+        # survivors are the handful of boilerplate fingerprints, which
+        # broadcast onto a second shingle scan for the doc-keyed
+        # count. The counts then ride the INTERVAL side of the rebuild
+        # join — both are tiny doc-keyed aggregates — so the corpus
+        # (and its rebuilt clean_text) still crosses exactly ONE join
+        # and never shuffles for the observability column.
+        sh2 = shingle_fingerprints(df, text_col, id_col, min_span)
+        hub_fps = (
+            sh2.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") > max_block)
+            .select("fp")
+        )
+        hub = (
+            sh2.join(F.broadcast(hub_fps), "fp")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hub_exempt"))
+        )
+        side = side.join(hub, "doc", "full")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    extra = (
+        [
+            F.coalesce(F.col("n_hub_exempt"), F.lit(0).cast("long")).alias(
+                "n_hub_exempt"
+            )
+        ]
+        if count_hub_exempt
+        else []
+    )
+    return rebuild_without_intervals(base, side, extra_cols=extra)
+
+
+def merge_cut_intervals(cuts: DataFrame) -> DataFrame:
+    """(doc, s, e) half-open cut intervals → (doc, ivs) with
+    overlapping intervals merged (classic running-max island merge —
+    one doc can hold overlapping cuts from different sources). One
+    tiny doc-keyed window + groupBy; the interval side is ∝ detected
+    duplication/contamination, never ∝ corpus. Shared by the
+    substring-dedup rewrite and the decontamination redact."""
     w_order = Window.partitionBy("doc").orderBy("s", "e")
     prev_max = (
         F.max("e")
@@ -221,17 +268,29 @@ def remove_repeated_spans(
             w_order.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    merged = (
+    return (
         flagged.groupBy("doc", "grp")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
         .groupBy("doc")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
-    toks = tokens_expr(F.col(text_col))
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), toks.alias("toks")
-    )
-    joined = base.join(merged, "doc", "left").withColumn(
+
+
+def rebuild_without_intervals(
+    base: DataFrame,
+    side: DataFrame,
+    removed_alias: str = "n_removed",
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """Rebuild each doc's token stream without the cut positions:
+    ``base`` is (doc, toks), ``side`` is (doc, ivs [, metadata]) from
+    :func:`merge_cut_intervals`. The corpus crosses exactly ONE
+    equi-join against the tiny interval side (broadcast at bench
+    scale) before a pure array-expression rebuild — document text
+    never shuffles (plan-locked by the rewrite's no-text-in-Exchange
+    test). Shared by the substring-dedup rewrite and the
+    decontamination redact."""
+    joined = base.join(side, "doc", "left").withColumn(
         "ivs", F.coalesce("ivs", F.array().cast("array<struct<s:long,e:long>>"))
     )
     indexed = F.transform(
@@ -247,36 +306,9 @@ def remove_repeated_spans(
     out_cols = [
         F.col("doc"),
         F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        (F.size("toks") - F.size(kept)).cast("long").alias(removed_alias),
         F.concat_ws(
             " ", F.transform(kept, lambda t: t["tok"])
         ).alias("clean_text"),
-    ]
-    if not count_hub_exempt:
-        return joined.select(*out_cols)
-    # Hub-exemption observability (see docstring): count per doc the
-    # shingle positions whose fingerprint is above the cap. The fp
-    # count aggregation combines map-side and spills (hash agg of
-    # counts — never a posting list); its above-cap survivors are the
-    # handful of boilerplate fingerprints, which broadcast onto a
-    # fresh shingle scan for the doc-keyed count.
-    sh = shingle_fingerprints(df, text_col, id_col, min_span)
-    hub_fps = (
-        sh.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") > max_block)
-        .select("fp")
-    )
-    hub = (
-        sh.join(F.broadcast(hub_fps), "fp")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hub_exempt"))
-    )
-    return (
-        joined.select(*out_cols)
-        .join(hub, "doc", "left")
-        .withColumn(
-            "n_hub_exempt",
-            F.coalesce(F.col("n_hub_exempt"), F.lit(0).cast("long")),
-        )
-    )
+    ] + list(extra_cols or [])
+    return joined.select(*out_cols)

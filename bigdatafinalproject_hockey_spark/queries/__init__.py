@@ -47,6 +47,8 @@ _STAGED_AT_ROUND = 12
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
     "decontaminate_corpus",  # never verified
+    "decontaminate_redact",  # never verified
+    "sample_tertile_mix",  # never verified
     "tokenize_bpe_delta",  # never verified
     "dedup_minhash_lsh",  # newest r07
     "multimodal_features",  # newest r07
@@ -94,8 +96,6 @@ _VERIFY_FIRST = [
     "events_retention_cohort",  # newest r08
     "pipeline_incremental_curation",  # newest r08
     "analytics_shipping_priority",  # newest r08
-    "analytics_large_orders",  # newest r08
-    "stream_scd2_cdc",  # newest r08
 ]
 
 

@@ -168,6 +168,13 @@ def q_quality_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution both engines share → full value-hash oracle from
     the per-lang CTEs."""
     docs = load_table(spark, "documents", sf_dir)
+    return _tertile_tiled(docs)
+
+
+def _tertile_tiled(docs: DataFrame) -> DataFrame:
+    """The CCNet per-language tertile table (doc_id, lang, n_tokens,
+    avg_logprob, tile, split) — shared by ``quality_tertile_split``
+    (emits it) and ``sample_tertile_mix`` (samples from it)."""
     tk = docs.select(
         "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
     )
@@ -201,6 +208,69 @@ def q_quality_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("split"),
     )
+
+
+# CCNet tertile-rate sampling: head kept whole, middle at 1/2, tail
+# at 1/8 — the mix shape Wenzek et al. 2019 describe (rates are the
+# tunable; these exercise both sides of every sampled tier at the
+# driver SFs).
+_TERTILE_RATES = (1.0, 0.5, 0.125)
+
+
+@register(
+    "sample_tertile_mix",
+    oracle=_UNIGRAM_LANG_CTES
+    + f""",
+    tiled AS (
+      SELECT doc_id, lang, CAST(tile AS INTEGER) AS tile
+      FROM (
+        SELECT *, NTILE(3) OVER (
+          PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+        ) AS tile
+        FROM scored
+      )
+    )
+    SELECT doc_id, lang, tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS split
+    FROM tiled
+    WHERE CAST(({portable_hash64_sql(
+        "CAST(doc_id AS VARCHAR) || ':tertile'")} >> 11) AS DOUBLE)
+          / 9007199254740992.0
+          < (CASE tile WHEN 1 THEN {_TERTILE_RATES[0]}
+                       WHEN 2 THEN {_TERTILE_RATES[1]}
+                       ELSE {_TERTILE_RATES[2]} END)
+    """,
+)
+def q_sample_tertile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tertile-rate sampling (round 12) — the step AFTER
+    ``quality_tertile_split`` that actually builds the training mix
+    (Wenzek et al. 2019, public method): instead of hard-thresholding
+    on quality, keep the head tertile whole and downsample middle/tail
+    at fixed rates (1/2 and 1/8 here), so lower-quality text stays
+    represented without dominating. The Bernoulli draw is the
+    engine-portable deterministic hash of doc_id (the
+    ``sample_stratified`` discipline — reproducible across engines,
+    stable under retries/repartitioning, no RNG seed plumbing), so
+    the op carries a full value-hash oracle.
+
+    Shape: the shared per-language tertile table
+    (``_tertile_tiled``) plus ONE scan-local filter — the rate is a
+    pure column expression over (tile, hash(doc_id)); no new
+    exchange beyond the tertile window's."""
+    from bigdatafinalproject_hockey_spark.operators import (
+        sampling as sample_ops,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    tiled = _tertile_tiled(docs)
+    u = sample_ops.deterministic_uniform_expr("doc_id", ":tertile")
+    rate = (
+        F.when(F.col("tile") == 1, F.lit(_TERTILE_RATES[0]))
+        .when(F.col("tile") == 2, F.lit(_TERTILE_RATES[1]))
+        .otherwise(F.lit(_TERTILE_RATES[2]))
+    )
+    return tiled.filter(u < rate).select("doc_id", "lang", "tile", "split")
 
 
 _SQL_BIGRAMS = (
@@ -2778,6 +2848,106 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK,
         count_hub_exempt=True,
     )
+
+
+def _decon_redact_oracle() -> str:
+    """Positional-3-gram cuts shaped as a ``spans`` CTE so the
+    SHARED ``_REWRITE_CTES`` island-merge/rebuild block applies
+    verbatim — the redact oracle cannot drift from the rewrite's."""
+    toks = _SQL_TOKS.format(c="text")
+    return (
+        f"""
+    WITH tall AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    bset AS (
+      SELECT DISTINCT unnest({_SQL_3GRAMS.format(t="toks")}) AS g
+      FROM tall WHERE doc_id < 10
+    ),
+    t AS (SELECT doc_id, toks FROM tall WHERE doc_id >= 10),
+    pos3 AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', toks[pos+1], toks[pos+2], toks[pos+3]) AS gg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 2, 0))) AS pos
+            FROM t)
+    ),
+    spans AS (
+      SELECT doc_id AS doc_b, CAST(pos AS BIGINT) AS start_b,
+             CAST(3 AS BIGINT) AS span_len
+      FROM pos3 JOIN bset ON gg = g
+    )"""
+        + _REWRITE_CTES
+        + """
+    SELECT doc AS doc_id, n_tokens, n_removed AS n_redacted,
+           dtext AS clean_text
+    FROM rw
+    """
+    )
+
+
+@register("decontaminate_redact", oracle=_decon_redact_oracle())
+def q_decontaminate_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by SPAN REDACTION (round 12) — the surgical
+    alternative to ``decontaminate_corpus``'s whole-doc drop (the two
+    actions production pipelines choose between, per the n-gram
+    decontamination practice of Brown et al. 2020 appendix C): every
+    position whose word 3-gram appears in the benchmark set (doc_id
+    < 10, the shared convention) becomes a cut interval [p, p+3);
+    overlapping cuts merge (the running-max island helper shared with
+    the substring rewrite) and the token stream is rebuilt without
+    the cut positions. Output: (doc_id, n_tokens, n_redacted,
+    clean_text) for every scored doc — untouched docs pass through
+    with n_redacted = 0, heavily-contaminated docs keep their clean
+    remainder instead of dying wholesale.
+
+    Scale shape: the benchmark gram set broadcasts; the positional
+    gram scan is scan-local (the zip_with shingle family,
+    positional variant); matched cut intervals are ∝ contamination
+    (tiny); interval merging is one doc-keyed metadata window; and
+    the corpus crosses exactly ONE equi-join against the interval
+    arrays before the pure array-expression rebuild (the shared
+    ``rebuild_without_intervals`` — document text never shuffles).
+    Full value-hash oracle: positional-gram cuts shaped into the
+    SHARED ``_REWRITE_CTES`` island/rebuild block, clean_text
+    hash-compared byte-for-byte."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        merge_cut_intervals,
+        rebuild_without_intervals,
+    )
+    from bigdatafinalproject_hockey_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("grams")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    scored = docs.filter(F.col("doc_id") >= 10)
+    pos3 = scored.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(
+            shingles_expr(F.col("text"), 3, distinct=False)
+        ).alias("pos", "g"),
+    )
+    cuts = pos3.join(F.broadcast(bench), "g").select(
+        "doc",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + 3).cast("long").alias("e"),
+    )
+    base = ensure_parallelism(scored).select(
+        F.col("doc_id").alias("doc"),
+        tokens_expr(F.col("text")).alias("toks"),
+    )
+    out = rebuild_without_intervals(
+        base, merge_cut_intervals(cuts), removed_alias="n_redacted"
+    )
+    return out.withColumnRenamed("doc", "doc_id")
 
 
 # ---------------------------------------------------------------------------

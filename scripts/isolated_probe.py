@@ -24,13 +24,15 @@ Output: one JSON line {"probes": {name: {...}}, "sf": ...} plus a
 human-readable stderr trace. Results are recorded in SURVEY §6 /
 README next to the official suite numbers they contextualize.
 
-Two numbers per query, because a fresh session conflates two things:
-``sec_isolated`` is warm best-of-2 exactly as bench.py records it
-(comparable to the official protocol, but in a fresh session the
-second run still carries substantial first-touch JIT for this plan
-shape), and ``sec_steady`` is the min of 5 subsequent full
-recomputes — the resident-engine steady state the suite-embedded
-official numbers approach by the time a query's turn comes up.
+Three numbers per query (round 12, VERDICT r11 item 7), because a
+fresh session conflates distinct costs: ``ingest_sec`` is the very
+first full recompute — it alone carries per-source-version store
+ingests the prewarm couldn't cover and the deepest first-touch JIT;
+``sec_isolated`` is warm best-of-2 measured AFTER that first touch —
+a clean query ceiling comparable to the official protocol; and
+``sec_steady`` is the min of 5 subsequent full recomputes — the
+resident-engine steady state the suite-embedded official numbers
+approach by the time a query's turn comes up.
 
 Round-6 findings (VERDICT r5 items 2 and 4), recorded here because
 this script IS the measurement's provenance:
@@ -105,6 +107,8 @@ WITH_DOCS_X100 = {
     # corpus where output explodes by design).
     "dedup_substring",
     "dedup_substring_rewrite",
+    # round 12: the flagship composite's docs_x100 promotion
+    "pipeline_web_to_shards",
 }
 # round 10 (VERDICT r9 item 4): decompose pipeline_embedding_curation's
 # x10 ratio against its halves. Probed STEADY on both sides (the
@@ -176,14 +180,29 @@ def main() -> None:
         )
     probes: dict[str, dict] = {}
     for name in names:
-        rec: dict = {"sec_isolated": round(run_warm(spark, name, SF_DIR), 3)}
+        # FIRST-TOUCH split (round 12, VERDICT r11 item 7): the very
+        # first recompute of an ingest-bearing entry pays its
+        # store-side one-offs (key-sidecar ingests the prewarm above
+        # could not cover, first-touch JIT for this plan shape) —
+        # recording it separately as ingest_sec keeps sec_isolated a
+        # CLEAN query ceiling instead of conflating the two (the r11
+        # floors showed 1.9x isolated-vs-steady gaps that were
+        # ingest, not plan). sec_isolated is warm best-of-2 measured
+        # AFTER the first touch; sec_steady is unchanged.
+        ingest = run_once(spark, name, SF_DIR)
+        spark.catalog.clearCache()
+        rec: dict = {
+            "ingest_sec": round(ingest, 3),
+            "sec_isolated": round(run_warm(spark, name, SF_DIR), 3),
+        }
         steady_runs = []
         for _ in range(5):
             steady_runs.append(run_once(spark, name, SF_DIR))
             spark.catalog.clearCache()
         rec["sec_steady"] = round(min(steady_runs), 3)
         print(
-            f"  {name}: {rec['sec_isolated']}s isolated, "
+            f"  {name}: {rec['ingest_sec']}s first-touch, "
+            f"{rec['sec_isolated']}s isolated, "
             f"{rec['sec_steady']}s steady",
             file=sys.stderr,
         )
@@ -245,14 +264,17 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     record = {
         "metric": "isolated_probe_sec",
-        # floors runs carry BOTH protocols per entry (sec_isolated =
-        # warm_best_of_2, sec_steady = steady_min_of_5) — label the
-        # record accordingly so provenance re-derivation can't
-        # misclassify sec_steady (ADVICE-class fix, round 11).
+        # floors runs carry THREE protocols per entry (ingest_sec =
+        # first full recompute, carrying any store ingest;
+        # sec_isolated = warm_best_of_2 AFTER that first touch — a
+        # clean query ceiling; sec_steady = steady_min_of_5) — label
+        # the record accordingly so provenance re-derivation can't
+        # misclassify any of them (round 11 ADVICE-class fix; round
+        # 12 added the ingest split, VERDICT r11 item 7).
         "measure": (
-            "floors(warm_best_of_2+steady_min_of_5)"
+            "floors(ingest+warm_best_of_2+steady_min_of_5)"
             if floors_only
-            else "warm_best_of_2"
+            else "ingest+warm_best_of_2"
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "probes": probes,

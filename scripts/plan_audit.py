@@ -103,6 +103,11 @@ ALLOWED: dict[str, set[str]] = {
     "tokenize_bpe_corpus": {"bnl_join", "single_part_exchange"},  # shared
                                               # learn loop; symbol-table
                                               # windows over alphabet+merges
+    "tokenize_bpe_delta": {"bnl_join", "single_part_exchange"},  # same
+                                              # learn loop + symtab windows,
+                                              # plus the k-fold replay's
+                                              # 1-row broadcast merges over
+                                              # the unseen-type table
     "corpus_drift": {"bnl_join"},             # top-V vocab table
     "diag_join_key_skew": {"bnl_join", "single_part_exchange"},  # scalar skew thresholds
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts
