@@ -223,6 +223,13 @@ X100 = [
     # 32.1 s rewrite (scripts/isolated_probe.py, round 10).
     "dedup_substring",
     "dedup_substring_rewrite",
+    # round 12 (VERDICT r11 item 4): the flagship web->shards
+    # composite gets the same docs_x100 promotion dedup_substring got
+    # in r10 — on the disjoint-vocab corpus its span stage sees zero
+    # cross-copy duplication, so the probe isolates the chain's input
+    # scaling (extract/normalize/decontaminate Arrow stages + span +
+    # tokenize + pack).
+    "pipeline_web_to_shards",
 ]
 X100_COPIES = 100
 
@@ -1030,30 +1037,46 @@ def main() -> None:
     out["isolated_floors"] = {}
     spark.stop()
     if top10:
-        try:
-            import subprocess
+        import subprocess
 
-            probe_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "scripts",
-                "isolated_probe.py",
-            )
-            proc = subprocess.run(
-                [sys.executable, probe_path, "--floors-only", *top10],
-                capture_output=True,
-                text=True,
-                timeout=1800,
-                check=True,
-            )
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
-            out["isolated_floors"] = rec.get("probes", {})
-            print(
-                f"[floors] {len(out['isolated_floors'])} isolated floors "
-                f"recorded for the top-10 headline entries",
-                file=sys.stderr,
-            )
-        except Exception as exc:  # noqa: BLE001
-            errors["isolated_floors"] = f"{type(exc).__name__}: {exc}"[:200]
+        probe_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "isolated_probe.py",
+        )
+        # One retry (ADVICE r11): this fresh-JVM subprocess can run
+        # up to 30 minutes, and a single transient failure used to
+        # leave BENCH_FULL without isolated_floors — which the suite
+        # then hard-fails on. A flaky subprocess must not become a
+        # suite gate without at least one more attempt; both failures
+        # are recorded so the artifact shows the retry happened.
+        attempts = []
+        for attempt in (1, 2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, probe_path, "--floors-only", *top10],
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
+                    check=True,
+                )
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                out["isolated_floors"] = rec.get("probes", {})
+                print(
+                    f"[floors] {len(out['isolated_floors'])} isolated "
+                    f"floors recorded for the top-10 headline entries"
+                    + (f" (attempt {attempt})" if attempt > 1 else ""),
+                    file=sys.stderr,
+                )
+                break
+            except Exception as exc:  # noqa: BLE001
+                attempts.append(f"{type(exc).__name__}: {exc}"[:200])
+                print(
+                    f"[floors] attempt {attempt} failed: {attempts[-1]}",
+                    file=sys.stderr,
+                )
+        else:
+            errors["isolated_floors"] = " | then: ".join(attempts)
     # Full uncapped record → file + stderr (humans, SURVEY, judge).
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
