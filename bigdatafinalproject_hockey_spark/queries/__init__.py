@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "decontaminate_corpus",  # never verified
     "decontaminate_redact",  # never verified
     "sample_tertile_mix",  # never verified
+    "text_repetition_ngram_profile",  # never verified
     "tokenize_bpe_delta",  # never verified
     "dedup_minhash_lsh",  # newest r07
     "multimodal_features",  # newest r07
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "scan_files_pruned",  # newest r08
     "events_retention_cohort",  # newest r08
     "pipeline_incremental_curation",  # newest r08
-    "analytics_shipping_priority",  # newest r08
 ]
 
 

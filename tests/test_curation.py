@@ -1018,3 +1018,61 @@ def test_tertile_split_per_lang_lm_differs_from_global():
     assert set(g) == set(p)  # same docs scored either way
     moved = sum(1 for d in g if g[d] != p[d])
     assert moved > 0, "per-lang LM did not move any tertile"
+
+
+def test_repetition_ngram_profile_matches_python_reference(spark):
+    """Round 12: the multi-n repetition profile must match an
+    independent per-doc Python computation on constructed docs that
+    exercise the NONZERO side of every signal (the synthetic driver
+    corpus has no duplicated n>=5-grams, so dup_5..10 are 0.0 there
+    by honest measurement — this pins that the operator would catch
+    real long-range repetition)."""
+    import collections
+    import unittest.mock as mock
+
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+
+    rows = [
+        # a 6-token phrase repeated 3x -> dup mass at every n up to 6
+        (1, "alpha beta gamma delta eps zeta " * 3, "en", "s", 0),
+        # all-unique tokens -> every dup signal exactly 0
+        (2, " ".join(f"u{i}" for i in range(12)), "en", "s", 0),
+        # one dominant bigram -> top_2gram large, dup_5.. still > 0?
+        (3, "x y x y x y x y tail1 tail2", "en", "s", 0),
+    ]
+
+    def py_profile(text):
+        tk = [w for w in text.lower().split() if w]
+        n_chars = sum(len(w) for w in tk)
+        out = {"n_chars": n_chars}
+        for n in range(2, 11):
+            grams = [
+                " ".join(tk[p:p + n]) for p in range(len(tk) - n + 1)
+            ]
+            cnt = collections.Counter(grams)
+            gch = lambda g: len(g) - (n - 1)  # noqa: E731
+            top = max((c * gch(g) for g, c in cnt.items()), default=0)
+            dup = sum(c * gch(g) for g, c in cnt.items() if c > 1)
+            if n in (2, 3, 4):
+                out[f"top_{n}gram_ratio"] = round(top / n_chars, 6)
+            if n >= 5:
+                out[f"dup_{n}gram_ratio"] = round(dup / n_chars, 6)
+        return out
+
+    df = _docs(spark, rows)
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = {
+            r.doc_id: r.asDict()
+            for r in QUERIES["text_repetition_ngram_profile"](
+                spark, "ignored"
+            ).collect()
+        }
+    assert set(got) == {1, 2, 3}
+    for doc_id, text, *_ in rows:
+        expect = py_profile(text)
+        for k, v in expect.items():
+            assert abs(got[doc_id][k] - v) < 1e-9, (doc_id, k, got[doc_id][k], v)
+    # the fixture really exercises the nonzero side of the dup tier
+    assert got[1]["dup_5gram_ratio"] > 0 and got[1]["dup_6gram_ratio"] > 0
+    assert all(got[2][f"dup_{n}gram_ratio"] == 0.0 for n in range(5, 11))
+    assert got[3]["top_2gram_ratio"] > 0.3
