@@ -46,6 +46,7 @@ from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 _STAGED_AT_ROUND = 12
 _VERIFY_FIRST = [
 # stalest-first window (50 slots):
+    "bpe_vocab_extend",  # never verified
     "decontaminate_corpus",  # never verified
     "decontaminate_redact",  # never verified
     "sample_tertile_mix",  # never verified
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "sort_zorder",  # newest r08
     "scan_files_pruned",  # newest r08
     "events_retention_cohort",  # newest r08
-    "pipeline_incremental_curation",  # newest r08
 ]
 
 

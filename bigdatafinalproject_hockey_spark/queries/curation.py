@@ -3929,39 +3929,56 @@ def _bpe_learn_ctes(k: int) -> str:
     )"""
     ]
     for i in range(1, k + 1):
-        p = i - 1
-        parts.append(f""",
+        parts.append(_bpe_iter_cte(i, f"seg{i - 1}"))
+    return "".join(parts)
+
+
+def _bpe_iter_cte(i: int, src: str) -> str:
+    """ONE merge-learning iteration as CTE text — pair stats over
+    ``src`` (a (tok, freq, seg) relation), the argmax b{i}, and the
+    folded seg{i} with the empty-argmax fallback. Shared by the base
+    learn chain and the vocab-extension's continued iterations."""
+    return f""",
     p{i} AS (
       SELECT ss[pos+1] AS x, ss[pos+2] AS y, SUM(freq) AS cnt
       FROM (
         SELECT string_split(seg, ' ') AS ss, freq,
                unnest(range(0, len(string_split(seg, ' ')) - 1)) AS pos
-        FROM seg{p}
+        FROM {src}
       )
       GROUP BY 1, 2
     ),
-    b{i} AS (SELECT x, y FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1),
-    seg{i} AS (
+    b{i} AS MATERIALIZED (
+      SELECT x, y FROM p{i} ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    seg{i} AS MATERIALIZED (
       SELECT s.tok, s.freq,
              CASE WHEN b.x IS NULL THEN s.seg
                   ELSE {_bpe_fold_sql("s.seg")} END AS seg
-      FROM seg{p} s LEFT JOIN b{i} b ON TRUE
-    )""")
+      FROM {src} s LEFT JOIN b{i} b ON TRUE
+    )"""
+
+
+def _bpe_merges_cte(upto: int) -> str:
+    """The ordered merge-list string over iterations 1..upto —
+    appended by the oracles that emit it (the learn CTEs no longer
+    end with it, so the vocab-extension can aggregate across BOTH
+    the frozen and the continued iterations)."""
     merge_rows = "\n        UNION ALL ".join(
-        f"SELECT {i} AS it, x, y FROM b{i}" for i in range(1, k + 1)
+        f"SELECT {i} AS it, x, y FROM b{i}" for i in range(1, upto + 1)
     )
-    parts.append(f""",
+    return f""",
     merges AS (
       SELECT COALESCE(string_agg(x || '+' || y, ' ' ORDER BY it), '')
                AS merges
       FROM ({merge_rows})
-    )""")
-    return "".join(parts)
+    )"""
 
 
 def _bpe_vocab_oracle(k: int) -> str:
     return (
         _bpe_learn_ctes(k)
+        + _bpe_merges_cte(k)
         + f"""
     SELECT s.tok, s.freq, s.seg AS segmented,
            CAST(len(string_split(s.seg, ' ')) AS INTEGER) AS n_symbols,
@@ -3994,9 +4011,19 @@ def _bpe_learn(spark: SparkSession, docs: DataFrame, k: int):
     )
     capture("wordtypes", ch)
     ch = ch.localCheckpoint(eager=True)
+    return _bpe_learn_iters(ch, [], 1, k)
 
-    bests = []
-    for i in range(1, k + 1):
+
+def _bpe_learn_iters(
+    ch: DataFrame, bests: list, start: int, end: int
+) -> tuple:
+    """Merge-learning iterations ``start..end`` over an already-
+    segmented word-type table — the loop body of ``_bpe_learn``,
+    shared with ``bpe_vocab_extend``'s continued learning (which
+    starts from the frozen model's segmentation at start = k+1)."""
+    from bigdatafinalproject_hockey_spark.plancapture import capture
+
+    for i in range(start, end + 1):
         pairs = _bpe_pair_stats(ch, "seg")
         best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
         capture(f"best{i}", best)
@@ -4231,10 +4258,49 @@ def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_DELTA_MOD = 7
 
 
-def _bpe_delta_oracle(k: int) -> str:
+def _bpe_delta_corpus(docs: DataFrame) -> DataFrame:
+    """The deterministic delta-batch fixture (every
+    ``_BPE_DELTA_MOD``-th doc with odd token positions reversed) as
+    (doc_id, pos, tok) — the Spark twin of ``_bpe_delta_ctes``'s
+    dcorpus, shared by the delta encode and the vocab extension."""
+    base = docs.filter((F.col("doc_id") % _BPE_DELTA_MOD) == 0)
+    return base.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok0")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.when((F.col("pos") % 2) == 1, F.reverse("tok0"))
+        .otherwise(F.col("tok0"))
+        .alias("tok"),
+    )
+
+
+def _bpe_replay_unseen(
+    dtypes: DataFrame, ch: DataFrame, bests: list
+) -> DataFrame:
+    """Unseen word types (anti-join against the frozen vocab) with
+    the learned merges replayed in order over their char-split seed —
+    each fold is the SAME expression the trainer applied at that
+    iteration, so a seen type would replay to its frozen segmentation
+    byte-for-byte (pinned by test). Cost ∝ |new word types|; every
+    fold is a 1-row broadcast. Shared by the delta encode and the
+    vocab extension."""
+    unseen = dtypes.join(F.broadcast(ch.select("tok")), "tok", "left_anti")
+    useg = unseen.withColumn("seg", F.split("tok", ""))
+    for b in bests:
+        useg = useg.crossJoin(F.broadcast(b.select("x", "y"))).select(
+            "tok", _bpe_pair_merge_fold("seg").alias("seg")
+        )
+    return useg
+
+
+def _bpe_delta_ctes(k: int) -> str:
+    """The delta-batch CTE chain: the deterministic fixture corpus
+    (every ``_BPE_DELTA_MOD``-th doc, odd positions reversed), its
+    distinct word types, and the unseen-type ranked-merge replay
+    u0..u{k}. Shared by the tokenize_bpe_delta and bpe_vocab_extend
+    oracles, so the replay semantics cannot drift."""
     parts = [
-        _bpe_learn_ctes(k),
-        _bpe_symtab_ctes(k),
         f""",
     dcorpus AS (
       SELECT doc_id, CAST(pos AS INT) AS pos,
@@ -4253,12 +4319,21 @@ def _bpe_delta_oracle(k: int) -> str:
     ]
     for i in range(1, k + 1):
         parts.append(f""",
-    u{i} AS (
+    u{i} AS MATERIALIZED (
       SELECT u.tok,
              CASE WHEN b.x IS NULL THEN u.seg
                   ELSE {_bpe_fold_sql("u.seg")} END AS seg
       FROM u{i - 1} u LEFT JOIN b{i} b ON TRUE
     )""")
+    return "".join(parts)
+
+
+def _bpe_delta_oracle(k: int) -> str:
+    parts = [
+        _bpe_learn_ctes(k),
+        _bpe_symtab_ctes(k),
+        _bpe_delta_ctes(k),
+    ]
     parts.append(f""",
     allseg AS (
       SELECT tok, seg, TRUE AS known_type FROM seg{k}
@@ -4314,30 +4389,8 @@ def q_tokenize_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     ch, bests = _bpe_learn(spark, docs, _BPE_K)
     symtab = _bpe_symtab(spark, ch, bests)
-
-    base = docs.filter((F.col("doc_id") % _BPE_DELTA_MOD) == 0)
-    dcorpus = base.select(
-        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok0")
-    ).select(
-        "doc_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.when((F.col("pos") % 2) == 1, F.reverse("tok0"))
-        .otherwise(F.col("tok0"))
-        .alias("tok"),
-    )
-
-    # Unseen word types: anti-join the frozen vocab, then replay the
-    # learned merges in order over the char-split seed — each fold is
-    # the SAME expression the trainer applied at that iteration, so a
-    # seen type would replay to its frozen segmentation byte-for-byte.
-    unseen = dcorpus.select("tok").distinct().join(
-        F.broadcast(ch.select("tok")), "tok", "left_anti"
-    )
-    useg = unseen.withColumn("seg", F.split("tok", ""))
-    for b in bests:
-        useg = useg.crossJoin(F.broadcast(b.select("x", "y"))).select(
-            "tok", _bpe_pair_merge_fold("seg").alias("seg")
-        )
+    dcorpus = _bpe_delta_corpus(docs)
+    useg = _bpe_replay_unseen(dcorpus.select("tok").distinct(), ch, bests)
 
     allseg = (
         ch.select("tok", "seg")
@@ -4358,4 +4411,124 @@ def q_tokenize_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sym_id",
             "known_type",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: vocabulary EXTENSION (continued learning, frozen prefix)
+# ---------------------------------------------------------------------------
+
+_BPE_EXT_K = 4  # additional merges learned on the grown corpus
+
+
+def _bpe_extend_oracle(k: int, k2: int) -> str:
+    parts = [
+        _bpe_learn_ctes(k),
+        _bpe_delta_ctes(k),
+        f""",
+    dfreqs AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM dcorpus GROUP BY tok
+    ),
+    uch AS (
+      SELECT COALESCE(s.tok, d.tok) AS tok,
+             COALESCE(s.freq, 0) + COALESCE(d.freq, 0) AS freq,
+             COALESCE(s.seg, u.seg) AS seg
+      FROM seg{k} s FULL JOIN dfreqs d ON s.tok = d.tok
+           LEFT JOIN u{k} u ON COALESCE(s.tok, d.tok) = u.tok
+    )""",
+    ]
+    parts.append(_bpe_iter_cte(k + 1, "uch"))
+    for i in range(k + 2, k + k2 + 1):
+        parts.append(_bpe_iter_cte(i, f"seg{i - 1}"))
+    parts.append(_bpe_merges_cte(k + k2))
+    parts.append(f"""
+    SELECT s.tok, s.freq, s.seg AS segmented,
+           CAST(len(string_split(s.seg, ' ')) AS INTEGER) AS n_symbols,
+           m.merges, CAST({k} AS INTEGER) AS n_frozen
+    FROM seg{k + k2} s, merges m
+    """)
+    return "".join(parts)
+
+
+@register("bpe_vocab_extend", oracle=_bpe_extend_oracle(_BPE_K, _BPE_EXT_K))
+def q_bpe_vocab_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary EXTENSION (round 12) — continued merge learning
+    on a GROWN corpus with the day-0 merges frozen as a prefix,
+    completing the tokenizer lifecycle: train (``bpe_learn_vocab``) →
+    encode (``tokenize_bpe_corpus``) → encode new batches
+    (``tokenize_bpe_delta``) → EXTEND the vocabulary when the corpus
+    has grown enough to justify new merges. Freezing the prefix is
+    the production constraint that matters: the first k merge ids
+    (and every symbol id they produce) stay byte-stable, so
+    checkpoints and already-tokenized shards remain valid — the
+    domain-adaptation recipe public tokenizer stacks document
+    (extend-don't-retrain; Sennrich 2016 merges are order-prefix
+    composable by construction).
+
+    Shape: (1) the frozen k=8 model trains exactly as
+    ``bpe_learn_vocab`` (one corpus pass, vocab-bound iterations);
+    (2) the delta batch's word types join the frozen segmentation —
+    seen types reuse it, unseen types get the ranked-merge replay
+    (the SHARED ``_bpe_replay_unseen`` fold, ∝ |new types|);
+    (3) union word-type table = base ⟗ delta freqs (vocab-sized
+    full join; freqs ADD for types in both) with the frozen-merge
+    segmentation — eagerly checkpointed (#union_types) like every
+    trainer boundary; (4) k2=4 MORE iterations of the SHARED
+    ``_bpe_learn_iters`` loop run over it — each still vocab-bound,
+    argmax broadcast back, pure expression fold, early-stop on an
+    empty argmax. Output: every union word type's final segmentation
+    + the full ordered merge list (frozen prefix first) + n_frozen.
+
+    Full value-hash oracle: the shared learn CTEs, the shared delta
+    replay CTEs, the union CTE, and the continued iterations via the
+    SAME per-iteration CTE builder — plus a from-scratch Python
+    reference pinning that the frozen prefix really is a prefix and
+    the new merges equal independent continued learning
+    (tests/test_curation.py)."""
+    from bigdatafinalproject_hockey_spark.plancapture import capture
+
+    docs = load_table(spark, "documents", sf_dir)
+    ch, bests = _bpe_learn(spark, docs, _BPE_K)
+
+    dcorpus = _bpe_delta_corpus(docs)
+    dfreq = dcorpus.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    useg = _bpe_replay_unseen(dfreq.select("tok"), ch, bests)
+    uch = (
+        ch.select("tok", "freq", "seg")
+        .join(dfreq, "tok", "full")
+        .join(useg.withColumnRenamed("seg", "useg"), "tok", "left")
+        .select(
+            "tok",
+            (
+                F.coalesce("freq", F.lit(0)) + F.coalesce("dfreq", F.lit(0))
+            ).cast("long").alias("freq"),
+            F.coalesce("seg", "useg").alias("seg"),
+        )
+    )
+    capture("union_types", uch)
+    uch = uch.localCheckpoint(eager=True)
+
+    ch2, bests = _bpe_learn_iters(
+        uch, bests, _BPE_K + 1, _BPE_K + _BPE_EXT_K
+    )
+    mtab = _bpe_merge_table(spark, bests)
+    merges_row = mtab.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("it", "x", "y"))),
+                lambda s: F.concat(s["x"], F.lit("+"), s["y"]),
+            ),
+            " ",
+        ).alias("merges")
+    )
+    return ch2.crossJoin(F.broadcast(merges_row)).select(
+        "tok",
+        "freq",
+        F.array_join("seg", " ").alias("segmented"),
+        F.size("seg").cast("int").alias("n_symbols"),
+        "merges",
+        F.lit(_BPE_K).cast("int").alias("n_frozen"),
     )

@@ -103,6 +103,9 @@ ALLOWED: dict[str, set[str]] = {
     "tokenize_bpe_corpus": {"bnl_join", "single_part_exchange"},  # shared
                                               # learn loop; symbol-table
                                               # windows over alphabet+merges
+    "bpe_vocab_extend": {"bnl_join", "single_part_exchange"},  # the
+                                              # same trainer loop continued
+                                              # over the union type table
     "tokenize_bpe_delta": {"bnl_join", "single_part_exchange"},  # same
                                               # learn loop + symtab windows,
                                               # plus the k-fold replay's

@@ -1076,3 +1076,80 @@ def test_repetition_ngram_profile_matches_python_reference(spark):
     assert got[1]["dup_5gram_ratio"] > 0 and got[1]["dup_6gram_ratio"] > 0
     assert all(got[2][f"dup_{n}gram_ratio"] == 0.0 for n in range(5, 11))
     assert got[3]["top_2gram_ratio"] > 0.3
+
+
+def test_bpe_vocab_extend_frozen_prefix_and_continued_learning(spark):
+    """Round 12: vocabulary extension must (a) keep the day-0 merges
+    as an untouched PREFIX of the merge list, (b) seed every union
+    word type with the frozen-merge segmentation (seen types = the
+    trained segs, unseen types = the replay), with freqs ADDING for
+    types present in both corpora, and (c) learn the continuation
+    merges exactly as an independent Python BPE continuing from the
+    same state."""
+    import collections
+    import re as _re
+    import unittest.mock as mock
+
+    from bigdatafinalproject_hockey_spark.queries import curation as cur
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the slow brown bear walks under the lazy fox",
+        "lower lowest newer newest wider widest low new",
+        "lower lowest newer newest low new low new",
+        "the theme there then the the then there",
+    ]
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    df = _docs(spark, rows)
+    base_freq, _, merges8 = _py_bpe(texts, cur._BPE_K)
+
+    # the shared delta fixture: doc 0, odd positions reversed
+    toks0 = [w for w in _re.split("[^a-z0-9]+", texts[0].lower()) if w]
+    delta = [w if p % 2 == 0 else w[::-1] for p, w in enumerate(toks0)]
+    union_freq = collections.Counter(base_freq)
+    union_freq.update(delta)
+
+    # seed: frozen merges replayed over every union type
+    segs = {}
+    for w in union_freq:
+        s = list(w)
+        for x, y in merges8:
+            s = _py_bpe_apply_merge(s, x, y)
+        segs[w] = s
+    # continued learning, k2 more merges
+    merges = list(merges8)
+    for _ in range(cur._BPE_EXT_K):
+        pc = collections.Counter()
+        for w, f in union_freq.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        assert pc
+        best = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append(best)
+        for w in segs:
+            segs[w] = _py_bpe_apply_merge(segs[w], *best)
+    expect_merges = " ".join(f"{x}+{y}" for x, y in merges)
+    # the continuation must actually add merges beyond the frozen 8
+    assert len(merges) == cur._BPE_K + cur._BPE_EXT_K
+
+    with mock.patch.object(cur, "load_table", lambda *a, **k: df):
+        got = {
+            r.tok: r
+            for r in QUERIES["bpe_vocab_extend"](spark, "ignored").collect()
+        }
+    assert set(got) == set(union_freq)
+    for w, f in union_freq.items():
+        r = got[w]
+        assert r.freq == f, (w, r.freq, f)
+        assert r.segmented == " ".join(segs[w]), (w, r.segmented, segs[w])
+        assert r.n_symbols == len(segs[w])
+        assert r.merges == expect_merges
+        assert r.n_frozen == cur._BPE_K
+    # frozen-prefix property, explicitly: the extension's first 8
+    # merges equal the day-0 list verbatim
+    assert expect_merges.split(" ")[: cur._BPE_K] == [
+        f"{x}+{y}" for x, y in merges8
+    ]

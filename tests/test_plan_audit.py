@@ -49,6 +49,11 @@ EXPECTED_CAPTURE_KEYS = {
     "tokenize_bpe_delta#wordtypes",
     *{f"tokenize_bpe_delta#best{i}" for i in range(1, 9)},
     *{f"tokenize_bpe_delta#merge{i}" for i in range(1, 9)},
+    # vocab extension: frozen 8 + union boundary + 4 continued
+    "bpe_vocab_extend#wordtypes",
+    "bpe_vocab_extend#union_types",
+    *{f"bpe_vocab_extend#best{i}" for i in range(1, 13)},
+    *{f"bpe_vocab_extend#merge{i}" for i in range(1, 13)},
     "graph_triangle_count#oriented",
     "graph_bfs_hops#round1",
     "graph_bfs_hops#round2",
