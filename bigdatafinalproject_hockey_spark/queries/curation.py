@@ -4020,9 +4020,12 @@ def _bpe_learn_iters(
     """Merge-learning iterations ``start..end`` over an already-
     segmented word-type table — the loop body of ``_bpe_learn``,
     shared with ``bpe_vocab_extend``'s continued learning (which
-    starts from the frozen model's segmentation at start = k+1)."""
+    starts from the frozen model's segmentation at start = k+1).
+    ``bests`` is copied on entry (ADVICE r12): callers keeping a
+    reference to the pre-extension list must not see it mutated."""
     from bigdatafinalproject_hockey_spark.plancapture import capture
 
+    bests = list(bests)
     for i in range(start, end + 1):
         pairs = _bpe_pair_stats(ch, "seg")
         best = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).select("x", "y")
@@ -4032,11 +4035,12 @@ def _bpe_learn_iters(
         # fully merged before iteration k — keep the partial merge
         # table and current segmentation instead of letting the empty
         # crossJoin cascade every later stage (and the output) to
-        # empty. The count is a metadata read of the 1-row frame the
-        # eager localCheckpoint above already materialized, not a new
-        # corpus-scale job. The oracle's LEFT-join fallback
-        # (seg_i := seg_{i-1} when b_i is empty) matches exactly.
-        if best.count() == 0:
+        # empty. isEmpty() launches a cheap take(1)-style job over
+        # the <=1-row frame the eager localCheckpoint above already
+        # materialized — never a corpus-scale recompute (ADVICE r12).
+        # The oracle's LEFT-join fallback (seg_i := seg_{i-1} when
+        # b_i is empty) matches exactly.
+        if best.isEmpty():
             break
         bests.append(best.select(F.lit(i).alias("it"), "x", "y"))
         merged = ch.crossJoin(F.broadcast(best)).select(

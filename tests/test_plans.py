@@ -794,11 +794,18 @@ def test_dedup_substring_rewrite_corpus_never_shuffles(spark):
     # TEXT-NEVER-SHUFFLES, as a literal plan property: the formatted
     # plan lists every node's Input columns — no Exchange may carry
     # the token array or the rebuilt clean_text (the hub counts ride
-    # the metadata side precisely so this holds).
+    # the metadata side precisely so this holds). Column TOKENS are
+    # matched (name + '#' + exprId, ADVICE r12): a bare substring
+    # check would false-fail on a metadata column merely containing
+    # 'toks' (e.g. toks_removed#5) and silently pass a renamed text
+    # column.
+    import re
+
+    text_col = re.compile(r"\b(toks|clean_text)#\d")
     for block in plan.split("\n("):
         head = block.split("\n", 1)[0]
         if ") Exchange" in "(" + head:
-            assert "toks" not in block and "clean_text" not in block, (
+            assert not text_col.search(block), (
                 "an Exchange carries document text:\n(" + block[:400]
             )
 
