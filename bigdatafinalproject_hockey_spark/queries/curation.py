@@ -217,90 +217,83 @@ _REP_TOP_NS = (2, 3, 4)
 _REP_DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
-def _rep_profile_oracle() -> str:
-    toks = _SQL_TOKS.format(c="text")
+def _rep_cte_sql(src: str) -> str:
+    """The Rae Table A1 repetition-signal CTE chain over a
+    ``(doc_id, tk)`` token-array relation ``src`` — the DuckDB twin
+    of :func:`_rep_ratio_frame`, parameterized over its source so the
+    standalone profile oracle and the composed ``filter_gopher_rules``
+    / pipeline oracles share one definition. No leading comma; ends
+    with the ``rep`` CTE (doc_id, n_chars, nine ratio columns).
+
+    Top-gram selection (ADVICE r12): the MOST FREQUENT n-gram —
+    argmax by (cnt, then char mass, then lexicographically greatest
+    gram; ``MAX`` over a struct, the same lexicographic struct
+    ordering Spark's ``max(struct(...))`` uses) — reporting THAT
+    gram's character mass, per the paper's definition; round 12
+    reported the max of cnt·gchars over all grams, which can pick a
+    longer but less frequent gram."""
+    top_pick = "MAX(struct_pack(c := cnt, gc := gchars, g := g))"
     top_cols = ",\n           ".join(
         f"ROUND(COALESCE(SUM(CASE WHEN s.n = {n} THEN s.top_mass END), 0)"
-        f" / CAST(ANY_VALUE(t.n_chars) AS DOUBLE), 6)"
+        f" / CAST(ANY_VALUE(rpt.n_chars) AS DOUBLE), 6)"
         f" AS top_{n}gram_ratio"
         for n in _REP_TOP_NS
     )
     dup_cols = ",\n           ".join(
         f"ROUND(COALESCE(SUM(CASE WHEN s.n = {n} THEN s.dup_mass END), 0)"
-        f" / CAST(ANY_VALUE(t.n_chars) AS DOUBLE), 6)"
+        f" / CAST(ANY_VALUE(rpt.n_chars) AS DOUBLE), 6)"
         f" AS dup_{n}gram_ratio"
         for n in _REP_DUP_NS
     )
-    return f"""
-    WITH t AS (
+    return f"""rpt AS (
       SELECT doc_id, tk,
              CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
                AS n_chars
-      FROM (SELECT doc_id, {toks} AS tk FROM documents)
+      FROM {src}
     ),
-    ex AS (
+    rpx AS (
       SELECT doc_id, n,
              unnest(list_transform(
                range(0, greatest(len(tk) - n + 1, 0)),
                p -> array_to_string(tk[p+1 : p+n], ' '))) AS g
-      FROM t CROSS JOIN (SELECT unnest(range(2, 11)) AS n) ns
+      FROM rpt CROSS JOIN (SELECT unnest(range(2, 11)) AS n) ns
     ),
-    grams AS (
+    rpg AS (
       SELECT doc_id, n, g, len(g) - (n - 1) AS gchars, COUNT(*) AS cnt
-      FROM ex GROUP BY doc_id, n, g
+      FROM rpx GROUP BY doc_id, n, g
     ),
-    stats AS (
+    rps AS (
       SELECT doc_id, n,
-             MAX(cnt * gchars) AS top_mass,
+             ({top_pick}).c * ({top_pick}).gc AS top_mass,
              SUM(CASE WHEN cnt > 1 THEN cnt * gchars ELSE 0 END)
                AS dup_mass
-      FROM grams GROUP BY doc_id, n
-    )
-    SELECT t.doc_id, t.n_chars,
-           {top_cols},
-           {dup_cols}
-    FROM t LEFT JOIN stats s ON t.doc_id = s.doc_id
-    WHERE t.n_chars > 0
-    GROUP BY t.doc_id, t.n_chars
-    """
+      FROM rpg GROUP BY doc_id, n
+    ),
+    rep AS (
+      SELECT rpt.doc_id, rpt.n_chars,
+             {top_cols},
+             {dup_cols}
+      FROM rpt LEFT JOIN rps s ON rpt.doc_id = s.doc_id
+      WHERE rpt.n_chars > 0
+      GROUP BY rpt.doc_id, rpt.n_chars
+    )"""
 
 
-@register("text_repetition_ngram_profile", oracle=_rep_profile_oracle())
-def q_text_repetition_ngram_profile(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """The FULL Gopher repetition-signal family (round 12; Rae et al.
-    2021 Table A1, public method) — the nine n-gram repetition
-    signals the paper's rule battery reads, as one per-doc profile:
-    the character mass of the single most frequent n-gram for
-    n ∈ {2,3,4} (``top_ngram_ratio``) and the character mass of
-    all duplicated n-grams for n ∈ {5..10} (``dup_ngram_ratio``),
-    each over the doc's total token characters. This extends
-    ``text_repetition_score`` (dup tokens + top token = the n=1 row
-    of the family) and the ``filter_gopher_rules`` dup-BIGRAM rule to
-    the paper's full range; a profile, not a verdict battery — on
-    the synthetic driver corpus the dup_5..10 signals are genuinely
-    0.0 for every doc (no long repeated runs), so verdict columns
-    would be vacuous there; the constructed-doc unit test pins the
-    nonzero side of every signal.
-
-    Scale shape — ONE multi-n pass, not nine: the 9 gram arrays are
-    built in a single chained zip_with sweep (array n reuses array
-    n-1's prefix concat — O(tokens · n_max) scan-local work, the
-    shingles_expr discipline, no per-position slicing), exploded
-    once as (n, gram) rows; the shuffle carries (doc, n, gram)
-    COUNTS with map-side combine, never text; per-(doc,n) stats
-    roll up on the same key family and pivot to columns with
-    conditional aggregates (literal n values — no second pass to
-    discover pivot keys); n_chars is a pure array fold on the scan.
-    Full value-hash oracle (6-dp-rounded ratios)."""
-    docs = load_table(spark, "documents", sf_dir)
-    tk = tokens_expr(F.col("text"))
-    t = docs.select(
+def _rep_ratio_frame(tkdf: DataFrame) -> DataFrame:
+    """Per-document Rae Table A1 repetition profile over a
+    ``(doc_id, tk: array<string>)`` frame — the Spark twin of
+    :func:`_rep_cte_sql`, shared by ``text_repetition_ngram_profile``
+    (raw corpus tokens) and ``filter_gopher_rules`` (the long-repeat
+    rendering). Top-gram selection: the most frequent n-gram, ties
+    broken by larger char mass then lexicographically greatest gram
+    (``max`` over a struct — the identical lexicographic struct
+    ordering DuckDB's ``MAX(struct_pack(...))`` applies), reporting
+    that gram's character mass (ADVICE r12)."""
+    t = tkdf.select(
         "doc_id",
-        tk.alias("tk"),
+        "tk",
         F.aggregate(
-            tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            "tk", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         ).alias("n_chars"),
     ).filter(F.col("n_chars") > 0)
 
@@ -330,8 +323,13 @@ def q_text_repetition_ngram_profile(
         F.count(F.lit(1)).alias("cnt")
     )
     gchars = F.length("g") - (F.col("n") - 1)
+    top_pick = F.max(
+        F.struct(
+            F.col("cnt").alias("c"), gchars.alias("gc"), F.col("g").alias("g")
+        )
+    )
     stats = grams.groupBy("doc_id", "n").agg(
-        F.max(F.col("cnt") * gchars).alias("top_mass"),
+        (top_pick.getField("c") * top_pick.getField("gc")).alias("top_mass"),
         F.sum(
             F.when(F.col("cnt") > 1, F.col("cnt") * gchars).otherwise(0)
         ).alias("dup_mass"),
@@ -359,6 +357,55 @@ def q_text_repetition_ngram_profile(
         .join(stats, "doc_id", "left")
         .groupBy("doc_id", "n_chars")
         .agg(*ratio_cols)
+    )
+
+
+@register(
+    "text_repetition_ngram_profile",
+    oracle=f"""
+    WITH rtk0 AS (
+      SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk FROM documents
+    ),
+    {_rep_cte_sql("rtk0")}
+    SELECT * FROM rep
+    """,
+)
+def q_text_repetition_ngram_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL Gopher repetition-signal family (round 12; Rae et al.
+    2021 Table A1, public method) — the nine n-gram repetition
+    signals the paper's rule battery reads, as one per-doc profile:
+    the character mass of the single most frequent n-gram for
+    n ∈ {2,3,4} (``top_ngram_ratio``) and the character mass of
+    all duplicated n-grams for n ∈ {5..10} (``dup_ngram_ratio``),
+    each over the doc's total token characters. This extends
+    ``text_repetition_score`` (dup tokens + top token = the n=1 row
+    of the family) and the ``filter_gopher_rules`` dup-BIGRAM rule to
+    the paper's full range; a profile, not a verdict battery — on
+    the synthetic driver corpus the dup_5..10 signals are genuinely
+    0.0 for every doc (no long repeated runs), so verdict columns
+    would be vacuous there; the constructed-doc unit test pins the
+    nonzero side of every signal.
+
+    Scale shape — ONE multi-n pass, not nine: the 9 gram arrays are
+    built in a single chained zip_with sweep (array n reuses array
+    n-1's prefix concat — O(tokens · n_max) scan-local work, the
+    shingles_expr discipline, no per-position slicing), exploded
+    once as (n, gram) rows; the shuffle carries (doc, n, gram)
+    COUNTS with map-side combine, never text; per-(doc,n) stats
+    roll up on the same key family and pivot to columns with
+    conditional aggregates (literal n values — no second pass to
+    discover pivot keys); n_chars is a pure array fold on the scan.
+    Round 13 (ADVICE r12): the top-n-gram signal now reports the
+    character mass of the MOST FREQUENT n-gram (argmax by count,
+    deterministic struct-ordering tiebreak — see
+    :func:`_rep_ratio_frame`), the paper's definition; round 12
+    reported max(cnt·gchars), which a longer-but-rarer gram could
+    win. Full value-hash oracle (6-dp-rounded ratios)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _rep_ratio_frame(
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("tk"))
     )
 
 

@@ -1051,7 +1051,12 @@ def test_repetition_ngram_profile_matches_python_reference(spark):
             ]
             cnt = collections.Counter(grams)
             gch = lambda g: len(g) - (n - 1)  # noqa: E731
-            top = max((c * gch(g) for g, c in cnt.items()), default=0)
+            # ADVICE r12: the MOST FREQUENT gram's char mass (argmax
+            # by count; ties -> larger char mass, then greatest gram)
+            best = max(
+                ((c, gch(g), g) for g, c in cnt.items()), default=None
+            )
+            top = best[0] * best[1] if best else 0
             dup = sum(c * gch(g) for g, c in cnt.items() if c > 1)
             if n in (2, 3, 4):
                 out[f"top_{n}gram_ratio"] = round(top / n_chars, 6)
