@@ -863,7 +863,12 @@ def test_filter_gopher_rules_edges(spark):
     row; a doc repeating one token trips the top-token rule; a doc of
     exactly the minimum word count passes the length rule while a
     19-word doc fails it; single-token docs get dup_bigram_ratio 0
-    via the left-join coalesce."""
+    via the left-join coalesce. Round 13 (the composite with the nine
+    Table A1 repetition rules): a rendered doc (doc_id % 3 == 0)
+    trips the dup rules via the appended repeat block while its
+    word-count signals keep reading the RAW tokens; an UNRENDERED doc
+    with a natural long repeat trips them without any fixture help;
+    an unrendered all-distinct doc passes every repetition rule."""
     import unittest.mock as mock
 
     from bigdatafinalproject_hockey_spark.queries import curation as cur
@@ -873,9 +878,12 @@ def test_filter_gopher_rules_edges(spark):
     rows = [
         (1, "", "en", "s", 0),                      # token-less
         (2, "spam " * 30, "en", "s", 0),            # one token repeated
-        (3, distinct20, "en", "s", 0),              # exactly at the floor
-        (4, distinct19, "en", "s", 0),              # one under
+        (3, distinct20, "en", "s", 0),              # at floor; rendered
+        (4, distinct19, "en", "s", 0),              # one under; no render
         (5, "solitary", "en", "s", 0),              # single token
+        # unrendered (7 % 3 != 0) natural long repeat: a 6-token
+        # phrase repeated 5x -> every dup_5..10 rule fires for real
+        (7, "alpha beta gamma delta eps zeta " * 5, "en", "s", 0),
     ]
     df = _docs(spark, rows)
     with mock.patch.object(cur, "load_table", lambda *a, **k: df):
@@ -891,6 +899,20 @@ def test_filter_gopher_rules_edges(spark):
     assert got[3].r_len and not got[4].r_len
     assert got[5].dup_bigram_ratio == 0.0 and got[5].r_dupbg
     assert not got[5].r_len and not got[5].keep
+    # doc 3 is RENDERED (3 % 3 == 0): first 7 tokens appended 3 more
+    # times -> adjacent repeats trip the dup tier, but n_words still
+    # reads the raw 20 tokens (the rendering feeds only the rep leg)
+    assert got[3].n_words == 20
+    assert got[3].dup_5gram_ratio > 0.15 and not got[3].r_dup5
+    # doc 4 is UNRENDERED and all-distinct: zero repetition mass,
+    # every repetition rule passes
+    assert got[4].dup_5gram_ratio == 0.0 and got[4].r_dup5
+    assert got[4].top_2gram_ratio <= 0.20 and got[4].r_top2
+    # doc 7 is UNRENDERED with a NATURAL long repeat: the operator
+    # catches real long-range repetition without fixture help
+    for n in range(5, 11):
+        assert got[7][f"dup_{n}gram_ratio"] > 0.10, n
+        assert not got[7][f"r_dup{n}"], n
 
 
 def test_tokenize_bpe_delta_unseen_replay_matches_python(spark):

@@ -900,12 +900,16 @@ def test_tokenize_bpe_corpus_apply_is_broadcast_only(spark):
     assert plan.count("Exchange hashpartitioning") <= 2  # tiny sym tables
 
 
-def test_filter_gopher_rules_two_count_legs_no_shuffled_join(spark):
-    """Gopher rule battery (round 11): two explode→count→rollup legs
-    (token, bigram) — four exchanges with map-side combine, the
-    doc-keyed merge never a shuffled join beyond them, no cartesian;
-    rules are scan-local expressions over the rolled-up signals."""
+def test_filter_gopher_rules_count_legs_no_shuffled_text(spark):
+    """Gopher rule battery (round 11; full Table A1 repetition tier
+    round 13): three explode→count→rollup legs — token, bigram, and
+    the multi-n repetition profile (gram counts + per-(doc,n) stats)
+    — seven exchanges with map-side combine, the doc-keyed merge
+    never a shuffled join beyond them, no cartesian; rules are
+    scan-local expressions over the rolled-up signals. The shuffles
+    carry (doc, gram) COUNTS and per-doc metadata only — never the
+    page or rendered token text."""
     plan = plan_of(spark, "filter_gopher_rules")
-    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("Exchange hashpartitioning") <= 7
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
