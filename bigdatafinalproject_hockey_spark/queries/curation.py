@@ -4427,23 +4427,41 @@ def q_tokenize_bpe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which odd token positions are REVERSED (reverse of a seen word is
 # almost never itself a seen word type, but draws on the same
 # alphabet) — a deterministic mix of seen and genuinely unseen word
-# types, shared closed-form with the oracle.
+# types, shared closed-form with the oracle. Round 13 (VERDICT r12
+# item 3): every third delta doc ALSO carries OUT-OF-ALPHABET
+# characters — tokens at pos % 5 == 2 get 'Q' prepended (the corpus
+# is lowercase [a-z0-9], so an uppercase letter can never be in the
+# training alphabet; pure ASCII, so char-split/reverse semantics are
+# identical in both engines) — exercising the explicit-UNK path of
+# the delta encode.
 _BPE_DELTA_MOD = 7
+_BPE_OOA_MOD = 21  # delta docs with out-of-alphabet injections
+_BPE_OOA_POS = 5   # ... at token positions pos % _BPE_OOA_POS == 2
+_BPE_UNK_ID = -1   # the explicit UNK symbol id (real ids are >= 0)
 
 
 def _bpe_delta_corpus(docs: DataFrame) -> DataFrame:
     """The deterministic delta-batch fixture (every
-    ``_BPE_DELTA_MOD``-th doc with odd token positions reversed) as
+    ``_BPE_DELTA_MOD``-th doc with odd token positions reversed, and
+    every ``_BPE_OOA_MOD``-th doc with the out-of-alphabet 'Q'
+    prepended at positions ``pos % _BPE_OOA_POS == 2``) as
     (doc_id, pos, tok) — the Spark twin of ``_bpe_delta_ctes``'s
     dcorpus, shared by the delta encode and the vocab extension."""
     base = docs.filter((F.col("doc_id") % _BPE_DELTA_MOD) == 0)
+    rev = F.when((F.col("pos") % 2) == 1, F.reverse("tok0")).otherwise(
+        F.col("tok0")
+    )
     return base.select(
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok0")
     ).select(
         "doc_id",
         F.col("pos").cast("int").alias("pos"),
-        F.when((F.col("pos") % 2) == 1, F.reverse("tok0"))
-        .otherwise(F.col("tok0"))
+        F.when(
+            ((F.col("doc_id") % _BPE_OOA_MOD) == 0)
+            & ((F.col("pos") % _BPE_OOA_POS) == 2),
+            F.concat(F.lit("Q"), rev),
+        )
+        .otherwise(rev)
         .alias("tok"),
     )
 
@@ -4477,11 +4495,19 @@ def _bpe_delta_ctes(k: int) -> str:
         f""",
     dcorpus AS (
       SELECT doc_id, CAST(pos AS INT) AS pos,
-             CASE WHEN pos % 2 = 1 THEN reverse(tok) ELSE tok END AS tok
+             CASE WHEN doc_id % {_BPE_OOA_MOD} = 0
+                       AND pos % {_BPE_OOA_POS} = 2
+                  THEN 'Q' || rtok ELSE rtok END AS tok
       FROM (
-        SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
-        FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk
-              FROM documents WHERE doc_id % {_BPE_DELTA_MOD} = 0)
+        SELECT doc_id, pos,
+               CASE WHEN pos % 2 = 1 THEN reverse(tok) ELSE tok END
+                 AS rtok
+        FROM (
+          SELECT doc_id, unnest(range(len(tk))) AS pos,
+                 unnest(tk) AS tok
+          FROM (SELECT doc_id, {_SQL_TOKS.format(c="text")} AS tk
+                FROM documents WHERE doc_id % {_BPE_DELTA_MOD} = 0)
+        )
       )
     ),
     dtypes AS (SELECT DISTINCT tok FROM dcorpus),
@@ -4520,9 +4546,14 @@ def _bpe_delta_oracle(k: int) -> str:
       FROM allseg
     )
     SELECT c.doc_id, c.pos, CAST(s.sub_pos AS INT) AS sub_pos,
-           s.sym AS symbol, t.sym_id, s.known_type
+           s.sym AS symbol,
+           CAST(COALESCE(t.sym_id, {_BPE_UNK_ID}) AS INTEGER) AS sym_id,
+           (t.sym_id IS NULL) AS is_unk,
+           CAST(SUM(CASE WHEN t.sym_id IS NULL THEN 1 ELSE 0 END)
+                OVER (PARTITION BY c.doc_id) AS BIGINT) AS n_unk,
+           s.known_type
     FROM dcorpus c JOIN dsegx s USING (tok)
-         JOIN symtab t ON s.sym = t.sym
+         LEFT JOIN symtab t ON s.sym = t.sym
     """)
     return "".join(parts)
 
@@ -4553,9 +4584,22 @@ def q_tokenize_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic given the merge list — pinned by test), so the
     seen/unseen split is a pure memoization, not a semantic fork.
 
-    Output: (doc_id, pos, sub_pos, symbol, sym_id, known_type) —
-    the ``tokenize_bpe_corpus`` layout plus the seen-at-train-time
-    provenance flag. Full value-hash oracle: the shared learn +
+    OUT-OF-ALPHABET characters (round 13, VERDICT r12 item 3): a
+    delta word containing a character unseen at train time replays to
+    a segmentation whose singleton symbol has no vocabulary id. The
+    id lookup is therefore a LEFT join with an explicit UNK id
+    (sym_id = ``_BPE_UNK_ID``), a per-position ``is_unk`` flag, and a
+    per-doc ``n_unk`` counter — no input position is ever dropped
+    (pinned by test: every character of every delta token appears in
+    the output). This is the explicit-UNK half of the two production
+    designs (the other being GPT-2's byte-level base alphabet, where
+    no character is unrepresentable by construction); the fixture
+    injects 'Q' (outside the lowercase training alphabet) into every
+    third delta doc so both sides of ``is_unk`` are real.
+
+    Output: (doc_id, pos, sub_pos, symbol, sym_id, is_unk, n_unk,
+    known_type) — the ``tokenize_bpe_corpus`` layout plus the
+    provenance flags. Full value-hash oracle: the shared learn +
     symtab CTEs chained into the delta fixture, the unseen-type
     ANTI join, and the k-fold replay; per-position equality with an
     independent Python BPE on the unseen words pinned by test."""
@@ -4573,17 +4617,43 @@ def q_tokenize_bpe_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsegx = allseg.select(
         "tok", "known_type", F.posexplode("seg").alias("sub_pos", "sym")
     )
-    return (
+    # Round 13 (VERDICT r12 item 3): the symbol-id lookup is a LEFT
+    # join with an explicit UNK id — the previous inner join silently
+    # DROPPED any sub-position whose symbol was absent from the
+    # training alphabet (the one silent-data-loss path left in the
+    # tokenizer lifecycle). Production tokenizers avoid the problem
+    # with a byte-level base alphabet (GPT-2) or an explicit UNK;
+    # this op takes the UNK route (sym_id = -1, per-position is_unk,
+    # per-doc n_unk) so the loss is visible and countable. The n_unk
+    # window is doc-keyed over the delta batch's metadata-width
+    # output rows — a delta-sized exchange, never the corpus.
+    out = (
         dcorpus.join(F.broadcast(dsegx), "tok")
-        .join(F.broadcast(symtab), "sym")
+        .join(F.broadcast(symtab), "sym", "left")
         .select(
             "doc_id",
             "pos",
             F.col("sub_pos").cast("int").alias("sub_pos"),
             F.col("sym").alias("symbol"),
-            "sym_id",
+            F.coalesce(F.col("sym_id"), F.lit(_BPE_UNK_ID))
+            .cast("int")
+            .alias("sym_id"),
+            F.col("sym_id").isNull().alias("is_unk"),
             "known_type",
         )
+    )
+    w = Window.partitionBy("doc_id")
+    return out.select(
+        "doc_id",
+        "pos",
+        "sub_pos",
+        "symbol",
+        "sym_id",
+        "is_unk",
+        F.sum(F.col("is_unk").cast("int")).over(w).cast("long").alias(
+            "n_unk"
+        ),
+        "known_type",
     )
 
 

@@ -948,19 +948,30 @@ def test_tokenize_bpe_delta_unseen_replay_matches_python(spark):
     with mock.patch.object(cur, "load_table", lambda *a, **k: df):
         got = QUERIES["tokenize_bpe_delta"](spark, "ignored").collect()
 
-    # the delta fixture takes doc_id % 7 == 0 -> only doc 0 here
+    # the delta fixture takes doc_id % 7 == 0 -> only doc 0 here;
+    # doc 0 also gets the out-of-alphabet 'Q' injections
+    # (0 % _BPE_OOA_MOD == 0, positions pos % 5 == 2)
     toks0 = [w for w in _re.split("[^a-z0-9]+", texts[0].lower()) if w]
-    delta = [w if p % 2 == 0 else w[::-1] for p, w in enumerate(toks0)]
+    delta = []
+    for p, w in enumerate(toks0):
+        w2 = w if p % 2 == 0 else w[::-1]
+        if p % cur._BPE_OOA_POS == 2:
+            w2 = "Q" + w2
+        delta.append(w2)
     by_pos: dict = {}
     for r in got:
         assert r.doc_id == 0
         by_pos.setdefault(r.pos, []).append(r)
     assert set(by_pos) == set(range(len(delta)))
-    unseen_checked = 0
+    unseen_checked = unk_checked = 0
     for p, w in enumerate(delta):
         rs = sorted(by_pos[p], key=lambda r: r.sub_pos)
         assert [r.sub_pos for r in rs] == list(range(len(rs)))
         syms = [r.symbol for r in rs]
+        # NO DROPPED SUB-POSITIONS (VERDICT r12 item 3): every input
+        # character of every delta token appears in the output, UNK
+        # or not
+        assert "".join(syms) == w, (p, w, syms)
         if w in segs:
             assert syms == segs[w], (w, syms, segs[w])
             assert all(r.known_type for r in rs), w
@@ -968,7 +979,19 @@ def test_tokenize_bpe_delta_unseen_replay_matches_python(spark):
             assert syms == replay(w), (w, syms, replay(w))
             assert all(not r.known_type for r in rs), w
             unseen_checked += 1
+        for r in rs:
+            if "Q" in r.symbol:
+                assert r.is_unk and r.sym_id == cur._BPE_UNK_ID, r
+                unk_checked += 1
+            else:
+                assert not r.is_unk and r.sym_id >= 0, r
     assert unseen_checked >= 2, "fixture produced no unseen word types"
+    assert unk_checked >= 1, "fixture produced no out-of-alphabet symbol"
+    # the per-doc UNK counter equals the count of UNK rows
+    n_unk = sum(1 for rs in by_pos.values() for r in rs if r.is_unk)
+    assert all(
+        r.n_unk == n_unk for rs in by_pos.values() for r in rs
+    )
     # a SEEN type replayed through the frozen merges must reproduce
     # its frozen segmentation (the memoization is not a semantic fork)
     for w in segs:
@@ -1130,9 +1153,15 @@ def test_bpe_vocab_extend_frozen_prefix_and_continued_learning(spark):
     df = _docs(spark, rows)
     base_freq, _, merges8 = _py_bpe(texts, cur._BPE_K)
 
-    # the shared delta fixture: doc 0, odd positions reversed
+    # the shared delta fixture: doc 0, odd positions reversed, plus
+    # the round-13 out-of-alphabet 'Q' injections at pos % 5 == 2
     toks0 = [w for w in _re.split("[^a-z0-9]+", texts[0].lower()) if w]
-    delta = [w if p % 2 == 0 else w[::-1] for p, w in enumerate(toks0)]
+    delta = []
+    for p, w in enumerate(toks0):
+        w2 = w if p % 2 == 0 else w[::-1]
+        if p % cur._BPE_OOA_POS == 2:
+            w2 = "Q" + w2
+        delta.append(w2)
     union_freq = collections.Counter(base_freq)
     union_freq.update(delta)
 
