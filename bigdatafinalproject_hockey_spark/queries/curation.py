@@ -49,7 +49,7 @@ TMP_DIR = "/root/repo/.tmp"
 
 # Corpus-GLOBAL unigram-LM scoring CTEs (text_unigram_logprob's
 # oracle). quality_tertile_split used these until round 12, when it
-# moved to the faithful per-language LMs (_UNIGRAM_LANG_CTES below).
+# moved to the faithful per-language LMs (_unigram_lang_ctes below).
 _UNIGRAM_CTES = f"""
     WITH tk AS (
       SELECT doc_id, lang, unnest({_SQL_TOKS.format(c="text")}) AS token
@@ -103,43 +103,59 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # item 6): CCNet trains one LM per language, so the vocabulary,
 # normalizer, and scoring join are all keyed by (lang, token) — the
 # faithful shape the round-11 corpus-global LM approximated.
-_UNIGRAM_LANG_CTES = f"""
-    WITH tk AS (
+
+
+def _unigram_lang_ctes(src: str) -> str:
+    """Per-language unigram-LM scoring CTEs over a ``(doc_id, lang,
+    text)`` relation ``src`` — parameterized (round 13, VERDICT r12
+    item 1) so the standalone tertile oracles and the composed
+    ``pipeline_web_to_shards`` quality-mix stage share one
+    definition. Ends with ``qscored``. No leading comma."""
+    return f"""qtk AS (
       SELECT doc_id, lang, unnest({_SQL_TOKS.format(c="text")}) AS token
-      FROM documents
+      FROM {src}
     ),
-    v AS (
-      SELECT lang, token, COUNT(*) AS tf FROM tk GROUP BY lang, token
+    qv AS (
+      SELECT lang, token, COUNT(*) AS tf FROM qtk GROUP BY lang, token
     ),
-    tot AS (SELECT lang, SUM(tf) AS lang_n FROM v GROUP BY lang),
-    vw AS (
-      SELECT v.lang, v.token,
+    qtot AS (SELECT lang, SUM(tf) AS lang_n FROM qv GROUP BY lang),
+    qvw AS (
+      SELECT qv.lang, qv.token,
              log10(tf / CAST(lang_n AS DOUBLE)) AS logp
-      FROM v JOIN tot USING (lang)
+      FROM qv JOIN qtot USING (lang)
     ),
-    scored AS (
+    qscored AS (
       SELECT doc_id, lang,
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              ROUND(AVG(logp), 6) AS avg_logprob
-      FROM tk JOIN vw USING (lang, token)
+      FROM qtk JOIN qvw USING (lang, token)
       GROUP BY doc_id, lang
+    )"""
+
+
+def _tertile_ctes() -> str:
+    """The CCNet per-language NTILE(3) split over ``qscored`` —
+    ends with ``qtiled``. No leading comma."""
+    return """qtiled AS (
+      SELECT doc_id, lang, n_tokens, avg_logprob,
+             CAST(tile AS INTEGER) AS tile,
+             CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS split
+      FROM (
+        SELECT *, NTILE(3) OVER (
+          PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+        ) AS tile
+        FROM qscored
+      )
     )"""
 
 
 @register(
     "quality_tertile_split",
-    oracle=_UNIGRAM_LANG_CTES
-    + """
-    SELECT doc_id, lang, n_tokens, avg_logprob,
-           CAST(tile AS INTEGER) AS tile,
-           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                     ELSE 'tail' END AS split
-    FROM (
-      SELECT *, NTILE(3) OVER (
-        PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
-      ) AS tile
-      FROM scored
-    )
+    oracle=f"""
+    WITH {_unigram_lang_ctes("documents")},
+    {_tertile_ctes()}
+    SELECT doc_id, lang, n_tokens, avg_logprob, tile, split FROM qtiled
     """,
 )
 def q_quality_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,29 +432,46 @@ def q_text_repetition_ngram_profile(
 _TERTILE_RATES = (1.0, 0.5, 0.125)
 
 
+def _tertile_mix_ctes() -> str:
+    """The tertile-rate Bernoulli filter over ``qtiled`` — ends with
+    ``qmix`` (doc_id, lang, tile, split). No leading comma."""
+    return f"""qmix AS (
+      SELECT doc_id, lang, tile, split FROM qtiled
+      WHERE CAST(({portable_hash64_sql(
+          "CAST(doc_id AS VARCHAR) || ':tertile'")} >> 11) AS DOUBLE)
+            / 9007199254740992.0
+            < (CASE tile WHEN 1 THEN {_TERTILE_RATES[0]}
+                         WHEN 2 THEN {_TERTILE_RATES[1]}
+                         ELSE {_TERTILE_RATES[2]} END)
+    )"""
+
+
+def _tertile_mix_frame(docs: DataFrame) -> DataFrame:
+    """The CCNet tertile-rate mix over a ``(doc_id, lang, text)``
+    frame — the Spark twin of ``_unigram_lang_ctes`` + ``_tertile_ctes``
+    + ``_tertile_mix_ctes``, shared by ``sample_tertile_mix`` and the
+    composed ``pipeline_web_to_shards`` quality-mix stage."""
+    from bigdatafinalproject_hockey_spark.operators import (
+        sampling as sample_ops,
+    )
+
+    tiled = _tertile_tiled(docs)
+    u = sample_ops.deterministic_uniform_expr("doc_id", ":tertile")
+    rate = (
+        F.when(F.col("tile") == 1, F.lit(_TERTILE_RATES[0]))
+        .when(F.col("tile") == 2, F.lit(_TERTILE_RATES[1]))
+        .otherwise(F.lit(_TERTILE_RATES[2]))
+    )
+    return tiled.filter(u < rate).select("doc_id", "lang", "tile", "split")
+
+
 @register(
     "sample_tertile_mix",
-    oracle=_UNIGRAM_LANG_CTES
-    + f""",
-    tiled AS (
-      SELECT doc_id, lang, CAST(tile AS INTEGER) AS tile
-      FROM (
-        SELECT *, NTILE(3) OVER (
-          PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
-        ) AS tile
-        FROM scored
-      )
-    )
-    SELECT doc_id, lang, tile,
-           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                     ELSE 'tail' END AS split
-    FROM tiled
-    WHERE CAST(({portable_hash64_sql(
-        "CAST(doc_id AS VARCHAR) || ':tertile'")} >> 11) AS DOUBLE)
-          / 9007199254740992.0
-          < (CASE tile WHEN 1 THEN {_TERTILE_RATES[0]}
-                       WHEN 2 THEN {_TERTILE_RATES[1]}
-                       ELSE {_TERTILE_RATES[2]} END)
+    oracle=f"""
+    WITH {_unigram_lang_ctes("documents")},
+    {_tertile_ctes()},
+    {_tertile_mix_ctes()}
+    SELECT doc_id, lang, tile, split FROM qmix
     """,
 )
 def q_sample_tertile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,20 +489,10 @@ def q_sample_tertile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the shared per-language tertile table
     (``_tertile_tiled``) plus ONE scan-local filter — the rate is a
     pure column expression over (tile, hash(doc_id)); no new
-    exchange beyond the tertile window's."""
-    from bigdatafinalproject_hockey_spark.operators import (
-        sampling as sample_ops,
-    )
-
+    exchange beyond the tertile window's. Also composed, with the
+    same shared helpers, into ``pipeline_web_to_shards`` (round 13)."""
     docs = load_table(spark, "documents", sf_dir)
-    tiled = _tertile_tiled(docs)
-    u = sample_ops.deterministic_uniform_expr("doc_id", ":tertile")
-    rate = (
-        F.when(F.col("tile") == 1, F.lit(_TERTILE_RATES[0]))
-        .when(F.col("tile") == 2, F.lit(_TERTILE_RATES[1]))
-        .otherwise(F.lit(_TERTILE_RATES[2]))
-    )
-    return tiled.filter(u < rate).select("doc_id", "lang", "tile", "split")
+    return _tertile_mix_frame(docs)
 
 
 _SQL_BIGRAMS = (
@@ -559,14 +582,28 @@ def _gopher_rep_tokens_sql(src: str) -> str:
     )"""
 
 
-def _gopher_ctes(src: str) -> str:
+def _gopher_ctes(
+    src: str,
+    *,
+    max_ellipsis: float = _GOPHER_MAX_ELLIPSIS,
+    max_symbol: float = _GOPHER_MAX_SYMBOL,
+    min_stop: int = _GOPHER_MIN_STOP,
+) -> str:
     """The full Gopher rule battery as CTEs over a ``(doc_id, text)``
     relation ``src`` — parameterized (round 13, VERDICT r12 item 1)
     so the standalone ``filter_gopher_rules`` oracle and the composed
     ``pipeline_web_to_shards`` oracle share one definition. CTE names
     are g-prefixed to compose without collisions; the chain ends with
     the ``gopher`` CTE (every signal, every rule verdict, and the
-    composite ``keep``). No leading comma."""
+    composite ``keep``). No leading comma.
+
+    The three keyword thresholds are the corpus-tuned knobs (the
+    ``_DECON_WEB_MAX_RATIO`` precedent): the composed pipeline scores
+    EXTRACTED text, whose line-rendering densities and stop-word
+    frequencies differ from the raw corpus, so it passes its own
+    bounds (``_GOPHER_WEB_*`` at the pipeline) while every other
+    rule — including all nine Rae repetition thresholds — keeps the
+    shared constants verbatim."""
     toks = _SQL_TOKS.format(c="text")
     stop_list = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
     rep_sigs = ",\n             ".join(f"r.{c}" for c in _GOPHER_REP_MAX)
@@ -674,9 +711,9 @@ def _gopher_ctes(src: str) -> str:
              (digit_token_ratio <= {_GOPHER_MAX_DIGIT}) AS r_digit,
              (dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}) AS r_dupbg,
              (bullet_line_ratio <= {_GOPHER_MAX_BULLET}) AS r_bullet,
-             (ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS}) AS r_ellipsis,
-             (symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}) AS r_symbol,
-             (n_stop_words >= {_GOPHER_MIN_STOP}) AS r_stop,
+             (ellipsis_line_ratio <= {max_ellipsis}) AS r_ellipsis,
+             (symbol_word_ratio <= {max_symbol}) AS r_symbol,
+             (n_stop_words >= {min_stop}) AS r_stop,
              {rep_rules},
              ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
               AND (mean_word_len BETWEEN {_GOPHER_MIN_MWL}
@@ -685,17 +722,24 @@ def _gopher_ctes(src: str) -> str:
               AND digit_token_ratio <= {_GOPHER_MAX_DIGIT}
               AND dup_bigram_ratio <= {_GOPHER_MAX_DUPBG}
               AND bullet_line_ratio <= {_GOPHER_MAX_BULLET}
-              AND ellipsis_line_ratio <= {_GOPHER_MAX_ELLIPSIS}
-              AND symbol_word_ratio <= {_GOPHER_MAX_SYMBOL}
-              AND n_stop_words >= {_GOPHER_MIN_STOP}
+              AND ellipsis_line_ratio <= {max_ellipsis}
+              AND symbol_word_ratio <= {max_symbol}
+              AND n_stop_words >= {min_stop}
               AND {rep_keep}) AS keep
       FROM gjx
     )"""
 
 
-def _gopher_frame(docs: DataFrame) -> DataFrame:
+def _gopher_frame(
+    docs: DataFrame,
+    *,
+    max_ellipsis: float = _GOPHER_MAX_ELLIPSIS,
+    max_symbol: float = _GOPHER_MAX_SYMBOL,
+    min_stop: int = _GOPHER_MIN_STOP,
+) -> DataFrame:
     """The full Gopher rule battery over a ``(doc_id, text)`` frame —
-    the Spark twin of :func:`_gopher_ctes`, shared by the standalone
+    the Spark twin of :func:`_gopher_ctes` (same three corpus-tuned
+    keyword thresholds), shared by the standalone
     ``filter_gopher_rules`` query and the composed
     ``pipeline_web_to_shards`` quality stage (round 13)."""
     from functools import reduce
@@ -841,9 +885,9 @@ def _gopher_frame(docs: DataFrame) -> DataFrame:
     r_digit = F.col("digit_token_ratio") <= _GOPHER_MAX_DIGIT
     r_dupbg = F.col("dup_bigram_ratio") <= _GOPHER_MAX_DUPBG
     r_bullet = F.col("bullet_line_ratio") <= _GOPHER_MAX_BULLET
-    r_ellipsis = F.col("ellipsis_line_ratio") <= _GOPHER_MAX_ELLIPSIS
-    r_symbol = F.col("symbol_word_ratio") <= _GOPHER_MAX_SYMBOL
-    r_stop = F.col("n_stop_words") >= _GOPHER_MIN_STOP
+    r_ellipsis = F.col("ellipsis_line_ratio") <= max_ellipsis
+    r_symbol = F.col("symbol_word_ratio") <= max_symbol
+    r_stop = F.col("n_stop_words") >= min_stop
     rep_rules = [
         (F.col(col) <= F.lit(th)).alias(_rep_rule_name(col))
         for col, th in _GOPHER_REP_MAX.items()
@@ -3818,38 +3862,74 @@ def url_canon_expr(url_col: str):
     )
 
 
-@register(
-    "filter_url_blocklist",
-    oracle=f"""
-    WITH u AS (
-      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents
+def _url_ctes(src: str) -> str:
+    """URL canonicalization + blocklist + per-URL dedup as CTEs over
+    a ``(doc_id, lang)`` relation ``src`` (the fixture URL is derived
+    in-CTE) — parameterized (round 13, VERDICT r12 item 1) so the
+    standalone ``filter_url_blocklist`` oracle and the composed
+    ``pipeline_web_to_shards`` stage-0 share one definition. Ends
+    with ``ukept`` (doc_id, url, canon_url, domain — one row per
+    surviving canonical URL). No leading comma."""
+    return f"""uu AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM {src}
     ),
-    c AS (
+    ucn AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
                '^([^/:]+):[0-9]+(/|$)', '\\1\\2')
                AS canon_url
-      FROM u
+      FROM uu
     ),
-    d AS (
+    udm AS (
       SELECT *,
              regexp_extract(regexp_extract(canon_url, '^([^/]+)', 1),
                             '([^.]+\\.[^.]+)$', 1) AS domain
-      FROM c
+      FROM ucn
     ),
-    kept AS (
-      SELECT * FROM d
+    ukp AS (
+      SELECT * FROM udm
       WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
     ),
-    firsts AS (
-      SELECT doc_id, url, canon_url, domain,
-             ROW_NUMBER() OVER (
-               PARTITION BY canon_url ORDER BY doc_id
-             ) AS rn
-      FROM kept
+    ukept AS (
+      SELECT doc_id, url, canon_url, domain FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY canon_url ORDER BY doc_id) AS rn
+        FROM ukp
+      ) WHERE rn = 1
+    )"""
+
+
+def _url_kept_frame(docs: DataFrame) -> DataFrame:
+    """The URL-stage survivors (doc_id, url, canon_url, domain) over
+    a ``(doc_id, lang)`` frame — the Spark twin of :func:`_url_ctes`,
+    shared by ``filter_url_blocklist`` and the composed pipeline's
+    stage 0. Canonicalization and domain extraction are scan-local;
+    the blocklist anti-join is broadcast; the only exchange is the
+    per-canonical-URL first-occurrence window."""
+    spark = docs.sparkSession
+    d0 = docs.select("doc_id", _url_fixture_expr().alias("url"))
+    host = F.regexp_extract(F.col("canon_url"), "^([^/]+)", 1)
+    d = d0.withColumn("canon_url", url_canon_expr("url")).withColumn(
+        "domain", F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     )
-    SELECT doc_id, url, canon_url, domain FROM firsts WHERE rn = 1
+    blk = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "domain string"
+    )
+    kept = d.join(F.broadcast(blk), "domain", "left_anti")
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "url", "canon_url", "domain")
+    )
+
+
+@register(
+    "filter_url_blocklist",
+    oracle=f"""
+    WITH {_url_ctes("documents")}
+    SELECT doc_id, url, canon_url, domain FROM ukept
     """,
 )
 def q_filter_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3880,24 +3960,10 @@ def q_filter_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No reference analog (the reference ingests structured CSVs);
     this is the brief's curation tier. Full value-hash oracle from
-    the shared fixture closed form."""
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", _url_fixture_expr().alias("url")
-    )
-    host = F.regexp_extract(F.col("canon_url"), "^([^/]+)", 1)
-    d = docs.withColumn("canon_url", url_canon_expr("url")).withColumn(
-        "domain", F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    )
-    blk = spark.createDataFrame(
-        [(b,) for b in _URL_BLOCKLIST], "domain string"
-    )
-    kept = d.join(F.broadcast(blk), "domain", "left_anti")
-    w = Window.partitionBy("canon_url").orderBy("doc_id")
-    return (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "url", "canon_url", "domain")
-    )
+    the shared fixture closed form (``_url_ctes`` — also composed as
+    stage 0 of ``pipeline_web_to_shards``, round 13)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _url_kept_frame(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1044,22 +1044,27 @@ def test_tertile_split_per_lang_lm_differs_from_global():
 
     from bigdatafinalproject_hockey_spark.queries.curation import (
         _UNIGRAM_CTES,
-        _UNIGRAM_LANG_CTES,
+        _unigram_lang_ctes,
     )
 
     tail = """
     SELECT doc_id, CAST(tile AS INTEGER) AS tile
     FROM (SELECT *, NTILE(3) OVER (
             PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
-          ) AS tile FROM scored)
+          ) AS tile FROM {scored})
     """
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         "'/root/testdata/sf0.001/documents.parquet'"
     )
-    g = dict(con.execute(_UNIGRAM_CTES + tail).fetchall())
-    p = dict(con.execute(_UNIGRAM_LANG_CTES + tail).fetchall())
+    g = dict(con.execute(_UNIGRAM_CTES + tail.format(scored="scored")).fetchall())
+    p = dict(
+        con.execute(
+            "WITH " + _unigram_lang_ctes("documents")
+            + tail.format(scored="qscored")
+        ).fetchall()
+    )
     assert set(g) == set(p)  # same docs scored either way
     moved = sum(1 for d in g if g[d] != p[d])
     assert moved > 0, "per-lang LM did not move any tertile"
