@@ -1125,26 +1125,42 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_MAX_RATIO = 0.05
 # The composed web pipeline scores EXTRACTED text, where the fixture
 # pages' shared template blocks and the injected hygiene suffix give
-# every doc a baseline benchmark overlap (composite median 0.094 at
-# sf0.01 vs ~0 on raw documents) — so its threshold is tuned to THAT
-# corpus, exactly as production decontamination thresholds are tuned
-# per benchmark suite + extraction stack (sf0.01: 39 of 245 scored
-# docs cross it; both sides exercised).
-_DECON_WEB_MAX_RATIO = 0.15
+# every doc a baseline benchmark overlap (vs ~0 on raw documents) —
+# so its threshold is tuned to THAT corpus, exactly as production
+# decontamination thresholds are tuned per benchmark suite +
+# extraction stack. Round 13 (full production order): the stage now
+# runs AFTER the Gopher battery + tertile mix (so its benchmark gram
+# set is drawn from the HYGIENE output, where the doc_id < 10 docs
+# still exist), and the threshold is re-tuned to the post-quality
+# survivor distribution (sf0.01: ratios 0.056-0.162 over 31 scored
+# docs, 5 cross 0.09; sf0.001: 7 of 38 — both sides exercised at
+# both driver SFs).
+_DECON_WEB_MAX_RATIO = 0.09
 
 
-def _decon_scores(df: DataFrame) -> DataFrame:
+def _decon_scores(
+    df: DataFrame, bench_df: DataFrame | None = None
+) -> DataFrame:
     """Per-document contamination scores vs the doc_id < 10 benchmark
     set (the ``text_contamination`` convention), METADATA-width only —
     (doc_id, n_grams, n_contaminated, contamination_ratio) for every
     scored (doc_id >= 10) document. The benchmark gram set broadcasts;
     the only wide exchange carries per-doc hit counts, never text.
-    Shared by the standalone apply op and the composed pipeline."""
+    Shared by the standalone apply op and the composed pipeline.
+    ``bench_df`` (round 13): the relation the benchmark docs are
+    drawn from — defaults to ``df`` itself; the composed pipeline
+    passes the HYGIENE output so the benchmark set stays defined even
+    after upstream quality stages have dropped the doc_id < 10 docs
+    from the scored corpus (production benchmark sets are external to
+    the pipeline entirely)."""
     sh = df.select(
         "doc_id", shingles_expr(F.col("text"), 3).alias("grams")
     )
+    bsh = sh if bench_df is None else bench_df.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("grams")
+    )
     bench = (
-        sh.filter(F.col("doc_id") < 10)
+        bsh.filter(F.col("doc_id") < 10)
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
@@ -1178,7 +1194,9 @@ def _decon_scores(df: DataFrame) -> DataFrame:
 
 
 def _decon_apply(
-    df: DataFrame, max_ratio: float = _DECON_MAX_RATIO
+    df: DataFrame,
+    max_ratio: float = _DECON_MAX_RATIO,
+    bench_df: DataFrame | None = None,
 ) -> DataFrame:
     """The decontamination ACTION over :func:`_decon_scores`: remove
     the benchmark documents themselves (eval data must never ship in
@@ -1186,8 +1204,9 @@ def _decon_apply(
     ``max_ratio`` (corpus-tuned — see the threshold constants). The
     drop list is ∝ contaminated docs (tiny in production), so it
     broadcasts into an ANTI-join against the corpus — document TEXT
-    never shuffles through this stage."""
-    drops = _decon_scores(df).filter(
+    never shuffles through this stage. ``bench_df``: see
+    :func:`_decon_scores`."""
+    drops = _decon_scores(df, bench_df).filter(
         F.col("contamination_ratio") > max_ratio
     ).select("doc_id")
     return df.filter(F.col("doc_id") >= 10).join(
@@ -1196,13 +1215,17 @@ def _decon_apply(
 
 
 def _decon_ctes(
-    source: str, max_ratio: float = _DECON_MAX_RATIO
+    source: str,
+    max_ratio: float = _DECON_MAX_RATIO,
+    bench_source: str | None = None,
 ) -> str:
     """Decontamination CTEs over a (doc_id, text, ...) relation —
     the DuckDB twin of ``_decon_scores``/``_decon_apply``. No leading
     comma; ends with the ``decon`` CTE (kept docs with scores).
     Shared by the standalone apply op and the composed web→shards
-    oracle, so the two cannot drift."""
+    oracle, so the two cannot drift. ``bench_source``: the relation
+    the doc_id < 10 benchmark docs are drawn from (defaults to
+    ``source`` — see ``_decon_scores``)."""
     toks = _SQL_TOKS.format(c="text")
     return f"""dtk AS (
       SELECT doc_id, text, {toks} AS dtoks FROM {source}
@@ -1211,8 +1234,13 @@ def _decon_ctes(
       SELECT doc_id, text, {_SQL_3GRAMS.format(t="dtoks")} AS grams
       FROM dtk
     ),
+    dshb AS (
+      SELECT doc_id, {_SQL_3GRAMS.format(t="dtoksb")} AS grams
+      FROM (SELECT doc_id, {toks} AS dtoksb
+            FROM {bench_source or source})
+    ),
     dbench AS (
-      SELECT DISTINCT unnest(grams) AS g FROM dsh WHERE doc_id < 10
+      SELECT DISTINCT unnest(grams) AS g FROM dshb WHERE doc_id < 10
     ),
     dev AS (
       SELECT doc_id, text, len(grams) AS n_grams, grams
@@ -3391,12 +3419,179 @@ def q_pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# URL/domain blocklist filter + per-URL dedup (C4-style stage 0)
+# ---------------------------------------------------------------------------
+
+# Blocked REGISTERED domains (last two host labels) — in production a
+# table of millions of rows (the C4 badwords/blocklist stage), here a
+# literal broadcast relation.
+_URL_BLOCKLIST = ["spamfarm.biz", "tracker.net"]
+
+_URL_FIXTURE_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN (doc_id // 2) % 5 = 0 THEN 'spamfarm.biz'
+             WHEN (doc_id // 2) % 7 = 3 THEN 'ads.tracker.net'
+             ELSE 'site' || CAST((doc_id // 2) % 25 AS VARCHAR)
+                  || '.example.com' END)
+    || '/' || lang || '/article/' || CAST(doc_id // 2 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 1
+             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 1 THEN '#s2' ELSE '' END)"""
+
+
+def _url_fixture_expr():
+    """Deterministic fixture URL per document (the corpus has no URL
+    column): consecutive doc_id PAIRS share one canonical page, but
+    pair members differ in scheme (http/https), a www. prefix, a
+    tracking query string, and a fragment — so canonicalization and
+    per-URL dedup both do real work — and every 5th/7th pair lands on
+    a blocked registered domain (one exact, one via subdomain)."""
+    g = F.floor(F.col("doc_id") / 2).cast("long")
+    host = (
+        F.when((g % 5) == 0, F.lit("spamfarm.biz"))
+        .when((g % 7) == 3, F.lit("ads.tracker.net"))
+        .otherwise(
+            F.concat(
+                F.lit("site"), (g % 25).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+    )
+    return F.concat(
+        F.when((F.col("doc_id") % 2) == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when((F.col("doc_id") % 3) == 0, F.lit("www.")).otherwise(F.lit("")),
+        host,
+        F.lit("/"), F.col("lang"), F.lit("/article/"), g.cast("string"),
+        F.when(
+            (F.col("doc_id") % 2) == 1,
+            F.concat(
+                F.lit("?utm_source=feed&ref="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 4) == 1, F.lit("#s2")).otherwise(F.lit("")),
+    )
+
+
+def url_canon_expr(url_col: str):
+    """Canonical URL: strip scheme, a leading www., query string /
+    fragment, then a host port (example.com:8080/x and example.com/x
+    are one page) — all scan-local regexps, shared semantics with the
+    oracle's CTE. The port match is anchored at a PATH boundary
+    (ADVICE r11): the digits must run to '/' or end-of-string, so a
+    malformed authority like host:8080abc/x keeps its colon (distinct
+    URL) instead of being conflated with hostabc/x; the boundary is a
+    captured group (not a lookahead) because the oracle's RE2 engine
+    has no lookahead."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(url_col), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "[?#].*$",
+            "",
+        ),
+        "^([^/:]+):[0-9]+(/|$)",
+        "$1$2",
+    )
+
+
+def _url_ctes(src: str) -> str:
+    """URL canonicalization + blocklist + per-URL dedup as CTEs over
+    a ``(doc_id, lang)`` relation ``src`` (the fixture URL is derived
+    in-CTE) — parameterized (round 13, VERDICT r12 item 1) so the
+    standalone ``filter_url_blocklist`` oracle and the composed
+    ``pipeline_web_to_shards`` stage-0 share one definition. Ends
+    with ``ukept`` (doc_id, url, canon_url, domain — one row per
+    surviving canonical URL). No leading comma."""
+    return f"""uu AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM {src}
+    ),
+    ucn AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
+               '^([^/:]+):[0-9]+(/|$)', '\\1\\2')
+               AS canon_url
+      FROM uu
+    ),
+    udm AS (
+      SELECT *,
+             regexp_extract(regexp_extract(canon_url, '^([^/]+)', 1),
+                            '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM ucn
+    ),
+    ukp AS (
+      SELECT * FROM udm
+      WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
+    ),
+    ukept AS (
+      SELECT doc_id, url, canon_url, domain FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY canon_url ORDER BY doc_id) AS rn
+        FROM ukp
+      ) WHERE rn = 1
+    )"""
+
+
+def _url_kept_frame(docs: DataFrame) -> DataFrame:
+    """The URL-stage survivors (doc_id, url, canon_url, domain) over
+    a ``(doc_id, lang)`` frame — the Spark twin of :func:`_url_ctes`,
+    shared by ``filter_url_blocklist`` and the composed pipeline's
+    stage 0. Canonicalization and domain extraction are scan-local;
+    the blocklist anti-join is broadcast; the only exchange is the
+    per-canonical-URL first-occurrence window."""
+    spark = docs.sparkSession
+    d0 = docs.select("doc_id", _url_fixture_expr().alias("url"))
+    host = F.regexp_extract(F.col("canon_url"), "^([^/]+)", 1)
+    d = d0.withColumn("canon_url", url_canon_expr("url")).withColumn(
+        "domain", F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    )
+    blk = spark.createDataFrame(
+        [(b,) for b in _URL_BLOCKLIST], "domain string"
+    )
+    kept = d.join(F.broadcast(blk), "domain", "left_anti")
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "url", "canon_url", "domain")
+    )
+
+
+
+
+# The composed pipeline's corpus-tuned Gopher bounds (round 13; see
+# _gopher_ctes — the _DECON_WEB_MAX_RATIO precedent). The extracted
+# pages' line-rendering density and stop-word frequencies differ from
+# the raw corpus, so the three line/stop bounds are retuned to keep
+# the battery's removal rate production-shaped (~half, the rate Rae
+# et al. report for MassiveWeb): at sf0.01 the battery keeps 64 of
+# 121 gated docs (53%); every other rule — including all nine
+# repetition thresholds — keeps the shared constants verbatim.
+_GOPHER_WEB_MAX_ELLIPSIS = 0.55
+_GOPHER_WEB_MAX_SYMBOL = 0.04
+_GOPHER_WEB_MIN_STOP = 1
+
+
 def _web_to_shards_oracle() -> str:
-    """The full-chain oracle: extraction closed form → gate → Unicode
-    suffix normalization → decontamination (round 12) → span CTEs →
-    rewrite CTEs → tokenize-to-ids checksum → greedy packing
-    (recursive CTE) → md5 reshard. Every segment reuses the SHARED
-    constants of its standalone query (extraction/_decon_ctes/
+    """The full-chain oracle (round 13, VERDICT r12 item 1 — the
+    complete production order): URL blocklist/dedup (stage 0, before
+    any extraction) → extraction closed form → gate → Unicode suffix
+    normalization → the full Gopher rule battery → CCNet tertile-rate
+    mix → decontamination (benchmark set drawn from the hygiene
+    output) → span CTEs → rewrite CTEs → tokenize-to-ids checksum →
+    greedy packing (recursive CTE) → md5 reshard. Every segment
+    reuses the SHARED parameterized CTE builders of its standalone
+    query (_url_ctes/extraction closed form/_gopher_ctes/
+    _unigram_lang_ctes+_tertile_ctes+_tertile_mix_ctes/_decon_ctes/
     _span_cte_sql/_REWRITE_CTES/tokenizer constants), so the composed
     oracle cannot drift from the per-stage ones."""
     from bigdatafinalproject_hockey_spark.extraction import CLEAN_SUFFIX
@@ -3406,13 +3601,52 @@ def _web_to_shards_oracle() -> str:
     # injected prefix.
     prefix = (
         "RECURSIVE "
-        + _WEB_PIPE_PREFIX
-        + f"""
-    norm AS (
+        + _url_ctes("documents")
+        + f""",
+    clean AS (
+      SELECT doc_id,
+             {_EXTRACT_CLEAN_SQL} AS text,
+             CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS n_blocks_kept,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 3 END AS n_blocks_dropped
+      FROM documents SEMI JOIN ukept USING (doc_id)
+    ),
+    gated AS (
+      SELECT doc_id, text FROM clean
+      WHERE len({_SQL_TOKS.format(c="text")}) >= 20
+        AND n_blocks_dropped * 2 < n_blocks_kept + n_blocks_dropped
+    ),
+    norm AS MATERIALIZED (
       SELECT doc_id, text || '{CLEAN_SUFFIX}' AS text FROM gated
     ),
     """
-        + _decon_ctes("norm", _DECON_WEB_MAX_RATIO)
+        + _gopher_ctes(
+            "norm",
+            max_ellipsis=_GOPHER_WEB_MAX_ELLIPSIS,
+            max_symbol=_GOPHER_WEB_MAX_SYMBOL,
+            min_stop=_GOPHER_WEB_MIN_STOP,
+        )
+        + """,
+    gkept AS MATERIALIZED (
+      SELECT n.doc_id, n.text
+      FROM norm n JOIN gopher g USING (doc_id)
+      WHERE g.keep
+    ),
+    glang AS (
+      SELECT k.doc_id, d.lang, k.text
+      FROM gkept k JOIN documents d USING (doc_id)
+    ),
+    """
+        + _unigram_lang_ctes("glang")
+        + ",\n    "
+        + _tertile_ctes()
+        + ",\n    "
+        + _tertile_mix_ctes()
+        + """,
+    mixed AS MATERIALIZED (
+      SELECT g.doc_id, g.text FROM gkept g SEMI JOIN qmix USING (doc_id)
+    ),
+    """
+        + _decon_ctes("mixed", _DECON_WEB_MAX_RATIO, bench_source="norm")
         + ","
     )
     return (
@@ -3497,34 +3731,51 @@ def _web_to_shards_oracle() -> str:
 def q_pipeline_web_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE web-corpus day-0-to-training-shards pipeline
     (round 11; VERDICT r10 item 2; decontamination added round 12,
-    VERDICT r11 item 3) — the artifact a production LLM data pipeline
-    actually ships, composing eight of this tier's stages in
-    production order:
+    VERDICT r11 item 3; the full production order — URL stage 0 +
+    Gopher battery + tertile mix — round 13, VERDICT r12 item 1) —
+    the artifact a production LLM data pipeline actually ships,
+    composing eleven of this tier's stages in the C4/CCNet/
+    RefinedWeb/Gopher production order:
 
+      (0) URL blocklist + canonical-URL dedup BEFORE fetch/extract
+          (the C4 stage-0; 292 of 500 docs survive at sf0.01)
       (1) HTML → clean text (Arrow-batched extractor, fixture pages)
       (2) quality gate on the extraction's own signals (≥ 20 tokens,
-          boilerplate-block share < 1/2 — 250 of 500 docs at sf0.01)
+          boilerplate-block share < 1/2 — 121 survivors at sf0.01)
       (3) Unicode hygiene on survivors (NFC + control/bidi strip;
           a deterministic dirty suffix injected in-plan makes the
           normalization observable, norm = clean || CLEAN_SUFFIX)
-      (4) DECONTAMINATION: the benchmark docs themselves and every
-          doc whose 3-gram benchmark overlap crosses the shared
-          threshold are dropped (_decon_apply) — the stage whose
-          absence is the classic shipped-shards production incident
-      (5) variable-length substring dedup REWRITE (not just
+      (4) the FULL Gopher rule battery over the normalized text
+          (the shared _gopher_frame — all word/line/stop rules plus
+          the nine Table A1 repetition rules; the pipeline's three
+          corpus-tuned line/stop bounds at _GOPHER_WEB_*; keeps 64
+          of 121 at sf0.01, the ~half removal rate Rae et al.
+          report for MassiveWeb)
+      (5) CCNet tertile-rate mix (head/½/⅛) scored by each doc's
+          own language's unigram LM (31 survivors at sf0.01)
+      (6) DECONTAMINATION: every doc whose 3-gram overlap with the
+          hygiene-level benchmark set crosses _DECON_WEB_MAX_RATIO
+          is dropped (_decon_apply) — the stage whose absence is
+          the classic shipped-shards production incident
+      (7) variable-length substring dedup REWRITE (not just
           detection — remove_repeated_spans cuts every detected
           repeated span from its higher-id copies)
-      (6) tokenize-to-ids over the REWRITTEN text (top-V vocab +
+      (8) tokenize-to-ids over the REWRITTEN text (top-V vocab +
           hashed OOV), folded to one order-sensitive checksum per doc
           (Σ (pos+1)·token_id) so the packed output stays doc-sized
           while hash-pinning every token id and position
-      (7) greedy sequence packing (capacity 256, shard = doc % 8)
-      (8) deterministic md5 reshard into 16 training shards with
+      (9) greedy sequence packing (capacity 256, shard = doc % 8)
+      (10) deterministic md5 reshard into 16 training shards with
           dense per-shard positions.
 
-    Scale shape: two Arrow stages (extract, normalize) fused
-    exchange-free on the scan; the gate halves the span stage's
-    input; the decontamination drop list broadcasts into an
+    Scale shape: stage 0 is scan-local expressions + a broadcast
+    anti-join + one canonical-URL window, and it PRUNES the corpus
+    before the Arrow extractor spends anything; two Arrow stages
+    (extract, normalize) fused exchange-free on the scan; the gate
+    halves the battery's input; the battery's shuffles carry (doc,
+    gram) COUNTS only and its keep list is doc_id-width; the mix
+    adds one lang-window over doc-level scores (lang rides a pruned
+    metadata join); the decontamination drop list broadcasts into an
     anti-join (text never shuffles there) and further thins the span
     input; the rewrite joins interval arrays back to the surviving
     corpus ONCE; the tokenizer's vocab broadcasts; packing moves
@@ -3532,22 +3783,26 @@ def q_pipeline_web_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Raw HTML never shuffles anywhere in the chain.
 
     MATERIALIZATION BOUNDARIES: the chain's fan-out points (the
-    normalized corpus feeds the decontamination scores AND the
-    anti-join base; the decontaminated corpus feeds the span
-    detector AND the rebuild base; the rewritten corpus feeds
-    tokenization AND the metadata leg; the metadata table feeds
-    packing AND the final attach) would each re-evaluate their whole
-    upstream lineage lazily — 8 Arrow extraction stages in the
-    rendered plan. Each boundary therefore localCheckpoints eagerly
-    (the graph_bfs_hops precedent; at 100 TB these are exactly the
+    normalized corpus feeds the battery's four legs, the mix, AND
+    the benchmark gram set; the battery survivors feed the per-lang
+    scoring AND the mix semi-join; the mixed corpus feeds the
+    decontamination scores AND the anti-join base; the
+    decontaminated corpus feeds the span detector AND the rebuild
+    base; the rewritten corpus feeds tokenization AND the metadata
+    leg; the metadata table feeds packing AND the final attach)
+    would each re-evaluate their whole upstream lineage lazily.
+    Each boundary therefore localCheckpoints eagerly (the
+    graph_bfs_hops precedent; at 100 TB these are exactly the
     points a production pipeline persists between stages), with
     every stage's plan surfaced to the audit via plancapture
-    (#extract_norm / #decon / #rewrite / #tokenize_meta).
+    (#extract_norm / #quality_gate / #quality_mix / #decon /
+    #rewrite / #tokenize_meta).
 
     Full value-hash oracle chaining the SHARED per-stage CTE
-    constants — extraction closed form, _decon_ctes, _span_cte_sql,
-    _REWRITE_CTES, the tokenizer constants, and the packing
-    recursive CTE."""
+    builders — _url_ctes, extraction closed form, _gopher_ctes,
+    _unigram_lang_ctes + _tertile_ctes + _tertile_mix_ctes,
+    _decon_ctes, _span_cte_sql, _REWRITE_CTES, the tokenizer
+    constants, and the packing recursive CTE."""
     from bigdatafinalproject_hockey_spark.dedup.substring import (
         remove_repeated_spans,
     )
@@ -3559,7 +3814,14 @@ def q_pipeline_web_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bigdatafinalproject_hockey_spark.plancapture import capture
 
-    docs = load_table(spark, "documents", sf_dir).select(
+    src = load_table(spark, "documents", sf_dir)
+    # STAGE 0 — URL blocklist + canonical-URL dedup (round 13,
+    # VERDICT r12 item 1): the C4-style filter every production
+    # pipeline runs BEFORE fetch/extract spends anything on the page.
+    # The survivor id set is doc_id-width; the corpus joins it
+    # semi-style so blocked pages never reach the Arrow extractor.
+    url_kept = _url_kept_frame(src).select("doc_id")
+    docs = src.join(url_kept, "doc_id", "semi").select(
         "doc_id", html_fixture_expr("text", "doc_id").alias("html")
     )
     ex = extract_html_text_batched(docs, "html", "doc_id")
@@ -3579,13 +3841,43 @@ def q_pipeline_web_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capture("extract_norm", norm)
     norm = norm.localCheckpoint(eager=True)
+    # QUALITY GATE (round 13): the full Gopher rule battery over the
+    # normalized text — the shared _gopher_frame with the pipeline's
+    # corpus-tuned line/stop bounds (constants above). The keep list
+    # is doc_id-width; the battery's own shuffles carry counts only.
+    # gkept fans out to the per-lang LM scoring AND the mix semi-join
+    # below, so it checkpoints eagerly like every other boundary.
+    g = _gopher_frame(
+        norm,
+        max_ellipsis=_GOPHER_WEB_MAX_ELLIPSIS,
+        max_symbol=_GOPHER_WEB_MAX_SYMBOL,
+        min_stop=_GOPHER_WEB_MIN_STOP,
+    )
+    gkept = norm.join(
+        g.filter(F.col("keep")).select("doc_id"), "doc_id", "semi"
+    )
+    capture("quality_gate", gkept)
+    gkept = gkept.localCheckpoint(eager=True)
+    # TERTILE MIX (round 13): CCNet head/middle/tail rate sampling
+    # over the battery survivors, scored by each doc's OWN language's
+    # unigram LM (lang rides a pruned doc_id-keyed join from the
+    # source scan — two metadata columns, never text).
+    glang = gkept.join(src.select("doc_id", "lang"), "doc_id")
+    mix_ids = _tertile_mix_frame(glang).select("doc_id")
+    mixed = gkept.join(mix_ids, "doc_id", "semi")
+    capture("quality_mix", mixed)
+    mixed = mixed.localCheckpoint(eager=True)
     # Decontamination (round 12, VERDICT r11 item 3): drop the
     # benchmark docs and every doc whose 3-gram benchmark overlap
     # crosses the shared threshold BEFORE the expensive span stage —
-    # the drop list broadcasts, text never shuffles. Another fan-out
-    # boundary (the scores leg and the anti-join base both read it),
-    # so it checkpoints eagerly like the others.
-    decon = _decon_apply(norm, _DECON_WEB_MAX_RATIO)
+    # the drop list broadcasts, text never shuffles. The benchmark
+    # gram set is drawn from the HYGIENE output (round 13): the
+    # quality stages legitimately drop the doc_id < 10 stand-ins
+    # from the scored corpus, and a production benchmark set is
+    # external to the pipeline entirely. Another fan-out boundary
+    # (the scores leg and the anti-join base both read it), so it
+    # checkpoints eagerly like the others.
+    decon = _decon_apply(mixed, _DECON_WEB_MAX_RATIO, bench_df=norm)
     capture("decon", decon)
     decon = decon.localCheckpoint(eager=True)
     rw = remove_repeated_spans(
@@ -3776,153 +4068,6 @@ def _register_text_normalize_nfkc() -> None:
 
 
 _register_text_normalize_nfkc()
-
-
-# ---------------------------------------------------------------------------
-# URL/domain blocklist filter + per-URL dedup (C4-style stage 0)
-# ---------------------------------------------------------------------------
-
-# Blocked REGISTERED domains (last two host labels) — in production a
-# table of millions of rows (the C4 badwords/blocklist stage), here a
-# literal broadcast relation.
-_URL_BLOCKLIST = ["spamfarm.biz", "tracker.net"]
-
-_URL_FIXTURE_SQL = """
-    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
-    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
-    || (CASE WHEN (doc_id // 2) % 5 = 0 THEN 'spamfarm.biz'
-             WHEN (doc_id // 2) % 7 = 3 THEN 'ads.tracker.net'
-             ELSE 'site' || CAST((doc_id // 2) % 25 AS VARCHAR)
-                  || '.example.com' END)
-    || '/' || lang || '/article/' || CAST(doc_id // 2 AS VARCHAR)
-    || (CASE WHEN doc_id % 2 = 1
-             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
-             ELSE '' END)
-    || (CASE WHEN doc_id % 4 = 1 THEN '#s2' ELSE '' END)"""
-
-
-def _url_fixture_expr():
-    """Deterministic fixture URL per document (the corpus has no URL
-    column): consecutive doc_id PAIRS share one canonical page, but
-    pair members differ in scheme (http/https), a www. prefix, a
-    tracking query string, and a fragment — so canonicalization and
-    per-URL dedup both do real work — and every 5th/7th pair lands on
-    a blocked registered domain (one exact, one via subdomain)."""
-    g = F.floor(F.col("doc_id") / 2).cast("long")
-    host = (
-        F.when((g % 5) == 0, F.lit("spamfarm.biz"))
-        .when((g % 7) == 3, F.lit("ads.tracker.net"))
-        .otherwise(
-            F.concat(
-                F.lit("site"), (g % 25).cast("string"),
-                F.lit(".example.com"),
-            )
-        )
-    )
-    return F.concat(
-        F.when((F.col("doc_id") % 2) == 0, F.lit("https://")).otherwise(
-            F.lit("http://")
-        ),
-        F.when((F.col("doc_id") % 3) == 0, F.lit("www.")).otherwise(F.lit("")),
-        host,
-        F.lit("/"), F.col("lang"), F.lit("/article/"), g.cast("string"),
-        F.when(
-            (F.col("doc_id") % 2) == 1,
-            F.concat(
-                F.lit("?utm_source=feed&ref="),
-                F.col("doc_id").cast("string"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when((F.col("doc_id") % 4) == 1, F.lit("#s2")).otherwise(F.lit("")),
-    )
-
-
-def url_canon_expr(url_col: str):
-    """Canonical URL: strip scheme, a leading www., query string /
-    fragment, then a host port (example.com:8080/x and example.com/x
-    are one page) — all scan-local regexps, shared semantics with the
-    oracle's CTE. The port match is anchored at a PATH boundary
-    (ADVICE r11): the digits must run to '/' or end-of-string, so a
-    malformed authority like host:8080abc/x keeps its colon (distinct
-    URL) instead of being conflated with hostabc/x; the boundary is a
-    captured group (not a lookahead) because the oracle's RE2 engine
-    has no lookahead."""
-    return F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col(url_col), "^https?://", ""),
-                "^www\\.",
-                "",
-            ),
-            "[?#].*$",
-            "",
-        ),
-        "^([^/:]+):[0-9]+(/|$)",
-        "$1$2",
-    )
-
-
-def _url_ctes(src: str) -> str:
-    """URL canonicalization + blocklist + per-URL dedup as CTEs over
-    a ``(doc_id, lang)`` relation ``src`` (the fixture URL is derived
-    in-CTE) — parameterized (round 13, VERDICT r12 item 1) so the
-    standalone ``filter_url_blocklist`` oracle and the composed
-    ``pipeline_web_to_shards`` stage-0 share one definition. Ends
-    with ``ukept`` (doc_id, url, canon_url, domain — one row per
-    surviving canonical URL). No leading comma."""
-    return f"""uu AS (
-      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM {src}
-    ),
-    ucn AS (
-      SELECT doc_id, url,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               url, '^https?://', ''), '^www\\.', ''), '[?#].*$', ''),
-               '^([^/:]+):[0-9]+(/|$)', '\\1\\2')
-               AS canon_url
-      FROM uu
-    ),
-    udm AS (
-      SELECT *,
-             regexp_extract(regexp_extract(canon_url, '^([^/]+)', 1),
-                            '([^.]+\\.[^.]+)$', 1) AS domain
-      FROM ucn
-    ),
-    ukp AS (
-      SELECT * FROM udm
-      WHERE domain NOT IN ({", ".join(f"'{d}'" for d in _URL_BLOCKLIST)})
-    ),
-    ukept AS (
-      SELECT doc_id, url, canon_url, domain FROM (
-        SELECT *, ROW_NUMBER() OVER (
-                 PARTITION BY canon_url ORDER BY doc_id) AS rn
-        FROM ukp
-      ) WHERE rn = 1
-    )"""
-
-
-def _url_kept_frame(docs: DataFrame) -> DataFrame:
-    """The URL-stage survivors (doc_id, url, canon_url, domain) over
-    a ``(doc_id, lang)`` frame — the Spark twin of :func:`_url_ctes`,
-    shared by ``filter_url_blocklist`` and the composed pipeline's
-    stage 0. Canonicalization and domain extraction are scan-local;
-    the blocklist anti-join is broadcast; the only exchange is the
-    per-canonical-URL first-occurrence window."""
-    spark = docs.sparkSession
-    d0 = docs.select("doc_id", _url_fixture_expr().alias("url"))
-    host = F.regexp_extract(F.col("canon_url"), "^([^/]+)", 1)
-    d = d0.withColumn("canon_url", url_canon_expr("url")).withColumn(
-        "domain", F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    )
-    blk = spark.createDataFrame(
-        [(b,) for b in _URL_BLOCKLIST], "domain string"
-    )
-    kept = d.join(F.broadcast(blk), "domain", "left_anti")
-    w = Window.partitionBy("canon_url").orderBy("doc_id")
-    return (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "url", "canon_url", "domain")
-    )
 
 
 @register(

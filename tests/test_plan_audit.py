@@ -36,6 +36,8 @@ EXPECTED_CAPTURE_KEYS = {
     "graph_bfs_hops#edges_ingest",
     # checkpoint-truncated iteration stages
     "pipeline_web_to_shards#extract_norm",
+    "pipeline_web_to_shards#quality_gate",
+    "pipeline_web_to_shards#quality_mix",
     "pipeline_web_to_shards#decon",
     "pipeline_web_to_shards#rewrite",
     "pipeline_web_to_shards#tokenize_meta",
