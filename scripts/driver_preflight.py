@@ -44,6 +44,17 @@ def main() -> int:
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     con = duckdb_conn(SF)
+    # Streaming availability audit (round 13, VERDICT r12 item 8):
+    # record WHY the TWS operator is (or is not) a registered row in
+    # this environment, so the artifact shows the gate's verdict.
+    from bigdatafinalproject_hockey_spark.streaming import tws_available
+
+    tws_ok, tws_reason = tws_available()
+    print(f"[streaming-tws] available={tws_ok}: {tws_reason}")
+    print(
+        f"[streaming-tws] stream_stateful_totals_tws registered: "
+        f"{'stream_stateful_totals_tws' in qs}"
+    )
     window = list(qs)[: int(sys.argv[1])] if len(sys.argv) > 1 else list(qs)
 
     n_ok = n_rows_only = 0

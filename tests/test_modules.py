@@ -1042,6 +1042,31 @@ def test_ml_variants_emit_reference_metric_schema(spark):
             assert row["top_feature"] is None
 
 
+def test_tws_gate_condition_and_auto_promotion():
+    """VERDICT r12 item 8: the TWS availability gate must be exactly
+    'google.protobuf importable' (the same condition this file's TWS
+    test skips on), the reason string must name it, and the
+    conditional driver-row registration must match the gate's verdict
+    — so an environment that gains protobuf auto-promotes the
+    operator with no code change."""
+    import importlib.util
+
+    from bigdatafinalproject_hockey_spark.queries import ORACLE_SQL, QUERIES
+    from bigdatafinalproject_hockey_spark.streaming import tws_available
+
+    ok, reason = tws_available()
+    try:
+        # find_spec raises when even the parent package is absent
+        importable = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        importable = False
+    assert ok == importable
+    assert "google.protobuf" in reason
+    assert ("stream_stateful_totals_tws" in QUERIES) == ok
+    if ok:
+        assert "stream_stateful_totals_tws" in ORACLE_SQL
+
+
 def test_stateful_user_totals_tws_matches_batch(spark):
     """transformWithStateInPandas twin of stateful_user_totals:
     availability-gated (the TWS Python worker needs google.protobuf,
