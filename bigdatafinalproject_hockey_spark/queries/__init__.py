@@ -16,16 +16,17 @@ the queries that have not yet received a driver correctness row, and
 each round it is updated so that over successive rounds the whole
 surface accumulates hard external verification.
 
-Round-11 window (VERDICT r10 item 2): the computed stalest-first
-window leads with this round's eight never-verified newcomers
-(bpe_learn_vocab, filter_gopher_rules, filter_url_blocklist,
-pack_efficiency_report, pipeline_web_to_shards,
-quality_tertile_split, text_normalize_nfkc, tokenize_bpe_corpus),
-then ALL 16 remaining r6-evidence rows — the exact list the r10
-judge named as the rotation target — then the 26 stalest r7 rows. The rows-only cap
-(``max_rows_only=1``) continues: this round's single rows-only slot
-goes to ``ml_train_eval`` (r7); ``dedup_minhash_lsh`` and
-``split_random`` defer.
+Round-13 window (VERDICT r12 item 2): the window LEADS with the six
+RE-SEMANTICS'D rows — queries whose newest driver evidence predates
+their current semantics (quality_tertile_split / filter_gopher_rules
+/ pipeline_web_to_shards changed in r12 and again in r13;
+text_repetition_ngram_profile / tokenize_bpe_delta /
+bpe_vocab_extend changed in r13) — declared in ``_RESEMANTICIZED``
+and forced to the front by the ledger's ``lead`` parameter; then the
+round-13 newcomer (dedup_substring_rewrite_cheap), then ALL 30
+remaining r8-evidence rows, then the 13 stalest r9 rows. The
+rows-only cap (``max_rows_only=1``) continues: this round's single
+rows-only slot goes to ``ml_train_eval_rf`` (r9).
 """
 
 from bigdatafinalproject_hockey_spark.queries.base import ORACLE_SQL, QUERIES
@@ -40,69 +41,74 @@ from bigdatafinalproject_hockey_spark.queries import graph  # noqa: E402,F401
 from bigdatafinalproject_hockey_spark.queries import scale  # noqa: E402,F401
 
 # Names to surface at the front of the registry this round, in order.
-# COMPUTED: python scripts/staleness_ledger.py --round 12
-# (rows-only entries capped at 1 slot; tests/test_registry.py asserts
-# this list equals the computation — the ledger cannot drift by hand).
-_STAGED_AT_ROUND = 12
+# COMPUTED: scripts/staleness_ledger.compute_window(..., lead=
+# _RESEMANTICIZED) — see tests/test_registry.py, which asserts this
+# list equals the computation (the ledger cannot drift by hand).
+_STAGED_AT_ROUND = 13
+# Queries whose SEMANTICS changed after their newest driver row (so
+# that row verified the OLD semantics) — the ledger leads the window
+# with them (VERDICT r12 item 2 / compute_window ``lead``).
+_RESEMANTICIZED = (
+    "quality_tertile_split",
+    "filter_gopher_rules",
+    "pipeline_web_to_shards",
+    "text_repetition_ngram_profile",
+    "tokenize_bpe_delta",
+    "bpe_vocab_extend",
+)
 _VERIFY_FIRST = [
-# stalest-first window (50 slots):
-    "bpe_vocab_extend",  # never verified
-    "decontaminate_corpus",  # never verified
-    "decontaminate_redact",  # never verified
-    "sample_tertile_mix",  # never verified
-    "text_repetition_ngram_profile",  # never verified
-    "tokenize_bpe_delta",  # never verified
-    "dedup_minhash_lsh",  # newest r07
-    "multimodal_features",  # newest r07
-    "join_skew_salted",  # newest r07
-    "tokenize_to_ids",  # newest r07
-    "dedup_incremental_near",  # newest r07
-    "topk_per_group",  # newest r07
-    "events_funnel",  # newest r07
-    "join_asof",  # newest r07
-    "stream_foreachbatch_upsert",  # newest r07
-    "agg_count_group",  # newest r07
-    "win_row_number",  # newest r07
-    "win_expanding_avg",  # newest r07
-    "win_sliding_avg",  # newest r07
-    "agg_pivot",  # newest r07
-    "agg_windowed_distinct",  # newest r07
-    "join_full_outer",  # newest r07
-    "stream_stream_join",  # newest r07
-    "scan_jsonl_roundtrip",  # newest r07
-    "scan_csv_roundtrip",  # newest r07
-    "set_intersect",  # newest r07
-    "set_except",  # newest r07
-    "win_rank_family",  # newest r07
-    "date_functions",  # newest r07
-    "ml_eval_deterministic",  # newest r07
-    "dedup_semantic_autokey",  # newest r08
-    "scan_rowgroups_pruned",  # newest r08
-    "sim_ann_ivfpq_fitted",  # newest r08
-    "sim_ann_ivfpq_multiprobe",  # newest r08
-    "sim_ann_ivfpq_residual",  # newest r08
-    "agg_approx",  # newest r08
-    "sink_console",  # newest r08
-    "text_quality_classifier",  # newest r08
-    "corpus_snapshot_diff",  # newest r08
-    "stream_dedup_within_watermark",  # newest r08
-    "join_bloom_pruned",  # newest r08
-    "mv_incremental_agg",  # newest r08
-    "scan_schema_evolution",  # newest r08
-    "merge_scd2",  # newest r08
-    "join_scd2_pointintime",  # newest r08
-    "ml_eval_calibration",  # newest r08
-    "embedding_quantize",  # newest r08
-    "sort_zorder",  # newest r08
-    "scan_files_pruned",  # newest r08
-    "events_retention_cohort",  # newest r08
+# stalest-first window (50 slots; _RESEMANTICIZED lead first):
+    "quality_tertile_split",  # newest r11
+    "filter_gopher_rules",  # newest r11
+    "pipeline_web_to_shards",  # newest r11
+    "text_repetition_ngram_profile",  # newest r12
+    "tokenize_bpe_delta",  # newest r12
+    "bpe_vocab_extend",  # newest r12
+    "dedup_substring_rewrite_cheap",  # never verified
+    "pipeline_incremental_curation",  # newest r08
+    "analytics_shipping_priority",  # newest r08
+    "analytics_large_orders",  # newest r08
+    "stream_scd2_cdc",  # newest r08
+    "ts_gapfill",  # newest r08
+    "dq_expectations",  # newest r08
+    "graph_pagerank",  # newest r08
+    "join_null_safe",  # newest r08
+    "scan_csv_quarantine",  # newest r08
+    "sim_hybrid_rrf",  # newest r08
+    "events_markov_transitions",  # newest r08
+    "multimodal_phash_dedup",  # newest r08
+    "ml_eval_kfold",  # newest r08
+    "win_rolling_median",  # newest r08
+    "stream_late_data_accounting",  # newest r08
+    "analytics_rfm_segments",  # newest r08
+    "analytics_basket_lift",  # newest r08
+    "agg_count_filter",  # newest r08
+    "agg_global_max",  # newest r08
+    "agg_group_multi",  # newest r08
+    "anti_join",  # newest r08
+    "join_equi_3key",  # newest r08
+    "join_self_matchup",  # newest r08
+    "join_star",  # newest r08
+    "lookup_with_fallback",  # newest r08
+    "map_literal_lookup",  # newest r08
+    "semi_join_isin",  # newest r08
+    "str_fuzzy_match",  # newest r08
+    "split_temporal",  # newest r08
+    "dedup_exact",  # newest r08
+    "ann_index_delta",  # newest r09
+    "ann_recall_eval_pq",  # newest r09
+    "dedup_keep_best",  # newest r09
+    "pipeline_embedding_curation",  # newest r09
+    "sim_ann_ivfpq_rerank",  # newest r09
+    "ml_train_eval_rf",  # newest r09
+    "events_attribution",  # newest r09
+    "ts_downsample",  # newest r09
+    "agg_histogram",  # newest r09
+    "analytics_promo_share",  # newest r09
+    "events_anomaly_mad",  # newest r09
+    "stream_stream_left_outer",  # newest r09
+    "join_dpp",  # newest r09
 ]
-
-
-
-
-
-
 
 
 def _rotate(window: list[str]) -> None:

@@ -77,6 +77,7 @@ def compute_window(
     repo_root: Path = REPO_ROOT,
     rows_only: frozenset[str] | set[str] = frozenset(),
     max_rows_only: int | None = None,
+    lead: tuple[str, ...] = (),
 ) -> list[str]:
     """The canonical stalest-first window of ``window_size`` names.
 
@@ -88,13 +89,28 @@ def compute_window(
     ``rows_only`` names (the stalest, in normal ledger order) occupy
     window slots per round; the rest keep aging and take their one
     slot in later rounds. Oracle-backed entries are never deferred.
+
+    ``lead`` (round 13, VERDICT r12 item 2): names whose SEMANTICS
+    changed since their newest driver row — their staleness rank
+    lies about them (the artifact verified the OLD semantics), so
+    they are forced to the window's front in the given order, ahead
+    of even the never-verified newcomers; the rest of the window
+    fills stalest-first as usual. The list is declared per round in
+    ``queries/__init__.py`` (it encodes what changed this round,
+    which no artifact can know) and tests assert the staged window
+    equals this computation with that list.
     """
     ledger = newest_driver_round(registry_names, staged_at_round, repo_root)
-    never = sorted(n for n, v in ledger.items() if v is None)
+    lead_names = [n for n in lead if n in registry_names]
+    never = sorted(
+        n for n, v in ledger.items() if v is None and n not in lead_names
+    )
     seen = sorted(
         ((v[0], v[1], n) for n, v in ledger.items() if v is not None),
     )
-    ordered = never + [n for _, _, n in seen]
+    ordered = lead_names + never + [
+        n for _, _, n in seen if n not in lead_names
+    ]
     if max_rows_only is None:
         return ordered[:window_size]
     window: list[str] = []

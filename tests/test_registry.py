@@ -44,11 +44,14 @@ def test_verify_first_is_computed_stalest_first():
     item 5) rows-only entries are capped at ONE window slot. A hand
     edit that skips a stale row or re-verifies a fresh one fails
     here."""
+    from bigdatafinalproject_hockey_spark.queries import _RESEMANTICIZED
+
     computed = ledger.compute_window(
         list(QUERIES),
         _STAGED_AT_ROUND,
         rows_only=set(QUERIES) - set(ORACLE_SQL),
         max_rows_only=1,
+        lead=_RESEMANTICIZED,
     )
     assert _VERIFY_FIRST == computed, (
         "staged _VERIFY_FIRST is not the computed stalest-first window; "
@@ -133,12 +136,12 @@ def test_window_rows_only_entries_are_the_designed_smokes():
     """Window entries without oracles must be documented rows-only
     smokes that earned a slot by staleness — nothing else may ship
     oracle-less, and since round 10 at most ONE such entry may hold
-    a slot (VERDICT r9 item 5). Round 12's slot goes to the stalest
-    rows-only entry, dedup_minhash_lsh (r7; Spark-hash-seeded
-    signatures have no DuckDB twin — the portable-hash variant
-    dedup_minhash_lsh_portable is the fully hash-checked twin)."""
+    a slot (VERDICT r9 item 5). Round 13's slot goes to the stalest
+    rows-only entry, ml_train_eval_rf (r9; RandomForest training is
+    inherently RNG-dependent — its evaluation math is hash-pinned by
+    the ml_eval_* deterministic twins)."""
     rows_only = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
-    assert rows_only == ["dedup_minhash_lsh"], rows_only
+    assert rows_only == ["ml_train_eval_rf"], rows_only
 
 
 def test_every_oracle_name_is_registered():
