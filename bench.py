@@ -193,15 +193,32 @@ X10 = [
                            # stage's output exactly as for
                            # dedup_substring (its slower half)
     # new in round 11:
-    "pipeline_web_to_shards",  # the FULL day-0 chain (extract -> gate ->
-                           # normalize -> rewrite -> tokenize -> pack ->
-                           # reshard); near-dup clones explode the span
-                           # half like its pipeline_web_curation subset
+    "pipeline_web_to_shards",  # the FULL day-0 chain (round 13: URL ->
+                           # extract -> gate -> normalize -> gopher ->
+                           # mix -> decon -> rewrite -> tokenize ->
+                           # pack -> reshard); near-dup clones explode
+                           # the span half like its
+                           # pipeline_web_curation subset
     "bpe_learn_vocab",     # corpus pass scales ~linearly; the 8 learn
                            # iterations are VOCAB-bound (word types grow
                            # only with the near-dup tag tokens)
     "filter_url_blocklist",  # scan-local canonicalization + broadcast
                            # anti-join + one URL window — ~linear
+    # new in round 13 (VERDICT r12 items 4/6/7 — scale evidence for
+    # the round-12 cohort + the near-dup tier's production apply):
+    "text_repetition_ngram_profile",  # 9x gram explode -> counts-only
+                           # shuffle; the heaviest new scan shape
+    "decontaminate_redact",  # positional-cut rebuild — the corpus
+                           # crosses ONE equi-join; near-linear
+    "decontaminate_corpus",  # broadcast bench grams + anti-join;
+                           # expected ~1x-10x (scan-bound)
+    "sample_tertile_mix",  # tertile window + scan-local rate filter;
+                           # expected ~linear
+    "dedup_keep_best_minhash",  # quality-aware cluster apply over the
+                           # sub-quadratic MinHash candidate stage —
+                           # the production action of the near-dup tier
+    "dedup_substring_rewrite_cheap",  # the default (pipeline) path,
+                           # without the hub-exempt counter branch
 ]
 
 
@@ -227,9 +244,20 @@ X100 = [
     # composite gets the same docs_x100 promotion dedup_substring got
     # in r10 — on the disjoint-vocab corpus its span stage sees zero
     # cross-copy duplication, so the probe isolates the chain's input
-    # scaling (extract/normalize/decontaminate Arrow stages + span +
-    # tokenize + pack).
+    # scaling (round 13: now the ELEVEN-stage production order — URL
+    # blocklist, extract/normalize Arrow stages, gopher battery,
+    # tertile mix, decontaminate, span rewrite, tokenize, pack,
+    # reshard).
     "pipeline_web_to_shards",
+    # round 13 (VERDICT r12 items 6/7): the substring rewrite's
+    # DEFAULT path (what composed pipelines actually run — the
+    # registered dedup_substring_rewrite measures the opt-in
+    # hub-exempt observability branch), and the near-dup tier's
+    # production apply step (keep-best over MinHash components — the
+    # exact-blocked dedup_keep_best variant is block-scoped by design
+    # and explodes on the amplified corpora's heavy posting lists).
+    "dedup_substring_rewrite_cheap",
+    "dedup_keep_best_minhash",
 ]
 X100_COPIES = 100
 

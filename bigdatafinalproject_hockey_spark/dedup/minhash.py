@@ -460,21 +460,21 @@ def minhash_candidate_pairs_portable(
     return near_pairs.unionByName(exact_edges)
 
 
-def minhash_lsh_oracle_sql(
+def minhash_lsh_cte_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     num_hashes: int = 32,
     num_bands: int = 16,
-    max_jaccard_distance: float = 0.3,
 ) -> str:
-    """DuckDB SQL replicating minhash_candidate_pairs_portable EXACTLY:
-    same tokenizer, same n-gram shingles, same portable 63-bit shingle
-    hash, same literal (a_k, b_k) minhash family, same banding, same
-    exact-dup star-edge collapse. Signature mins are computed
-    relationally (shingle-hash rows × a k-table, GROUP BY) rather than
-    as a 32-slot fold — equivalent values, saner SQL."""
+    """The portable MinHash+LSH pipeline as a composable CTE chain
+    (round 13) — everything up to the thresholded union: ends with
+    the ``near`` (banded candidates with jaccard_dist) and
+    ``exact_edges`` CTEs. ``minhash_lsh_oracle_sql`` wraps it with
+    the final SELECT; ``dedup_keep_best_minhash``'s oracle chains the
+    recursive component + keep-best CTEs onto it. No leading comma,
+    no WITH keyword."""
     assert num_hashes % num_bands == 0
     r = num_hashes // num_bands
     a_co, b_co = _minhash_coeffs(num_hashes)
@@ -486,8 +486,7 @@ def minhash_lsh_oracle_sql(
     h63 = f"CAST(({portable_hash64_sql('s')} & 9223372036854775807) AS BIGINT)"
     a_list = "[" + ",".join(str(v) for v in a_co) + "]"
     b_list = "[" + ",".join(str(v) for v in b_co) + "]"
-    return f"""
-    WITH tok AS (SELECT {id_col}, {toks} AS tk FROM {table}),
+    return f"""tok AS (SELECT {id_col}, {toks} AS tk FROM {table}),
     sh AS (
       SELECT {id_col},
              list_distinct(
@@ -537,7 +536,30 @@ def minhash_lsh_oracle_sql(
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.{id_col} < b.{id_col}
+    )"""
+
+
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    max_jaccard_distance: float = 0.3,
+) -> str:
+    """DuckDB SQL replicating minhash_candidate_pairs_portable EXACTLY:
+    same tokenizer, same n-gram shingles, same portable 63-bit shingle
+    hash, same literal (a_k, b_k) minhash family, same banding, same
+    exact-dup star-edge collapse. Signature mins are computed
+    relationally (shingle-hash rows × a k-table, GROUP BY) rather than
+    as a 32-slot fold — equivalent values, saner SQL. Built on the
+    composable ``minhash_lsh_cte_sql`` chain (round 13)."""
+    ctes = minhash_lsh_cte_sql(
+        table, text_col, id_col, shingle_n, num_hashes, num_bands
     )
+    return f"""
+    WITH {ctes}
     SELECT doc_a, doc_b, jaccard_dist FROM near
     WHERE jaccard_dist <= {max_jaccard_distance}
     UNION ALL

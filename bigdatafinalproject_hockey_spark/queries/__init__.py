@@ -23,8 +23,9 @@ their current semantics (quality_tertile_split / filter_gopher_rules
 text_repetition_ngram_profile / tokenize_bpe_delta /
 bpe_vocab_extend changed in r13) — declared in ``_RESEMANTICIZED``
 and forced to the front by the ledger's ``lead`` parameter; then the
-round-13 newcomer (dedup_substring_rewrite_cheap), then ALL 30
-remaining r8-evidence rows, then the 13 stalest r9 rows. The
+round-13 newcomers (dedup_substring_rewrite_cheap,
+dedup_keep_best_minhash), then ALL 30 remaining r8-evidence rows,
+then the 12 stalest r9 rows. The
 rows-only cap (``max_rows_only=1``) continues: this round's single
 rows-only slot goes to ``ml_train_eval_rf`` (r9).
 """
@@ -64,6 +65,7 @@ _VERIFY_FIRST = [
     "text_repetition_ngram_profile",  # newest r12
     "tokenize_bpe_delta",  # newest r12
     "bpe_vocab_extend",  # newest r12
+    "dedup_keep_best_minhash",  # never verified
     "dedup_substring_rewrite_cheap",  # never verified
     "pipeline_incremental_curation",  # newest r08
     "analytics_shipping_priority",  # newest r08
@@ -107,7 +109,6 @@ _VERIFY_FIRST = [
     "analytics_promo_share",  # newest r09
     "events_anomaly_mad",  # newest r09
     "stream_stream_left_outer",  # newest r09
-    "join_dpp",  # newest r09
 ]
 
 

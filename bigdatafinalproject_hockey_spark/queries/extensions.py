@@ -283,12 +283,111 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc, doc id tiebreak — swap in `text_quality_classifier`'s score
     for a model-ranked variant; the plumbing is identical). Cost on
     top of the component pass is one |docs|-row join + one bounded
-    window — at 100 TB the cluster ids are the ingest-amortized
-    artifact and this keep-best pass is the cheap part. Output: one
-    row per component (component_id, kept_doc_id, n_tokens)."""
+    window — the keep-best pass itself is the cheap part.
+
+    SCALE SCOPE (round 13, VERDICT r12 item 7): this variant's
+    candidate stage is the EXACT blocked-jaccard inverted-index join
+    (dedup/jaccard.py), whose cost is Σ|posting list|² within a
+    block — correct for narrow blocks (lang × length-bucket ×
+    source, the config its docstring prescribes) but quadratic on a
+    heavy block: on the bench's amplified corpora a ubiquitous token's
+    posting list spans a whole copy and the join explodes (measured:
+    the docs_x100 attempt exhausted shuffle-spill disk). The 100 TB
+    configuration is ``dedup_keep_best_minhash`` below — identical
+    keep-best semantics over the sub-quadratic MinHash+LSH candidate
+    stage — which carries the probe records. Output: one row per
+    component (component_id, kept_doc_id, n_tokens)."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
     comps = dedup_components(docs, pairs)
+    quality = docs.select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    ranked = comps.join(quality, "doc_id")
+    best = win_ops.topk_per_group(
+        ranked,
+        ["component_id"],
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
+        1,
+    )
+    return best.select(
+        "component_id", F.col("doc_id").alias("kept_doc_id"), "n_tokens"
+    )
+
+
+def _keep_best_minhash_oracle() -> str:
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_lsh_cte_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE {minhash_lsh_cte_sql()},
+    kcand AS (
+      SELECT doc_a, doc_b FROM near WHERE jaccard_dist <= 0.5
+      UNION ALL
+      SELECT doc_a, doc_b FROM exact_edges
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM kcand
+      UNION ALL
+      SELECT doc_b, doc_a FROM kcand
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS component_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
+    ),
+    q AS (
+      SELECT doc_id, len({_SQL_TOKS.format(c="text")}) AS n_tokens
+      FROM documents
+    )
+    SELECT component_id, doc_id AS kept_doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT c.component_id, c.doc_id, q.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ) WHERE rn = 1
+    """
+
+
+@register("dedup_keep_best_minhash", oracle=_keep_best_minhash_oracle())
+def q_dedup_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup over MINHASH clusters (round 13,
+    VERDICT r12 item 7) — the 100 TB configuration of
+    ``dedup_keep_best``: identical keep-best semantics (min-label
+    components → one argmax-per-component window over token count
+    desc, doc id tiebreak), but the candidate stage is the
+    sub-quadratic portable MinHash+LSH pipeline
+    (``minhash_candidate_pairs_portable``, est-jaccard-distance
+    ≤ 0.5 + the exact-dup star collapse) instead of the exact
+    blocked-jaccard inverted-index join — the production action of
+    the whole near-dup tier, at the near-dup tier's scale law.
+
+    Scale shape: signatures + one band-key exchange (the flagship
+    dedup's committed law), edges ∝ detected near-dups, label
+    propagation over checkpointed metadata-width frames, one |docs|
+    quality join + one bounded window. Nothing is ∝ |posting list|².
+    Full value-hash oracle: the composable portable-MinHash CTE
+    chain (``minhash_lsh_cte_sql`` — byte-shared with the
+    dedup_minhash_lsh_portable oracle) into the recursive
+    reachability closure and the keep-best window."""
+    from bigdatafinalproject_hockey_spark.dedup.minhash import (
+        minhash_candidate_pairs_portable,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_candidate_pairs_portable(
+        docs, "text", "doc_id", shingle_n=3, max_jaccard_distance=0.5
+    )
+    comps = dedup_components(docs, pairs.select("doc_a", "doc_b"))
     quality = docs.select(
         "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
     )

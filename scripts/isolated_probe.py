@@ -109,6 +109,12 @@ WITH_DOCS_X100 = {
     "dedup_substring_rewrite",
     # round 12: the flagship composite's docs_x100 promotion
     "pipeline_web_to_shards",
+    # round 13 (VERDICT r12 items 6/7 + cohort probes): the default
+    # rewrite path, the near-dup tier's production apply, and the
+    # heaviest round-12 scan shape
+    "dedup_substring_rewrite_cheap",
+    "dedup_keep_best_minhash",
+    "text_repetition_ngram_profile",
 }
 # round 10 (VERDICT r9 item 4): decompose pipeline_embedding_curation's
 # x10 ratio against its halves. Probed STEADY on both sides (the
