@@ -62,6 +62,7 @@ EXPECTED_CAPTURE_KEYS = {
     "graph_bfs_hops#round3",
     "graph_bfs_hops#round4",
     "dedup_components#propagate_round",
+    "dedup_keep_best_minhash#propagate_round",
     # per-step MV store writes
     "mv_incremental_agg#b0",
     "mv_incremental_agg#b1",
