@@ -184,11 +184,30 @@ X100_WALL_BOUNDS_SEC = {
     "tokenize_to_ids": 12.0,        # r9 steady 4.1 s
     "dedup_substring": 60.0,        # r10 isolated steady 29.3 s
     "dedup_substring_rewrite": 65.0,  # r10 isolated steady 32.1 s
-    # r12 promotion (VERDICT r11 item 4): the flagship 8-stage
-    # composite, measured with the new decontamination stage in the
-    # chain — isolated steady 46.9 s at 500k docs (7.75x its 6.05 s
-    # 1x base for 100x input)
+    # r12 promotion (VERDICT r11 item 4); re-derived r13 with the
+    # full 11-stage production order (URL stage 0 + gopher battery +
+    # tertile mix composed in): isolated steady 46.3 s at 500k docs
+    # (3.68x its 12.6 s 1x base — the quality stages thin the corpus
+    # before the expensive span/tokenize half, so the 100x wall held
+    # flat vs r12 while 1x absorbed the battery's fixed cost)
     "pipeline_web_to_shards": 95.0,
+    # r13 (VERDICT r12 items 6/7 + cohort): fresh-process isolated
+    # steady walls at 500k docs — default-path rewrite 27.9 s (the
+    # production path is 1.8x cheaper than the instrumented twin's
+    # 50.8 s), MinHash keep-best 27.2-33.4 s across two probes (~9x
+    # of its ~3 s base — linear), repetition profile 97.5 s
+    # isolated / 77.3 s in-bench (~9x of 1x — linear; the 9-width
+    # gram explode is string-heavy but scales exactly with input).
+    # The first r13 official run read keep-best at 93.9 s and
+    # incremental_near at 81.9 s — 3-5x their isolated walls with
+    # every neighbor entry and both 1x bases normal; fresh-process
+    # re-probes confirmed session-state contamination, and bench.py
+    # now releases leaked persistent RDDs + GCs between probe
+    # entries (release_probe_state) so probe records measure the
+    # query, not the suite's residue.
+    "dedup_substring_rewrite_cheap": 60.0,
+    "dedup_keep_best_minhash": 70.0,
+    "text_repetition_ngram_profile": 190.0,
     # embeddings_x100 tier (200k vectors)
     "dedup_semantic_autokey": 50.0,  # r9 steady 25.3 s
     "sim_ann_pq_adc": 20.0,         # r9 steady 8.5 s
