@@ -76,6 +76,7 @@ envelope cannot (VERDICT r7 item 3).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -258,6 +259,12 @@ X100 = [
     # and explodes on the amplified corpora's heavy posting lists).
     "dedup_substring_rewrite_cheap",
     "dedup_keep_best_minhash",
+    # round 13 (VERDICT r12 item 4): the r12 cohort's heaviest scan
+    # shape, promoted from docs_x10 per the >3x rule — isolated
+    # steady 97.5 s at 500k docs (9.7x of its 10.0 s 1x base for
+    # 100x input: the 9-width gram explode is string-heavy but
+    # scales linearly with input).
+    "text_repetition_ngram_profile",
 ]
 X100_COPIES = 100
 
@@ -680,6 +687,43 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
+    def release_probe_state() -> None:
+        """Probe-tier measurement independence (round 13). The r13
+        official run read dedup_incremental_near's x100 wall at
+        81.9 s and dedup_keep_best_minhash's at 93.9 s — 3-5× their
+        fresh-process isolated walls (16-20 s / 33.4 s) — while
+        every OTHER x100 entry matched its isolated record, the two
+        queries' own 1× bases were normal, and round 7's
+        instrumentation had shown loaded sessions did NOT inflate
+        the 100× side. What changed in r13 is the probe tiers
+        themselves: the new component-propagation probes
+        (dedup_keep_best_minhash x10 on the near-dup corpus) eagerly
+        localCheckpoint per propagation round, and those blocks —
+        plus accumulated broadcast pieces — stay pinned in the
+        single shared JVM until the Python-side handles are GC'd and
+        the ContextCleaner runs, which py4j does lazily. Later
+        entries with the biggest shuffle/allocation footprints (the
+        32-hash banding joins) then pay the memory pressure. Each
+        probe entry therefore starts from a released state:
+        unpersist every leaked persistent RDD (localCheckpoint
+        blocks register here), drop Python refs, and nudge the
+        ContextCleaner via a JVM GC. Headline/variance protocol is
+        untouched — suite-realistic warm state is what those
+        measure; probe records measure the QUERY."""
+        spark.catalog.clearCache()
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs() \
+                .values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        except Exception:
+            pass  # hygiene must never fail the bench
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def run_warm(name: str, sf_dir: str) -> float:
         """Steady-state measurement: run twice at the measured scale,
         record the BEST, cache cleared between runs (both runs
@@ -817,6 +861,7 @@ def main() -> None:
     spark.catalog.clearCache()
     docs_x10: dict[str, dict] = {}
     for name in X10:
+        release_probe_state()
         # Skip a probe only when the query IS a headline member whose
         # headline run errored. Round 10 added probe-tier-only X10
         # entries (the headline sits at its 56-entry driver-tail cap),
@@ -864,6 +909,7 @@ def main() -> None:
     spark.catalog.clearCache()
     docs_x100: dict[str, dict] = {}
     for name in X100:
+        release_probe_state()
         try:
             base = run_steady(name, SF_DIR)
             dt = run_steady(name, x100_dir)
@@ -885,6 +931,7 @@ def main() -> None:
     spark.catalog.clearCache()
     events_x10: dict[str, dict] = {}
     for name in X10_EVENTS:
+        release_probe_state()
         try:
             # Adjacent same-protocol base, as for docs_x10 above.
             base = round(run_warm(name, SF_DIR), 3)
@@ -905,6 +952,7 @@ def main() -> None:
     spark.catalog.clearCache()
     mm_x10: dict[str, dict] = {}
     for name in X10_MULTIMODAL:
+        release_probe_state()
         try:
             base = round(run_warm(name, SF_DIR), 3)
             dt = run_warm(name, x10_dir)
@@ -946,6 +994,7 @@ def main() -> None:
         errors["prewarm:emb_x10_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     emb_x10: dict[str, dict] = {}
     for name in X10_EMB:
+        release_probe_state()
         try:
             base = round(run_warm(name, SF_DIR), 3)
             dt = run_warm(name, emb_x10_dir)
@@ -973,6 +1022,7 @@ def main() -> None:
         errors["prewarm:emb_x100_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     emb_x100: dict[str, dict] = {}
     for name in X100_EMB:
+        release_probe_state()
         try:
             base = round(run_steady(name, SF_DIR), 3)
             dt = run_steady(name, emb_x100_dir)
@@ -992,6 +1042,7 @@ def main() -> None:
     spark.catalog.clearCache()
     graph_x4: dict[str, dict] = {}
     for name in X4_GRAPH:
+        release_probe_state()
         try:
             base = round(run_warm(name, SF_DIR), 3)
             dt = run_warm(name, gr_x4_dir)
