@@ -907,22 +907,79 @@ def main() -> None:
         spark, SF_DIR, X100_COPIES, disjoint_vocab=True
     )
     spark.catalog.clearCache()
+
+    # Round-13 MEASUREMENT FIX (in-bench x100 contamination,
+    # characterized in round 13's build notes and SURVEY §6): two
+    # x100 entries (dedup_incremental_near, dedup_keep_best_minhash)
+    # repeatedly read 3-6× their fresh-process steady walls when
+    # measured inside this long suite session, while every neighbor
+    # entry, both 1× bases, and all other tiers matched their
+    # committed records; releasing leaked persistent RDDs + forcing
+    # JVM GC between entries (release_probe_state, kept as hygiene)
+    # did NOT cure it — the residue is JVM-session state (JIT/
+    # code-cache/allocator) this process cannot shed. Each x100
+    # entry therefore now runs in its OWN fresh subprocess (the
+    # isolated-floors precedent) under the SAME steady_min_of_5
+    # protocol on the SAME pre-materialized corpora, so the official
+    # record measures the committed fresh-process protocol by
+    # construction. A subprocess failure falls back to the old
+    # in-session measurement — recorded with
+    # provenance "in_bench_fallback", never silently dropped. The
+    # old in-bench numbers remain in BENCH_r01..r13/BENCH_FULL
+    # history; OPTIMIZATION_r13.md documents the change.
+    def probe_fresh_process(
+        tier: str, name: str, big_dir: str, scale_key: str
+    ) -> dict:
+        import subprocess
+
+        probe_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts",
+            "isolated_probe.py",
+        )
+        attempts: list[str] = []
+        for _ in (1, 2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, probe_path, "--tier", tier, name],
+                    capture_output=True,
+                    text=True,
+                    timeout=2400,
+                    check=True,
+                )
+                return json.loads(proc.stdout.strip().splitlines()[-1])[
+                    "probes"
+                ][name]
+            except Exception as exc:  # noqa: BLE001
+                attempts.append(f"{type(exc).__name__}: {exc}"[:200])
+        errors[f"fresh:{tier}:{name}"] = " | then: ".join(attempts)
+        # fall back to the pre-round-13 in-session protocol
+        release_probe_state()
+        base = run_steady(name, SF_DIR)
+        dt = run_steady(name, big_dir)
+        return {
+            "sec_1x": round(base, 3),
+            scale_key: round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+            "protocol": "steady_min_of_5",
+            "provenance": "in_bench_fallback",
+        }
+
     docs_x100: dict[str, dict] = {}
     for name in X100:
-        release_probe_state()
         try:
-            base = run_steady(name, SF_DIR)
-            dt = run_steady(name, x100_dir)
+            rec = probe_fresh_process(
+                "docs_x100", name, x100_dir, f"sec_{X100_COPIES}x"
+            )
         except Exception as exc:  # noqa: BLE001
             errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        docs_x100[name] = {
-            "sec_1x": round(base, 3),
-            f"sec_{X100_COPIES}x": round(dt, 3),
-            "ratio": round(dt / base, 2) if base else None,
-            "protocol": "steady_min_of_5",
-        }
-        print(f"  [x{X100_COPIES}] {name}: {dt:.3f}s", file=sys.stderr)
+        docs_x100[name] = rec
+        print(
+            f"  [x{X100_COPIES}] {name}: {rec[f'sec_{X100_COPIES}x']}s "
+            f"({rec.get('provenance')})",
+            file=sys.stderr,
+        )
     # events tier at 10× users (disjoint ids): warm at both scales;
     # per-user window/agg ops should land near 10× minus fixed job
     # overhead — superlinear growth here means a group-size assumption
@@ -1020,22 +1077,24 @@ def main() -> None:
         _prewarm_emb_sidecars(spark, emb_x100_dir)
     except Exception as exc:  # noqa: BLE001
         errors["prewarm:emb_x100_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
+    # Per-entry fresh subprocesses, like docs_x100 above — this tier
+    # shares the same overhead-dominated-base physics AND the same
+    # long-session JVM-state exposure (round 13).
     emb_x100: dict[str, dict] = {}
     for name in X100_EMB:
-        release_probe_state()
         try:
-            base = round(run_steady(name, SF_DIR), 3)
-            dt = run_steady(name, emb_x100_dir)
+            rec = probe_fresh_process(
+                "emb_x100", name, emb_x100_dir, "sec_100x"
+            )
         except Exception as exc:  # noqa: BLE001
             errors[f"emb_x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        emb_x100[name] = {
-            "sec_1x": base,
-            "sec_100x": round(dt, 3),
-            "ratio": round(dt / base, 2) if base else None,
-            "protocol": "steady_min_of_5",
-        }
-        print(f"  [emb_x100] {name}: {dt:.3f}s", file=sys.stderr)
+        emb_x100[name] = rec
+        print(
+            f"  [emb_x100] {name}: {rec['sec_100x']}s "
+            f"({rec.get('provenance')})",
+            file=sys.stderr,
+        )
     # Graph tier at 4× edges: does iteration cost scale with the
     # graph, now that edge derivation is an amortized bucketed ingest?
     gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)

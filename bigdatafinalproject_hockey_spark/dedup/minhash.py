@@ -273,14 +273,18 @@ def minhash_candidate_pairs(
     # materialization on top of the shuffle files that already exist —
     # measured ~0.5 s slower at bench scale and double storage at
     # corpus scale.)
-    exploded = sig.select(
+    banded = sig.select(
         "doc",
         "sig",
-        F.posexplode(
-            F.when(F.col("n_sh") > 0, band_hashes).otherwise(
-                F.array().cast("array<bigint>")
-            )
-        ).alias("band_idx", "band_hash"),
+        F.when(F.col("n_sh") > 0, band_hashes)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("bands"),
+    )
+    exploded = banded.select(
+        "doc",
+        "sig",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_hash"),
     ).repartition("band_idx", "band_hash")
 
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -290,9 +294,27 @@ def minhash_candidate_pairs(
             lambda m: m,
         )
     )
+    # A pair colliding in several bands appears once per collision.
+    # Round 13 (guide §2.3 — drop rows BEFORE they shuffle, not
+    # after): keep only the row from the pair's FIRST colliding band
+    # — both sides' full band arrays ride along, so the first
+    # collision index is an expression over the joined row and the
+    # round-12 dropDuplicates exchange (which shuffled every
+    # collision instance of every candidate pair — up to num_bands×
+    # the distinct pairs on a near-dup-heavy corpus) disappears.
+    # array_position finds the same band the join matched on, so the
+    # kept-pair SET is identical.
+    first_band = (
+        F.array_position(
+            F.zip_with(F.col("a.bands"), F.col("b.bands"), lambda x, y: x == y),
+            True,
+        )
+        - 1
+    )
     near_pairs = (
         a.join(b, on=["band_idx", "band_hash"], how="inner")
         .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(F.col("band_idx") == first_band)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -300,10 +322,6 @@ def minhash_candidate_pairs(
                 F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
             ).alias("jaccard_dist"),
         )
-        # a pair colliding in several bands appears once per collision;
-        # the distance is a pure function of the pair, so plain
-        # dropDuplicates (not a groupBy) is enough.
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     return near_pairs.unionByName(exact_edges)
@@ -428,14 +446,18 @@ def minhash_candidate_pairs_portable(
     reps = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
 
     band_keys = _band_keys_expr(num_bands, rows_per_band)
-    exploded = reps.select(
+    banded = reps.select(
         "doc",
         "sig",
-        F.posexplode(
-            F.when(F.col("n_sh") > 0, band_keys).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("band_idx", "band_key"),
+        F.when(F.col("n_sh") > 0, band_keys)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bands"),
+    )
+    exploded = banded.select(
+        "doc",
+        "sig",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_key"),
     ).repartition("band_idx", "band_key")
     a, b = exploded.alias("a"), exploded.alias("b")
     est_matches = F.size(
@@ -444,9 +466,21 @@ def minhash_candidate_pairs_portable(
             lambda m: m,
         )
     )
+    # First-colliding-band filter instead of a post-join
+    # dropDuplicates exchange — see minhash_candidate_pairs. Band
+    # keys are injective slice renderings, so key equality IS slice
+    # equality and the kept-pair set is unchanged.
+    first_band = (
+        F.array_position(
+            F.zip_with(F.col("a.bands"), F.col("b.bands"), lambda x, y: x == y),
+            True,
+        )
+        - 1
+    )
     near_pairs = (
         a.join(b, on=["band_idx", "band_key"], how="inner")
         .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(F.col("band_idx") == first_band)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -454,7 +488,6 @@ def minhash_candidate_pairs_portable(
                 F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
             ).alias("jaccard_dist"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     return near_pairs.unionByName(exact_edges)
@@ -605,19 +638,24 @@ def minhash_incremental_matches(
 
     def banded(df: DataFrame) -> DataFrame:
         sig = _portable_signatures(df, text_col, id_col, shingle_n, num_hashes)
-        return sig.select(
+        keyed = sig.select(
             "doc",
             "sig",
-            F.posexplode(
-                F.when(F.col("n_sh") > 0, band_keys).otherwise(
-                    F.array().cast("array<string>")
-                )
-            ).alias("band_idx", "band_key"),
+            F.when(F.col("n_sh") > 0, band_keys)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("bands"),
+        )
+        return keyed.select(
+            "doc",
+            "sig",
+            "bands",
+            F.posexplode("bands").alias("band_idx", "band_key"),
         )
 
     s = banded(store).select(
         F.col("doc").alias("store_doc"),
         F.col("sig").alias("store_sig"),
+        F.col("bands").alias("store_bands"),
         "band_idx",
         "band_key",
     )
@@ -628,8 +666,24 @@ def minhash_incremental_matches(
             lambda m: m,
         )
     )
+    # First-colliding-band filter instead of a post-join
+    # dropDuplicates exchange — see minhash_candidate_pairs: a
+    # (delta, store) pair colliding in k bands emits its row from
+    # band min(k) only, so the per-pair dedup happens BEFORE the
+    # candidate rows shuffle (and before the best-match window),
+    # not after.
+    first_band = (
+        F.array_position(
+            F.zip_with(
+                F.col("bands"), F.col("store_bands"), lambda x, y: x == y
+            ),
+            True,
+        )
+        - 1
+    )
     cand = (
         d.join(s, on=["band_idx", "band_key"], how="inner")
+        .filter(F.col("band_idx") == first_band)
         .select(
             F.col("doc").alias("doc_new"),
             F.col("store_doc").alias("doc_match"),
@@ -637,7 +691,6 @@ def minhash_incremental_matches(
                 F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
             ).alias("jaccard_dist"),
         )
-        .dropDuplicates(["doc_new", "doc_match"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     from pyspark.sql.window import Window

@@ -136,18 +136,35 @@ def simhash_near_pairs(
     ).repartition("band_idx", "band_val")
     a = banded.alias("a")
     b = banded.alias("b")
+    # A pair may collide in several clean blocks. Round 13 (guide
+    # §2.3): keep only the FIRST clean block's row — the block bits
+    # are recomputable from the two fingerprints that already ride
+    # the joined row (band_val equality IS block-bit equality; no
+    # hashing), so the per-pair dedup is a filter expression instead
+    # of the round-12 post-join dropDuplicates exchange that shuffled
+    # every collision instance (up to n_bands× the distinct pairs).
+    block_eq = F.array(
+        *[
+            F.shiftrightunsigned(F.col("a.simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            == F.shiftrightunsigned(F.col("b.simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    first_band = F.array_position(block_eq, True) - 1
     return (
         a.join(b, on=["band_idx", "band_val"], how="inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("band_idx") == first_band)
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
             hamming_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        # a pair may collide in several clean blocks; hamming is a pure
-        # function of the pair
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -42,6 +42,15 @@ def uninstall() -> None:
     _sink = None
 
 
+def active() -> bool:
+    """True iff an audit sink is installed. Lets a capture SITE skip
+    CONSTRUCTING an expensive DataFrame it would only build for the
+    audit (capture() itself is free, but building a multi-iteration
+    plan graph to hand it a no-op is not — ~100 py4j round-trips for
+    the Lloyd-fit sidecar on every bench run, round 13)."""
+    return _sink is not None
+
+
 def capture(label: str, df) -> None:
     """Report an eagerly-executed intermediate DataFrame to the
     installed audit sink. No-op (and free) when no sink is installed."""

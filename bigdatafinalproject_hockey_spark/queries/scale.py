@@ -27,6 +27,7 @@ from bigdatafinalproject_hockey_spark.operators import (
     bucketing as bucket_ops,
     joins as join_ops,
 )
+from bigdatafinalproject_hockey_spark import plancapture
 from bigdatafinalproject_hockey_spark.plancapture import capture
 from bigdatafinalproject_hockey_spark.queries.base import register
 from bigdatafinalproject_hockey_spark.functions.vectors import (
@@ -863,6 +864,44 @@ def q_sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, centroids, cb, queries)
 
 
+def _fused_cell_codes(assign: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, cell, m, code) index rows from an assignment frame in
+    ONE map stage (round 13): the codebook folds into a single
+    broadcast row and each assigned vector computes its m codes with
+    the shared ``_best_code_fold`` argmin, exploded per subspace —
+    value-identical to joining a separate ``pq_encode`` leg back on
+    vec_id (both are total functions of the row), with zero
+    exchanges."""
+    from bigdatafinalproject_hockey_spark.similarity import (
+        _best_code_fold,
+        _pack_codebooks,
+    )
+
+    width = 8  # dim // m for the engine's 64-d / 8-subspace PQ family
+    return (
+        assign.crossJoin(F.broadcast(_pack_codebooks(codebooks)))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda mi: F.struct(
+                        mi.cast("int").alias("m"),
+                        _best_code_fold(
+                            F.slice("emb", mi * width + 1, width),
+                            F.element_at("cb_pack", mi + 1)["codes"],
+                        ).alias("code"),
+                    ),
+                )
+            ).alias("mc"),
+        )
+        .select(
+            "vec_id", "cell", F.col("mc.m").alias("m"), F.col("mc.code").alias("code")
+        )
+    )
+
+
 def _pq_fitted_codebook_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lloyd PQ FIT as an ingest sidecar (late round 8): the
     2-iteration fit is a per-CORPUS-VERSION index build — at 100 TB
@@ -885,15 +924,22 @@ def _pq_fitted_codebook_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(tok_path):
         with open(tok_path) as fh:
             have = fh.read()
-    emb = load_table(spark, "embeddings", sf_dir)
-    cb = pq_codebooks_lloyd(emb, iterations=2)
-    # the fit job's plan never reaches the returned DataFrame —
-    # surface it to the audit (unconditionally, like every ingest)
-    capture("pq_fit_ingest", cb)
-    if have != token:
-        cb.coalesce(1).write.mode("overwrite").parquet(path)
-        with open(tok_path, "w") as fh:
-            fh.write(token)
+    # Round 13: only CONSTRUCT the 2-iteration fit plan when it will
+    # actually be executed (stale token) or audited (capture sink
+    # installed). Building the multi-join graph just to hand it to a
+    # no-op capture() cost ~100 py4j round-trips of pure plan
+    # construction on every warm search — a driver-side fixed tax the
+    # sidecar exists to amortize away.
+    if have != token or plancapture.active():
+        emb = load_table(spark, "embeddings", sf_dir)
+        cb = pq_codebooks_lloyd(emb, iterations=2)
+        # the fit job's plan never reaches the returned DataFrame —
+        # surface it to the audit (whenever a sink is listening)
+        capture("pq_fit_ingest", cb)
+        if have != token:
+            cb.coalesce(1).write.mode("overwrite").parquet(path)
+            with open(tok_path, "w") as fh:
+                fh.write(token)
     return spark.read.parquet(path)
 
 
@@ -1360,12 +1406,16 @@ def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     periodic refits are the separate, deliberate
     `codebook_kmeans_refine` / `pq_codebooks_lloyd` step.
 
-    Plan shape: one delta scan + two broadcast joins of tiny frozen
-    tables (≤50 centroids, 128 codebook rows — both behind
-    pushed-down stride/cut filters on the base scan); the only
-    exchanges are the encode's min_by partial aggregate and the
-    assignment's bounded top-1 window. Fully deterministic → full
-    value-hash oracle (the cut is (4/5)·COUNT(*) in both engines)."""
+    Plan shape (round 13): ONE delta scan, zero exchanges — the
+    frozen centroid and codebook tables fold into single broadcast
+    rows and every delta row computes its cell (argmax fold) and its
+    m codes (argmin folds) inside one projection, exploded straight
+    to the (vec_id, cell, m, code) append rows. The round-12 form
+    ran the assignment window + the encode min_by aggregate as two
+    shuffled legs and re-joined them on vec_id; the per-row
+    composition is value-identical (both legs were total functions
+    of the row). Fully deterministic → full value-hash oracle (the
+    cut is (4/5)·COUNT(*) in both engines)."""
     emb = load_table(spark, "embeddings", sf_dir)
     n = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
     cut = (n * 4) // 5
@@ -1374,10 +1424,7 @@ def q_ann_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = _ivf_centroids(base)
     cb = pq_codebooks(base)
     assign = ivf_cell_assignment(delta, centroids)
-    enc = pq_encode(delta, cb)
-    return assign.select(F.col("vid").alias("vec_id"), "cell").join(
-        enc.select(F.col("vid").alias("vec_id"), "m", "code"), "vec_id"
-    )
+    return _fused_cell_codes(assign, cb)
 
 
 @register(
@@ -1479,10 +1526,10 @@ def q_pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame
     centroids = _ivf_centroids(surv_emb)
     cb = pq_codebooks(surv_emb)
     a2 = ivf_cell_assignment(surv_emb, centroids)
-    enc = pq_encode(surv_emb, cb)
-    return a2.select(F.col("vid").alias("vec_id"), "cell").join(
-        enc.select(F.col("vid").alias("vec_id"), "m", "code"), "vec_id"
-    )
+    # Round 13: cell + codes composed in ONE map pass over the
+    # survivors (shared folds — see _fused_cell_codes) instead of two
+    # shuffled legs re-joined on vec_id.
+    return _fused_cell_codes(a2, cb)
 
 
 @register(

@@ -45,6 +45,20 @@ def get_session(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Round 13 (guide §2.2/§2.5): AQE's coalescing floor decides
+        # the smallest partition worth a task. The 1 MB default
+        # assumes scan-cheap rows; this engine's window/agg stages
+        # are EXPRESSION-heavy (a 1 MB compressed shuffle slice can
+        # be seconds of single-core compute), so the default floor
+        # serialized small-but-expensive stages onto one core
+        # (measured: events_anomaly_mad 1.01 s -> 0.60 s at sf0.1
+        # with a 128k floor). At production shuffle sizes the floor
+        # never binds — the advisory partition size governs — so the
+        # 100 TB plan shape is unchanged; override via
+        # SPARK_GRAFT_MIN_PARTITION_SIZE for other hardware.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "128k"
+        ),
         # Deterministic cross-engine comparison (DuckDB is UTC-naive).
         "spark.sql.session.timeZone": "UTC",
         # Arrow for pandas_udf / toPandas / createDataFrame paths.

@@ -21,9 +21,135 @@ from bigdatafinalproject_hockey_spark.functions.vectors import (
     as_double_array,
     cosine_expr,
     dot_expr,
+    norm_expr,
 )
 from bigdatafinalproject_hockey_spark.operators.partitioning import ensure_parallelism
 from bigdatafinalproject_hockey_spark.operators.windows import topk_per_group
+
+
+# ---------------------------------------------------------------------------
+# Round-13 optimization helpers: broadcast single-row candidate tables
+# + expression-level argmax/argmin folds.
+#
+# The quantizer/encode steps of the IVF/PQ family are argmax problems
+# over a SMALL candidate set (≤50 centroids, 16 codes/subspace) per
+# corpus row. Through round 12 they were computed by exploding the
+# (row × candidate) grid and ranking it back down — a window rank
+# (Sort + Exchange + Sort + Window) for the cell assignment, and a
+# struct-ordered min_by for the PQ encode, which Spark cannot
+# hash-aggregate (struct ordering keys force SortAggregate with a
+# flanking Sort on BOTH sides of its exchange). At 100× corpus scale
+# that shuffles and sorts a |corpus|×C grid whose rows carry the full
+# 64-d vector, to answer a question that never needed to leave the
+# row: which candidate is nearest?
+#
+# Round 13 replaces that shape (guide §2.3 "shuffle keys/metadata,
+# not payloads", §2.4 "remove shuffles outright"): the candidate set
+# is folded into ONE broadcast row (an array of structs, each
+# carrying its precomputed norm), crossJoined (1-row broadcast
+# nested loop — the allowlisted pattern) into the corpus scan, and
+# the argmax runs as a Catalyst `aggregate` fold inside the
+# projection. The assignment/encode stage becomes a pure map — zero
+# exchange, zero sort — and downstream consumers shuffle only what
+# they always needed (cells, codes). Tie-breaking is encoded
+# explicitly in the fold's comparison (score, then candidate id), so
+# results are bit-identical to the window-rank form: same rounded
+# scores, same winner on ties, same NULL (zero-vector) handling.
+# ---------------------------------------------------------------------------
+
+
+def _pack_centroids(
+    centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """ONE-row frame: ``cents`` = array of (cent_id, cemb, cnorm)
+    structs sorted by cent_id, for broadcast into a per-row argmax
+    fold. The norm is precomputed once per centroid here (and once
+    per corpus row by the caller) so the fold's per-candidate work is
+    a single dot product instead of dot + two norms — bit-identical,
+    the norm subexpression is simply evaluated once (guide §1.2
+    "per-task work")."""
+    cent = centroids.select(
+        F.col(id_col).cast("long").alias("cent_id"),
+        as_double_array(vec_col).alias("cemb"),
+    )
+    return cent.select(
+        F.struct(
+            F.col("cent_id"), F.col("cemb"), norm_expr("cemb").alias("cnorm")
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("cents"))
+
+
+def _best_cell_fold(
+    emb: Column, vnorm: Column, cents: Column, round_decimals: int = 6
+) -> Column:
+    """Argmax over a packed centroid array: struct(cs, cell) of the
+    candidate with the highest ROUNDED cosine, centroid-id tiebreak —
+    exactly the (cs DESC NULLS LAST, cent_id ASC) window-rank rule the
+    round-12 form applied to the exploded grid. NULL cosines (zero
+    vectors) never replace the accumulator; if every candidate's
+    cosine is NULL the result cell is NULL (callers supply their own
+    fallback, mirroring rank-1-of-all-NULLs semantics)."""
+
+    # Two layers so each cosine is computed exactly ONCE per
+    # candidate: HOF lambdas get no common-subexpression elimination,
+    # so a fold whose comparison mentions `cs` three times would
+    # evaluate three dot products per candidate. transform() scores,
+    # aggregate() compares struct fields (cheap attribute reads).
+    scored = F.transform(
+        cents,
+        lambda x: F.struct(
+            F.round(
+                F.when(
+                    vnorm * x["cnorm"] > 0,
+                    dot_expr(emb, x["cemb"]) / (vnorm * x["cnorm"]),
+                ),
+                round_decimals,
+            ).alias("cs"),
+            x["cent_id"].alias("cell"),
+        ),
+    )
+
+    def step(acc, x):
+        better = (x["cs"] > acc["cs"]) | (
+            (x["cs"] == acc["cs"])
+            & (acc["cell"].isNull() | (x["cell"] < acc["cell"]))
+        )
+        return F.when(better, x).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast("long").alias("cell")
+    )
+    return F.aggregate(scored, init, step)
+
+
+# Packed-ordinal argmax for the BUCKETED assignment (round 13): the
+# banded candidate join must stay a broadcast HASH join (a single-row
+# map would pay O(|map|) per lookup — Spark map element_at is a linear
+# scan), so the per-vector argmax over its ~num_bands candidate rows
+# is computed by packing (rounded cosine, centroid id) into ONE
+# non-negative long and taking MAX — a plain HashAggregate with
+# map-side partial combine, instead of the round-12 window rank whose
+# exchange sorted the exploded rows twice. The encoding is exact:
+# cs is already on the 1e-6 grid (F.round(cs, 6)), so
+# csq = round(cs * 1e6) is an integer in [-1e6, 1e6] recovering the
+# grid losslessly, and ord = (csq + OFF) * 2^40 + (2^40 - 1 - cent_id)
+# orders identically to (cs DESC, cent_id ASC). cent_id must stay
+# below 2^40 (~1.1e12) — the bench's 100× offset ids top out ~1e10.
+_ORD_OFF = 2_000_000
+_ORD_M = 1 << 40
+
+
+def _packed_cs_ord(cs: Column, cent_id: Column) -> Column:
+    """(csq + OFF) * M + (M - 1 - cent_id); NULL iff cs is NULL."""
+    csq = F.round(cs * 1_000_000).cast("long")
+    return (csq + F.lit(_ORD_OFF)) * F.lit(_ORD_M) + (
+        F.lit(_ORD_M - 1) - cent_id
+    )
+
+
+def _packed_ord_cell(bord: Column) -> Column:
+    """Decode the centroid id back out of a packed ordinal."""
+    return F.lit(_ORD_M - 1) - F.pmod(bord, F.lit(_ORD_M))
 
 
 def brute_force_cosine_topk(
@@ -43,18 +169,27 @@ def brute_force_cosine_topk(
 
     Output: query_id, neighbor_id, cosine, rnk.
     """
+    # Round 13: norms are computed once per query and once per corpus
+    # row (materialized columns) instead of once per PAIR — the scored
+    # grid's per-pair work drops to a single dot product.
+    # Bit-identical: same sqrt/multiply/divide over the same values.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("q_emb")
-    )
+    ).withColumn("q_n", norm_expr("q_emb"))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("c_emb")
-    )
+    ).withColumn("c_n", norm_expr("c_emb"))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), round_decimals).alias(
-            "cosine"
-        ),
+        F.round(
+            F.when(
+                F.col("q_n") * F.col("c_n") > 0,
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_n") * F.col("c_n")),
+            ),
+            round_decimals,
+        ).alias("cosine"),
     )
     top = topk_per_group(
         scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id")], k
@@ -93,27 +228,52 @@ def ivf_cell_assignment(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 6,
+    widen: bool = True,
+    packed: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment — the IVF coarse quantizer as
-    a standalone op: broadcast the (tiny) centroid set over one corpus
-    scan, rank rounded cosine with centroid-id tiebreak for
-    determinism. Output: vid, cell, emb (double array). Shared by
-    ``ivf_cosine_topk`` (candidate cells) and semantic dedup (cluster
-    blocking) so the two can never diverge on assignment semantics."""
+    a standalone op: the (tiny) centroid set is folded into ONE
+    broadcast row and each corpus row computes its argmax cell inside
+    the projection (rounded cosine, centroid-id tiebreak — the same
+    rule the round-12 window rank applied to the exploded grid, so
+    the output is bit-identical). Through round 12 this exploded a
+    |corpus|×C grid and ranked it back down with a window — an
+    Exchange + two Sorts carrying the full vector per scored row;
+    the fold form is a PURE MAP stage: zero exchange, zero sort
+    (round 13, guide §2.4). Output: vid, cell, emb (double array),
+    vnorm (the precomputed vector norm, for downstream cosine
+    consumers to reuse). Shared by ``ivf_cosine_topk`` (candidate
+    cells) and semantic dedup (cluster blocking) so the two can never
+    diverge on assignment semantics."""
     c = corpus.select(F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb"))
-    c = ensure_parallelism(c)
-    cent = centroids.select(
-        F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
+    # ``widen=False`` skips the scan-layout repartition for callers
+    # folding a few-row slice (e.g. the query-side cell lookup), where
+    # a 32-way round-robin of 10 rows is pure overhead; ``packed``
+    # lets a caller that assigns two frames against the SAME centroid
+    # set (ivfpq_topk) share one packed row.
+    if widen:
+        c = ensure_parallelism(c)
+    c = c.withColumn("vnorm", norm_expr("emb"))
+    if packed is None:
+        packed = _pack_centroids(centroids, id_col, vec_col)
+    best = _best_cell_fold(
+        F.col("emb"), F.col("vnorm"), F.col("cents"), round_decimals
     )
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "vid",
-        "emb",
-        "cent_id",
-        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+    return (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn("best", best)
+        .select(
+            "vid",
+            # all-NULL-cosine rows (zero vectors) take the smallest
+            # centroid id — rank-1 of a DESC NULLS LAST ordering, as
+            # before.
+            F.coalesce(
+                F.col("best.cell"), F.element_at("cents", 1)["cent_id"]
+            ).alias("cell"),
+            "emb",
+            "vnorm",
+        )
     )
-    return topk_per_group(
-        scored, ["vid"], [F.col("cs").desc(), F.col("cent_id")], 1
-    ).select("vid", F.col("cent_id").alias("cell"), "emb")
 
 
 def ivf_cosine_topk(
@@ -150,21 +310,20 @@ def ivf_cosine_topk(
     leg too (ann_recall_eval's ground-truth side) pass it here so the
     quantizer pass materializes once per QUERY, not once per leg.
     """
-    from pyspark import StorageLevel
-
     cent = centroids.select(
         F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cemb")
     )
-    # Referenced twice below (query lookup + per-cell candidates); the
-    # centroid crossJoin + ranking inside the assignment is the
-    # expensive pass — persist the compact (vid, cell, emb) assignment
-    # instead of running it twice.
+    # Round 13: the fold-form assignment is a pure map stage, so this
+    # op no longer persists it — there is only ONE corpus-sized
+    # consumer left (the per-cell candidate join below; the query
+    # side reads |queries| rows from a separate broadcast-pruned
+    # scan instead of the corpus-sized assignment). A caller-supplied
+    # ``assignment`` (ann_recall_eval's persisted multi-leg share) is
+    # honored unchanged.
     assign = (
         assignment
         if assignment is not None
-        else ivf_cell_assignment(
-            corpus, centroids, id_col, vec_col, round_decimals
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        else ivf_cell_assignment(corpus, centroids, id_col, vec_col, round_decimals)
     )
     # Query-side probe list: re-rank the (tiny, broadcast) centroid set
     # per query vector and take the nprobe nearest cells. For nprobe=1
@@ -173,7 +332,14 @@ def ivf_cosine_topk(
     # unchanged; for nprobe>1 each query also searches runner-up cells.
     # Corpus vectors keep their single home cell — cells stay disjoint,
     # so no candidate is scored twice.
-    q_vecs = assign.join(
+    q_base = (
+        assign
+        if assignment is not None
+        else corpus.select(
+            F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
+        )
+    )
+    q_vecs = q_base.join(
         F.broadcast(query_ids.select(F.col(id_col).alias("vid"))), "vid"
     ).select("vid", "emb")
     q_scored = q_vecs.crossJoin(F.broadcast(cent)).select(
@@ -187,21 +353,32 @@ def ivf_cosine_topk(
     ).select(
         F.col("vid").alias("query_id"),
         F.col("emb").alias("qemb"),
+        norm_expr(F.col("emb")).alias("qnorm"),
         F.col("cent_id").alias("cell"),
     )
     # The probe list is |queries|×nprobe rows — a sample by contract —
     # so broadcast it into the per-cell candidate join: the corpus-
-    # sized assignment streams from its persisted/exchange form with
-    # NO repartition-by-cell shuffle (round 7, VERDICT r6 item 7 —
-    # this was a SortMergeJoin that re-shuffled the whole assignment).
+    # sized assignment streams from its map/persisted form with NO
+    # repartition-by-cell shuffle (round 7, VERDICT r6 item 7 — this
+    # was a SortMergeJoin that re-shuffled the whole assignment).
+    # Norms are precomputed once per side (the assignment's vnorm
+    # column when present) so the per-candidate work is one dot
+    # product — bit-identical cosine, same expression shape.
+    nvorm = (
+        F.col("vnorm") if "vnorm" in assign.columns else norm_expr(F.col("emb"))
+    )
     cand = F.broadcast(q).join(assign, "cell").filter(
         F.col("vid") != F.col("query_id")
     ).select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.round(cosine_expr(F.col("qemb"), F.col("emb")), round_decimals).alias(
-            "cosine"
-        ),
+        F.round(
+            F.when(
+                F.col("qnorm") * nvorm > 0,
+                dot_expr(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * nvorm),
+            ),
+            round_decimals,
+        ).alias("cosine"),
     )
     top = topk_per_group(
         cand, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id")], k
@@ -273,23 +450,66 @@ def class_mean_classify(
             F.transform("pairs", lambda p: p["m"]).alias("cmean"),
         )
     )
-    scored = q.crossJoin(F.broadcast(means)).select(
-        "vec_id",
-        "label",
-        "cand",
-        F.round(cosine_expr(F.col("emb"), F.col("cmean")), round_decimals).alias(
-            "cs"
+    # Round 13: the |classes|-row mean table folds into ONE broadcast
+    # row and each vector computes its argmax class inside the
+    # projection — the classification pass is a pure map (zero
+    # exchange), where round 12 exploded a |corpus|×classes grid and
+    # ranked it back down through a window exchange. Ordering
+    # (cs DESC NULLS LAST, label ASC) and the emitted rounded cosine
+    # are bit-identical: same per-pair expression, explicit tiebreak
+    # in the fold, NULL cosines never replace the accumulator, and an
+    # all-NULL row degrades to (first label, NULL cosine) exactly as
+    # rank-1-of-all-NULLs did.
+    packed = means.select(
+        F.struct(
+            F.col("cand"), F.col("cmean"), norm_expr("cmean").alias("cnorm")
+        ).alias("e")
+    ).agg(F.array_sort(F.collect_list("e")).alias("cands"))
+    vnorm = norm_expr(F.col("emb"))
+    scored_arr = F.transform(
+        F.col("cands"),
+        lambda x: F.struct(
+            F.round(
+                F.when(
+                    F.col("vnorm") * x["cnorm"] > 0,
+                    dot_expr(F.col("emb"), x["cmean"])
+                    / (F.col("vnorm") * x["cnorm"]),
+                ),
+                round_decimals,
+            ).alias("cs"),
+            x["cand"].alias("cand"),
         ),
     )
-    top = topk_per_group(
-        scored, ["vec_id"], [F.col("cs").desc(), F.col("cand")], 1
+
+    def step(acc, x):
+        better = (x["cs"] > acc["cs"]) | (
+            (x["cs"] == acc["cs"]) & (x["cand"] < acc["cand"])
+        )
+        return F.when(better, x).otherwise(acc)
+
+    label_type = dict(means.dtypes)["cand"]
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(None).cast(label_type).alias("cand")
     )
-    return top.select(
+    best = F.aggregate(scored_arr, init, step)
+    out = (
+        q.crossJoin(F.broadcast(packed))
+        .withColumn("vnorm", vnorm)
+        .withColumn("best", best)
+    )
+    return out.select(
         "vec_id",
         "label",
-        F.col("cand").alias("pred_label"),
-        F.col("cs").alias("cosine"),
-        (F.col("cand") == F.col("label")).alias("correct"),
+        F.coalesce(
+            F.col("best.cand"), F.element_at("cands", 1)["cand"]
+        ).alias("pred_label"),
+        F.when(F.col("best.cand").isNotNull(), F.col("best.cs")).alias(
+            "cosine"
+        ),
+        (
+            F.coalesce(F.col("best.cand"), F.element_at("cands", 1)["cand"])
+            == F.col("label")
+        ).alias("correct"),
     )
 
 
@@ -448,27 +668,34 @@ def bucketed_ivf_assignment(
             )
         ).alias("band", "key"),
     )
+    # Packed-ordinal argmax instead of a window rank (round 13): all
+    # of a vector's candidate rows come out of one posexplode, so the
+    # partial MAX collapses them map-side and the exchange carries one
+    # compact row per vector — no sorts, no SortAggregate (a
+    # struct-keyed max_by would force one). Ordering/tiebreak/NULL
+    # semantics are identical to the old (cs DESC NULLS LAST,
+    # cent_id ASC NULLS LAST) rank-1: MAX skips NULL ordinals, and an
+    # all-NULL group (no bucket hit) yields NULL → the orphan
+    # fallback cell.
     scored = exploded.join(F.broadcast(ck), ["band", "key"], "left").select(
         "vid",
         "emb",
-        "cent_id",
-        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+        _packed_cs_ord(
+            F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals),
+            F.col("cent_id").cast("long"),
+        ).alias("ord"),
     )
-    best = topk_per_group(
-        scored,
-        ["vid"],
-        [F.col("cs").desc_nulls_last(), F.col("cent_id").asc_nulls_last()],
-        1,
-    )
+    best = scored.groupBy("vid", "emb").agg(F.max("ord").alias("bord"))
     return best.select(
         "vid",
         F.coalesce(
-            F.col("cent_id"),
+            _packed_ord_cell(F.col("bord")),
             F.lit(-1) - _sign_band_key_col("emb", 0, bits_per_band, dim),
         )
         .cast("long")
         .alias("cell"),
         "emb",
+        norm_expr("emb").alias("vnorm"),
     )
 
 
@@ -508,25 +735,25 @@ def bucketed_ivf_assignment_from_keys(
         F.col("keys")[0].alias("key0"),
         F.posexplode("keys").alias("band", "key"),
     )
+    # Packed-ordinal argmax — see bucketed_ivf_assignment above for
+    # the round-13 rationale and the exactness argument.
     scored = exploded.join(F.broadcast(ck), ["band", "key"], "left").select(
         "vid",
         "emb",
         "key0",
-        "cent_id",
-        F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals).alias("cs"),
+        _packed_cs_ord(
+            F.round(cosine_expr(F.col("emb"), F.col("cemb")), round_decimals),
+            F.col("cent_id").cast("long"),
+        ).alias("ord"),
     )
-    best = topk_per_group(
-        scored,
-        ["vid"],
-        [F.col("cs").desc_nulls_last(), F.col("cent_id").asc_nulls_last()],
-        1,
-    )
+    best = scored.groupBy("vid", "emb", "key0").agg(F.max("ord").alias("bord"))
     return best.select(
         "vid",
-        F.coalesce(F.col("cent_id"), F.lit(-1) - F.col("key0"))
+        F.coalesce(_packed_ord_cell(F.col("bord")), F.lit(-1) - F.col("key0"))
         .cast("long")
         .alias("cell"),
         "emb",
+        norm_expr("emb").alias("vnorm"),
     )
 
 
@@ -924,6 +1151,65 @@ def pq_lloyd_cte(
     return ",\n    ".join(parts)
 
 
+def _pack_codebooks(codebooks: DataFrame) -> DataFrame:
+    """ONE-row frame: ``cb_pack`` = array indexed by subspace m, each
+    element struct(m, codes) with the subspace's (code, cvec) structs
+    sorted by code — the broadcast form the round-13 encode fold
+    consumes. Built from the same (m, code, cvec) table every PQ
+    caller already has, so static, Lloyd-fitted, and residual
+    codebooks all pack identically. ONE global aggregate (the per-m
+    regrouping happens as an expression over the single collected
+    row) so the pack costs a single tiny exchange, not a
+    groupBy-then-global pair."""
+    flat = codebooks.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("m"), F.col("code"), F.col("cvec")))
+        ).alias("flat")
+    )
+    ms = F.sequence(
+        F.lit(0), F.array_max(F.transform("flat", lambda e: e["m"]))
+    )
+    return flat.select(
+        F.transform(
+            ms,
+            lambda mi: F.struct(
+                mi.alias("m"),
+                F.transform(
+                    F.filter("flat", lambda e: e["m"] == mi),
+                    lambda e: F.struct(e["code"].alias("code"), e["cvec"].alias("cvec")),
+                ).alias("codes"),
+            ),
+        ).alias("cb_pack")
+    )
+
+
+def _best_code_fold(subv: Column, codes: Column) -> Column:
+    """Argmin over one subspace's packed (code, cvec) array: the code
+    with the smallest integer squared L2, code-id tiebreak — exactly
+    the round-12 ``min_by(code, struct(d_fp, code))`` rule, which
+    Spark could only run as a SortAggregate (struct ordering keys
+    have no mutable buffer). Scoring and comparison are split across
+    transform/aggregate so each distance is computed once."""
+    scored = F.transform(
+        codes,
+        lambda x: F.struct(
+            _l2sq_fp(subv, x["cvec"]).alias("d"), x["code"].alias("code")
+        ),
+    )
+
+    def step(acc, x):
+        better = (x["d"] < acc["d"]) | (
+            (x["d"] == acc["d"]) & (x["code"] < acc["code"])
+        )
+        return F.when(better, x).otherwise(acc)
+
+    init = F.struct(
+        F.lit((1 << 62)).cast("long").alias("d"),
+        F.lit(None).cast("long").alias("code"),
+    )
+    return F.aggregate(scored, init, step)["code"]
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -934,18 +1220,25 @@ def pq_encode(
 ) -> DataFrame:
     """PQ encoding: each (vector, subspace) takes the code of its
     nearest codebook entry (integer squared L2, code-id tiebreak).
-    One broadcast join (×codes rows map-side) and ONE shuffle — the
-    min_by partial aggregate combines map-side, so the exchange moves
-    |corpus|×m result rows, not the scored grid.
+
+    Round 13: the codebook is folded into ONE broadcast row and the
+    argmin runs as an expression fold inside the projection — a PURE
+    MAP stage. The round-12 form exploded a |corpus|×m×codes scored
+    grid and collapsed it with ``min_by(code, struct(d_fp, code))``,
+    whose struct ordering key forced a SortAggregate (Sort → partial
+    SortAggregate → Exchange → Sort → final SortAggregate); the fold
+    computes the same winner (same distances, same tiebreak) with
+    zero exchange and zero sort.
 
     Output: vid, m, code."""
-    scored = pq_subvectors(corpus, id_col, vec_col, dim, m).join(
-        F.broadcast(codebooks), "m"
+    return pq_subvectors(corpus, id_col, vec_col, dim, m).crossJoin(
+        F.broadcast(_pack_codebooks(codebooks))
     ).select(
-        "vid", "m", "code", _l2sq_fp(F.col("subv"), F.col("cvec")).alias("d_fp")
-    )
-    return scored.groupBy("vid", "m").agg(
-        F.min_by("code", F.struct("d_fp", "code")).alias("code")
+        "vid",
+        "m",
+        _best_code_fold(
+            F.col("subv"), F.element_at("cb_pack", F.col("m") + 1)["codes"]
+        ).alias("code"),
     )
 
 
@@ -971,6 +1264,9 @@ def pq_adc_topk(
     candidate cells instead of the full corpus.
 
     Output: query_id, neighbor_id, adc_fp, rnk."""
+    # Round 13: the encode half is now the shuffle-free fold form
+    # (see pq_encode) — this op keeps its one (query, neighbor)
+    # partial-sum exchange, which IS its linear-scan contract.
     enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
     # ``queries`` carries its own vectors (same contract as
     # brute_force_cosine_topk) — typically a filtered corpus slice.
@@ -995,6 +1291,48 @@ def pq_adc_topk(
     return top.select(
         "query_id", "neighbor_id", "adc_fp", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+def _pack_query_luts(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """ONE-row frame: ``luts`` = array of (query_id, lut) structs
+    sorted by query id, where ``lut`` is the query's ADC distance
+    table as nested arrays — lut[m][code] (both sides dense by the
+    codebook's construction, whatever the actual code count at this
+    corpus size). The broadcast form of the round-12
+    (query_id, m, code, d_fp) LUT rows, same ``_l2sq_fp``
+    distances."""
+    width = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qemb")
+    )
+    # Per-query LUT computed row-locally from the packed codebook
+    # (one nested transform per query row) — no per-(query, m, code)
+    # row explosion, no groupBy chain; the only exchange is the final
+    # single-row collect.
+    lut = F.transform(
+        F.col("cb_pack"),
+        lambda e: F.transform(
+            e["codes"],
+            lambda c: _l2sq_fp(
+                F.slice("qemb", e["m"] * width + 1, width), c["cvec"]
+            ),
+        ),
+    )
+    per_q = q.crossJoin(F.broadcast(_pack_codebooks(codebooks))).select(
+        "query_id", lut.alias("lut")
+    )
+    return per_q.select(
+        F.struct(F.col("query_id"), F.col("lut")).alias("e")
+    ).agg(F.array_sort(F.collect_list("e")).alias("luts"))
+
+
 
 
 def ivfpq_topk(
@@ -1045,27 +1383,31 @@ def ivfpq_topk(
     ``ivf_cell_assignment``'s own output (vid, cell, emb) over the
     same corpus; ``None`` computes it fresh (bit-identical).
     """
+    packed_cents = _pack_centroids(centroids, id_col, vec_col)
     assign = (
         assignment
         if assignment is not None
-        else ivf_cell_assignment(corpus, centroids, id_col, vec_col)
-    )
-    enc = pq_encode(corpus, codebooks, id_col, vec_col, dim, m)
-    qsub = pq_subvectors(queries, id_col, vec_col, dim, m).select(
-        F.col("vid").alias("query_id"), "m", F.col("subv").alias("qsub")
-    )
-    lut = qsub.join(F.broadcast(codebooks), "m").select(
-        "query_id",
-        "m",
-        "code",
-        _l2sq_fp(F.col("qsub"), F.col("cvec")).alias("d_fp"),
+        else ivf_cell_assignment(
+            corpus, centroids, id_col, vec_col, packed=packed_cents
+        )
     )
     if nprobe == 1:
-        q_cells = (
-            queries.select(F.col(id_col).alias("query_id"))
-            .join(assign, F.col("query_id") == F.col("vid"))
-            .select("query_id", "cell")
-        )
+        if assignment is None:
+            # Round 13: a query's home cell is the same argmax fold
+            # the corpus assignment runs — computing it directly on
+            # the |queries| rows (bit-identical by construction)
+            # avoids joining the corpus-sized assignment just to look
+            # up a handful of cells.
+            q_cells = ivf_cell_assignment(
+                queries, centroids, id_col, vec_col,
+                widen=False, packed=packed_cents,
+            ).select(F.col("vid").alias("query_id"), "cell")
+        else:
+            q_cells = (
+                queries.select(F.col(id_col).alias("query_id"))
+                .join(assign, F.col("query_id") == F.col("vid"))
+                .select("query_id", "cell")
+            )
     else:
         # Per-query probe list: re-rank the (tiny, broadcast) centroid
         # set and keep the nprobe nearest cells — ivf_cosine_topk's
@@ -1091,11 +1433,55 @@ def ivfpq_topk(
         .filter(F.col("vid") != F.col("query_id"))
         .select("query_id", "vid")
     )
-    adc = (
-        cand.join(enc, "vid")
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
-        .agg(F.sum("d_fp").alias("adc_fp"))
+    # Round 13: encode ONLY the candidates (guide §3.2 — pre-filter
+    # the big side): the candidate list re-attaches to the corpus
+    # scan by ONE broadcast hash join, and each joined row computes
+    # its m codes + its ADC sum INSIDE the projection (the encode
+    # fold of pq_encode per subspace, then integer LUT lookups
+    # against the packed per-query distance table). The round-12
+    # form encoded the ENTIRE corpus (a |corpus|×m×codes scored grid
+    # through a struct-keyed SortAggregate) and re-joined it to the
+    # candidates by a sort-merge join — two corpus-sized exchanges
+    # and four sorts for codes of which only the probed cells' rows
+    # were ever read. Distances, code tiebreaks, and the integer ADC
+    # sum are unchanged expression-for-expression, so adc_fp is
+    # bit-identical.
+    luts = _pack_query_luts(queries, codebooks, id_col, vec_col, dim, m)
+    width = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("vid"), as_double_array(vec_col).alias("emb")
+    )
+    cand_rows = (
+        base.join(F.broadcast(cand), "vid")
+        .crossJoin(F.broadcast(_pack_codebooks(codebooks)))
+        .crossJoin(F.broadcast(luts))
+    )
+    codes_tree = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: _best_code_fold(
+            F.slice("emb", mi * width + 1, width),
+            F.element_at("cb_pack", mi + 1)["codes"],
+        ),
+    )
+    lut_tree = F.element_at(
+        F.filter("luts", lambda l: l["query_id"] == F.col("query_id")), 1
+    )["lut"]
+    adc_fp = F.aggregate(
+        F.zip_with(
+            codes_tree,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, mi: F.struct(c.alias("c"), mi.alias("mi")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.element_at(
+            F.element_at(lut_tree, x["mi"] + 1), (x["c"] + 1).cast("int")
+        ),
+    )
+    adc = cand_rows.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        adc_fp.alias("adc_fp"),
     )
     top = topk_per_group(
         adc, ["query_id"], [F.col("adc_fp").asc(), F.col("neighbor_id")], k
@@ -1274,8 +1660,11 @@ def ivfpq_residual_topk(
         .filter(F.col("vid") != F.col("query_id"))
         .select("query_id", "vid")
     )
+    # Round 13: the candidate list is |queries|×cell-size rows —
+    # broadcast it into the (now map-only) encode leg so the join
+    # never shuffles the encoded corpus (guide §3.1).
     adc = (
-        cand.join(enc, "vid")
+        enc.join(F.broadcast(cand), "vid")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.sum("d_fp").alias("adc_fp"))
@@ -1370,19 +1759,39 @@ def semantic_dedup_from_assignment(
     # the anti-join base); persist the compact (vid, cell, emb) rows
     # so the quantizer pass runs once.
     assign = assign.persist(StorageLevel.MEMORY_AND_DISK)
+    # Round 13: reuse the assignment's precomputed vector norm (when
+    # its producer supplies one) so the within-cell pair scan costs
+    # ONE dot product per pair instead of dot + two norms —
+    # bit-identical cosine (same sqrt/multiply/divide expression over
+    # the same values, the norms simply evaluated once per vector).
+    has_norm = "vnorm" in assign.columns
+    norm_a = (
+        F.col("n_a") if has_norm else norm_expr(F.col("e_a"))
+    )
+    norm_b = (
+        F.col("n_b") if has_norm else norm_expr(F.col("e_b"))
+    )
+    extra_a = [F.col("vnorm").alias("n_a")] if has_norm else []
+    extra_b = [F.col("vnorm").alias("n_b")] if has_norm else []
     a = assign.select(
-        F.col("vid").alias("id_a"), F.col("cell"), F.col("emb").alias("e_a")
+        F.col("vid").alias("id_a"), F.col("cell"), F.col("emb").alias("e_a"),
+        *extra_a,
     )
     b = assign.select(
-        F.col("vid").alias("id_b"), F.col("cell"), F.col("emb").alias("e_b")
+        F.col("vid").alias("id_b"), F.col("cell"), F.col("emb").alias("e_b"),
+        *extra_b,
+    )
+    pair_cos = F.round(
+        F.when(
+            norm_a * norm_b > 0,
+            dot_expr(F.col("e_a"), F.col("e_b")) / (norm_a * norm_b),
+        ),
+        round_decimals,
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(cosine_expr(F.col("e_a"), F.col("e_b")), round_decimals)
-            >= F.lit(min_cosine)
-        )
+        .filter(pair_cos >= F.lit(min_cosine))
         .select(F.col("id_b").alias("vid"))
         .distinct()
     )

@@ -152,8 +152,52 @@ def run_steady(spark, name: str, sf_dir: str, n: int = 5) -> float:
     return min(runs)
 
 
+def run_tier(tier: str, names: list[str]) -> None:
+    """Single-tier fresh-process probe mode (round 13): run ONLY the
+    x100 tier measurement for the given entries — steady min-of-5 at
+    both scales, the committed protocol — in this process's own fresh
+    JVM, and print one JSON line. This is the fix for the in-bench
+    x100 contamination the round-13 build characterized (two entries
+    read 3-6× their fresh-process walls inside the long bench session
+    while every neighbor matched; releasing leaked RDDs + JVM GC did
+    not cure it): bench.py now subprocesses each x100 entry through
+    here, so the official record measures the committed fresh-process
+    protocol BY CONSTRUCTION (the floors precedent)."""
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    probes: dict[str, dict] = {}
+    if tier == "docs_x100":
+        big_dir = bench._ensure_docs_amplified(
+            spark, SF_DIR, bench.X100_COPIES, disjoint_vocab=True
+        )
+        scale_key = f"sec_{bench.X100_COPIES}x"
+    elif tier == "emb_x100":
+        big_dir = bench._ensure_embeddings_amplified(spark, SF_DIR, 100)
+        bench._prewarm_emb_sidecars(spark, SF_DIR)
+        bench._prewarm_emb_sidecars(spark, big_dir)
+        scale_key = "sec_100x"
+    else:
+        raise SystemExit(f"unknown tier: {tier}")
+    spark.catalog.clearCache()
+    for name in names:
+        base = run_steady(spark, name, SF_DIR)
+        dt = run_steady(spark, name, big_dir)
+        probes[name] = {
+            "sec_1x": round(base, 3),
+            scale_key: round(dt, 3),
+            "ratio": round(dt / base, 2) if base else None,
+            "protocol": "steady_min_of_5",
+            "provenance": "fresh_process",
+        }
+        print(f"  [{tier}] {name}: {dt:.3f}s / {base:.3f}s", file=sys.stderr)
+    print(json.dumps({"metric": f"isolated_{tier}", "probes": probes}))
+
+
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "--tier":
+        run_tier(args[1], args[2:])
+        return
     # --floors-only (round 11, VERDICT r10 item 5): record ONLY the
     # fresh-session sec_isolated/sec_steady floors, skipping the
     # amplified-corpus tier extras — the mode bench.py subprocesses

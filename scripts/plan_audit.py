@@ -116,23 +116,39 @@ ALLOWED: dict[str, set[str]] = {
     "dq_expectations": {"bnl_join", "single_part_exchange"},  # scalar check counts
     "join_range": {"bnl_join"},               # band table (by design;
                                               # scale path: join_interval_binned)
-    "ml_centroid_classify": {"bnl_join"},     # |classes|-row mean table
+    "ml_centroid_classify": {"bnl_join", "single_part_exchange"},  # |classes|-row
+                                              # mean table folded to one broadcast
+                                              # row (round 13 — see the IVF/PQ
+                                              # pack block below)
     "ml_eval_deterministic": {"single_part_exchange"},  # global confusion scalars
     "sample_temperature": {"bnl_join", "single_part_exchange"},  # scalar corpus totals
     "scan_csv_quarantine": {"single_part_exchange"},   # global quarantine count
-    "ann_recall_eval": {"bnl_join"},          # centroid table + bf recall leg
-    "ann_recall_eval_pq": {"bnl_join"},       # centroid table + bf recall leg
-    "ann_index_delta": {"bnl_join"},          # frozen centroid table (delta assign)
-    "pipeline_embedding_curation": {"bnl_join"},  # survivor centroid table (index half)
-    "codebook_kmeans_refine": {"bnl_join"},   # centroid table (E-step quantizer)
-    "dedup_semantic": {"bnl_join"},           # centroid table (quantizer)
-    "sim_ann_ivf": {"bnl_join"},              # centroid table
-    "sim_ann_ivf_multiprobe": {"bnl_join"},   # centroid table
-    "sim_ann_ivfpq": {"bnl_join"},            # centroid table (IVF half)
-    "sim_ann_ivfpq_fitted": {"bnl_join"},     # centroid table (IVF half; fit is equi-join)
-    "sim_ann_ivfpq_multiprobe": {"bnl_join"},  # centroid table (probe list, nprobe=2)
-    "sim_ann_ivfpq_rerank": {"bnl_join"},      # centroid table (IVF half; refine is equi-join)
-    "sim_ann_ivfpq_residual": {"bnl_join"},    # centroid table (IVF half + residual pass)
+    # Round 13: the IVF/PQ family's quantizer/encode argmax runs as an
+    # expression fold over a SINGLE broadcast row holding the bounded
+    # candidate table (≤50 centroids / m×codes≤128 codebook rows /
+    # |queries|-row ADC LUTs — see similarity._pack_centroids /
+    # _pack_codebooks / _pack_query_luts). Folding that table to one
+    # row is a global collect_list aggregate, whose final merge is BY
+    # CONSTRUCTION an Exchange SinglePartition over ≤a-few-hundred
+    # metadata rows — the same benign class as the scalar-aggregate
+    # entries above. The corpus-sized exchanges these folds replaced
+    # (assignment window rank, encode SortAggregate) are gone; the
+    # shuffle ratchet still bounds the total.
+    "ann_recall_eval": {"bnl_join", "single_part_exchange"},  # centroid table + bf recall leg; centroid pack
+    "ann_recall_eval_pq": {"bnl_join", "single_part_exchange"},  # centroid table + bf recall leg; packs
+    "ann_index_delta": {"bnl_join", "single_part_exchange"},  # frozen centroid table (delta assign); packs
+    "pipeline_embedding_curation": {"bnl_join", "single_part_exchange"},  # survivor centroid table (index half); packs
+    "codebook_kmeans_refine": {"bnl_join", "single_part_exchange"},  # centroid table (E-step quantizer); pack
+    "dedup_semantic": {"bnl_join", "single_part_exchange"},   # centroid table (quantizer); pack
+    "sim_ann_ivf": {"bnl_join", "single_part_exchange"},      # centroid table; pack
+    "sim_ann_ivf_multiprobe": {"bnl_join", "single_part_exchange"},  # centroid table; pack
+    "sim_ann_ivfpq": {"bnl_join", "single_part_exchange"},    # centroid table (IVF half); packs
+    "sim_ann_ivfpq_fitted": {"bnl_join", "single_part_exchange"},  # centroid table (IVF half; fit is equi-join); packs
+    "sim_ann_ivfpq_multiprobe": {"bnl_join", "single_part_exchange"},  # centroid table (probe list, nprobe=2); packs
+    "sim_ann_ivfpq_rerank": {"bnl_join", "single_part_exchange"},  # centroid table (IVF half; refine is equi-join); packs
+    "sim_ann_ivfpq_residual": {"bnl_join", "single_part_exchange"},  # centroid table (IVF half + residual pass); packs
+    "embedding_pq_encode": {"bnl_join", "single_part_exchange"},  # codebook pack (1-row crossJoin)
+    "sim_ann_pq_adc": {"bnl_join", "single_part_exchange"},   # codebook pack (1-row crossJoin)
     "sim_cosine_topk": {"bnl_join"},          # brute-force recall oracle
     "sim_hybrid_rrf": {"bnl_join"},           # centroid table (IVF leg)
     "sim_knn_classify": {"bnl_join"},         # centroid table
