@@ -273,18 +273,14 @@ def minhash_candidate_pairs(
     # materialization on top of the shuffle files that already exist —
     # measured ~0.5 s slower at bench scale and double storage at
     # corpus scale.)
-    banded = sig.select(
+    exploded = sig.select(
         "doc",
         "sig",
-        F.when(F.col("n_sh") > 0, band_hashes)
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("bands"),
-    )
-    exploded = banded.select(
-        "doc",
-        "sig",
-        "bands",
-        F.posexplode("bands").alias("band_idx", "band_hash"),
+        F.posexplode(
+            F.when(F.col("n_sh") > 0, band_hashes).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("band_idx", "band_hash"),
     ).repartition("band_idx", "band_hash")
 
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -294,27 +290,9 @@ def minhash_candidate_pairs(
             lambda m: m,
         )
     )
-    # A pair colliding in several bands appears once per collision.
-    # Round 13 (guide §2.3 — drop rows BEFORE they shuffle, not
-    # after): keep only the row from the pair's FIRST colliding band
-    # — both sides' full band arrays ride along, so the first
-    # collision index is an expression over the joined row and the
-    # round-12 dropDuplicates exchange (which shuffled every
-    # collision instance of every candidate pair — up to num_bands×
-    # the distinct pairs on a near-dup-heavy corpus) disappears.
-    # array_position finds the same band the join matched on, so the
-    # kept-pair SET is identical.
-    first_band = (
-        F.array_position(
-            F.zip_with(F.col("a.bands"), F.col("b.bands"), lambda x, y: x == y),
-            True,
-        )
-        - 1
-    )
     near_pairs = (
         a.join(b, on=["band_idx", "band_hash"], how="inner")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .filter(F.col("band_idx") == first_band)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -322,6 +300,22 @@ def minhash_candidate_pairs(
                 F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
             ).alias("jaccard_dist"),
         )
+        # a pair colliding in several bands appears once per collision;
+        # the distance is a pure function of the pair, so plain
+        # dropDuplicates (not a groupBy) is enough. Round 13 MEASURED
+        # the alternative (keep only the first colliding band's row by
+        # recomputing band hashes from the joined signatures — the
+        # form dedup/simhash.py and the incremental matcher now use)
+        # and REVERTED it here: on the collision-heavy near-dup x10
+        # corpus the per-collision-instance recompute (32 slice
+        # hashes + array allocs per row) read 108 s vs ~3 s for this
+        # form — the dedup exchange moves only 24-byte pair rows, so
+        # trading it for per-instance expression work loses exactly
+        # where collisions are densest. First-band pays off only when
+        # the recompute is integer-cheap relative to the row
+        # (simhash's shift/mask blocks) or the collision multiplicity
+        # is store-bounded (the incremental matcher).
+        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     return near_pairs.unionByName(exact_edges)
@@ -377,6 +371,20 @@ def _portable_signatures(
         F.md5(
             F.concat_ws(",", F.transform(F.array_sort("hs"), lambda h: h.cast("string")))
         ).alias("fp"),
+    )
+
+
+def _band_slice_eq(sig_a: str, sig_b: str, num_bands: int, rows_per_band: int):
+    """array<boolean>: per band, whether the two signatures' band
+    slices are equal — the slice-level truth the string band keys
+    render injectively. Used to locate a pair's first colliding band
+    from columns already on the joined row (round 13)."""
+    return F.array(
+        *[
+            F.slice(F.col(sig_a), b * rows_per_band + 1, rows_per_band)
+            == F.slice(F.col(sig_b), b * rows_per_band + 1, rows_per_band)
+            for b in range(num_bands)
+        ]
     )
 
 
@@ -446,18 +454,14 @@ def minhash_candidate_pairs_portable(
     reps = tagged.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sig")
 
     band_keys = _band_keys_expr(num_bands, rows_per_band)
-    banded = reps.select(
+    exploded = reps.select(
         "doc",
         "sig",
-        F.when(F.col("n_sh") > 0, band_keys)
-        .otherwise(F.array().cast("array<string>"))
-        .alias("bands"),
-    )
-    exploded = banded.select(
-        "doc",
-        "sig",
-        "bands",
-        F.posexplode("bands").alias("band_idx", "band_key"),
+        F.posexplode(
+            F.when(F.col("n_sh") > 0, band_keys).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("band_idx", "band_key"),
     ).repartition("band_idx", "band_key")
     a, b = exploded.alias("a"), exploded.alias("b")
     est_matches = F.size(
@@ -466,21 +470,9 @@ def minhash_candidate_pairs_portable(
             lambda m: m,
         )
     )
-    # First-colliding-band filter instead of a post-join
-    # dropDuplicates exchange — see minhash_candidate_pairs. Band
-    # keys are injective slice renderings, so key equality IS slice
-    # equality and the kept-pair set is unchanged.
-    first_band = (
-        F.array_position(
-            F.zip_with(F.col("a.bands"), F.col("b.bands"), lambda x, y: x == y),
-            True,
-        )
-        - 1
-    )
     near_pairs = (
         a.join(b, on=["band_idx", "band_key"], how="inner")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .filter(F.col("band_idx") == first_band)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -488,6 +480,11 @@ def minhash_candidate_pairs_portable(
                 F.lit(1.0) - est_matches.cast("double") / F.lit(float(num_hashes)), 6
             ).alias("jaccard_dist"),
         )
+        # dropDuplicates, NOT a first-band filter — measured trade,
+        # see minhash_candidate_pairs (round 13): per-collision-
+        # instance recompute loses on collision-heavy corpora; the
+        # dedup exchange moves only compact pair rows.
+        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("jaccard_dist") <= max_jaccard_distance)
     )
     return near_pairs.unionByName(exact_edges)
@@ -638,24 +635,19 @@ def minhash_incremental_matches(
 
     def banded(df: DataFrame) -> DataFrame:
         sig = _portable_signatures(df, text_col, id_col, shingle_n, num_hashes)
-        keyed = sig.select(
+        return sig.select(
             "doc",
             "sig",
-            F.when(F.col("n_sh") > 0, band_keys)
-            .otherwise(F.array().cast("array<string>"))
-            .alias("bands"),
-        )
-        return keyed.select(
-            "doc",
-            "sig",
-            "bands",
-            F.posexplode("bands").alias("band_idx", "band_key"),
+            F.posexplode(
+                F.when(F.col("n_sh") > 0, band_keys).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("band_idx", "band_key"),
         )
 
     s = banded(store).select(
         F.col("doc").alias("store_doc"),
         F.col("sig").alias("store_sig"),
-        F.col("bands").alias("store_bands"),
         "band_idx",
         "band_key",
     )
@@ -670,14 +662,15 @@ def minhash_incremental_matches(
     # dropDuplicates exchange — see minhash_candidate_pairs: a
     # (delta, store) pair colliding in k bands emits its row from
     # band min(k) only, so the per-pair dedup happens BEFORE the
-    # candidate rows shuffle (and before the best-match window),
-    # not after.
+    # candidate rows shuffle (and before the best-match window), not
+    # after. The collision index comes from the two signatures
+    # already on the joined row (band keys are injective slice
+    # renderings); carrying the band-key ARRAYS through the store-
+    # side shuffle instead measured ~3× its bytes at x100 — the one
+    # regression this round caught in its own re-measure.
     first_band = (
         F.array_position(
-            F.zip_with(
-                F.col("bands"), F.col("store_bands"), lambda x, y: x == y
-            ),
-            True,
+            _band_slice_eq("sig", "store_sig", num_bands, r), True
         )
         - 1
     )
