@@ -71,7 +71,17 @@ the amplified corpora regenerate per driver-testdata generation, so
 the ingest previously landed inside the timed window
 nondeterministically); and a "suite_band" record (three full-suite
 pass sums) classifies fleet-wide wall moves the per-query sentinel
-envelope cannot (VERDICT r7 item 3).
+envelope cannot (VERDICT r7 item 3). r13: the two x100 tiers moved
+from in-session measurement to fresh subprocesses (JVM-session
+contamination, see probe notes below). r14 (VERDICT r13 item 1 — the
+r13 driver bench exceeded its budget and was SIGTERM'd with no JSON
+line): the x100 subprocesses are batched ONE PER TIER (2 JVM starts,
+not 13), their protocol is steady_min_of_3 with the per-run spread
+recorded (expect r14+ x100 walls to read slightly HIGHER than r13
+min-of-5 records of the same code — min over fewer runs), the floors
+subprocess runs once (no retry), and a SIGTERM handler emits the
+capped summary line for whatever completed ("partial": true) so even
+a killed run yields a parseable record.
 """
 
 from __future__ import annotations
@@ -396,6 +406,25 @@ X4_GRAPH = [
     "graph_triangle_count", # wedge join over 4× oriented edges
     "graph_bfs_hops",       # 4 frontier rounds from 4× seeds
 ]
+
+
+def parse_probe_lines(stdout_text: str) -> dict:
+    """Extract per-entry probe records from a tier subprocess's stdout
+    (round 14): the final ``{"probes": {...}}`` summary line when the
+    subprocess finished, else whatever per-entry ``{"probe_partial":
+    {name: rec}}`` salvage lines it printed before a timeout killed it
+    — so a tier timeout loses only the UNFINISHED entries."""
+    recs: dict[str, dict] = {}
+    for line in stdout_text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc = json.loads(line)
+        except ValueError:
+            continue
+        recs.update(doc.get("probes") or doc.get("probe_partial") or {})
+    return recs
 
 
 def _amplified_is_fresh(target: str, src: str) -> bool:
@@ -758,6 +787,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    # Round 14 (VERDICT r13 item 1d): the r13 driver bench was killed
+    # by `timeout` (SIGTERM) before the one-line JSON ever printed, so
+    # PERF had NOTHING — every query read "dropped". The summary
+    # record is now assembled INCREMENTALLY in `out` (each tier's dict
+    # is attached as soon as it exists and fills in place), and a
+    # SIGTERM handler prints the capped summary line for whatever has
+    # completed (marked "partial": true) before exiting — a killed run
+    # now yields a parseable record of every finished section. Normal
+    # completion still prints exactly one stdout line.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    out: dict = {
+        "metric": "headline_suite_wall_sec",
+        "value": 0.0,
+        "unit": "sec",
+        "measure": "warm_best_of_2",
+        "queries": timings,
+        "sf": sf_val,
+        "errors": errors,
+        "partial": True,
+    }
+
+    def _emit_partial(signum, frame):  # noqa: ARG001
+        try:
+            out["value"] = round(total, 3)
+            print(build_summary_line(out), flush=True)
+        finally:
+            os._exit(128 + signum)
+
+    import signal
+
+    signal.signal(signal.SIGTERM, _emit_partial)
     # Suite-level variance band (round 8, VERDICT r7 item 3): the
     # per-query sentinel envelope can classify single-query moves but
     # not a fleet-wide wall drift (+23% r6→r7 was unclassifiable).
@@ -800,6 +860,7 @@ def main() -> None:
     # a move as real. The headline best is the band's floor by
     # construction (same protocol, same session).
     variance: dict[str, dict] = {}
+    out["variance"] = variance
     for name in SENTINELS:
         if name not in timings:
             continue
@@ -860,6 +921,7 @@ def main() -> None:
     x10_dir = ensure_docs_x10(spark, SF_DIR)
     spark.catalog.clearCache()
     docs_x10: dict[str, dict] = {}
+    out["docs_x10"] = docs_x10
     for name in X10:
         release_probe_state()
         # Skip a probe only when the query IS a headline member whose
@@ -917,18 +979,31 @@ def main() -> None:
     # committed records; releasing leaked persistent RDDs + forcing
     # JVM GC between entries (release_probe_state, kept as hygiene)
     # did NOT cure it — the residue is JVM-session state (JIT/
-    # code-cache/allocator) this process cannot shed. Each x100
-    # entry therefore now runs in its OWN fresh subprocess (the
-    # isolated-floors precedent) under the SAME steady_min_of_5
-    # protocol on the SAME pre-materialized corpora, so the official
+    # code-cache/allocator) this process cannot shed. The x100 tiers
+    # therefore run in fresh subprocesses (the isolated-floors
+    # precedent) on the SAME pre-materialized corpora, so the official
     # record measures the committed fresh-process protocol by
-    # construction. A subprocess failure falls back to the old
-    # in-session measurement — recorded with
-    # provenance "in_bench_fallback", never silently dropped. The
-    # old in-bench numbers remain in BENCH_r01..r13/BENCH_FULL
-    # history; OPTIMIZATION_r13.md documents the change.
-    def probe_fresh_process(
-        tier: str, name: str, big_dir: str, scale_key: str
+    # construction.
+    #
+    # Round-14 RESTRUCTURE (VERDICT r13 item 1 — the r13 driver bench
+    # timed out, rc=124 at both core counts, and every query was
+    # "dropped"): (a) ONE subprocess per TIER instead of one per entry
+    # — 2 cold JVM starts instead of 13; fresh-process isolation is
+    # preserved (the contamination residue accumulated over the
+    # ~50-query suite session, and the committed r13 fresh-process
+    # records themselves measured several entries per probe process);
+    # (b) steady min-of-3 instead of min-of-5, with the per-run spread
+    # recorded (round-7 instrumentation showed the big side is stable
+    # — min-of-5 on 60-100 s entries was pure wall); (c) the
+    # subprocess streams one salvage line per completed entry, so a
+    # timeout loses only the UNFINISHED entries — those fall back to
+    # the in-session protocol (provenance "in_bench_fallback"), never
+    # silently dropped. Cross-round note: r13's min-of-5 fresh-process
+    # records are the comparison baseline; min-of-3 reads ≥ min-of-5
+    # of the same code by construction (a subset of the same runs).
+    def probe_tier_fresh(
+        tier: str, names: list[str], big_dir: str, scale_key: str,
+        timeout_sec: int,
     ) -> dict:
         import subprocess
 
@@ -937,46 +1012,60 @@ def main() -> None:
             "scripts",
             "isolated_probe.py",
         )
-        attempts: list[str] = []
-        for _ in (1, 2):
+        recs: dict[str, dict] = {}
+        stdout_text = ""
+        try:
+            proc = subprocess.run(
+                [sys.executable, probe_path, "--tier", tier, *names],
+                capture_output=True,
+                text=True,
+                timeout=timeout_sec,
+                check=True,
+            )
+            stdout_text = proc.stdout or ""
+        except subprocess.TimeoutExpired as exc:
+            stdout_text = exc.stdout or ""
+            if isinstance(stdout_text, bytes):
+                stdout_text = stdout_text.decode("utf-8", "replace")
+            errors[f"fresh:{tier}"] = f"TimeoutExpired: {timeout_sec}s"
+        except Exception as exc:  # noqa: BLE001
+            stdout_text = getattr(exc, "stdout", "") or ""
+            errors[f"fresh:{tier}"] = f"{type(exc).__name__}: {exc}"[:200]
+        # Salvage per-entry records: the final summary line when the
+        # subprocess finished, else the per-entry probe_partial lines.
+        recs.update(parse_probe_lines(stdout_text))
+        # In-session fallback for entries the subprocess never reached
+        # — recorded with distinct provenance, never silently dropped.
+        for name in names:
+            if name in recs:
+                continue
             try:
-                proc = subprocess.run(
-                    [sys.executable, probe_path, "--tier", tier, name],
-                    capture_output=True,
-                    text=True,
-                    timeout=2400,
-                    check=True,
-                )
-                return json.loads(proc.stdout.strip().splitlines()[-1])[
-                    "probes"
-                ][name]
+                release_probe_state()
+                base = run_steady(name, SF_DIR, n=3)
+                dt = run_steady(name, big_dir, n=3)
             except Exception as exc:  # noqa: BLE001
-                attempts.append(f"{type(exc).__name__}: {exc}"[:200])
-        errors[f"fresh:{tier}:{name}"] = " | then: ".join(attempts)
-        # fall back to the pre-round-13 in-session protocol
-        release_probe_state()
-        base = run_steady(name, SF_DIR)
-        dt = run_steady(name, big_dir)
-        return {
-            "sec_1x": round(base, 3),
-            scale_key: round(dt, 3),
-            "ratio": round(dt / base, 2) if base else None,
-            "protocol": "steady_min_of_5",
-            "provenance": "in_bench_fallback",
-        }
+                errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            recs[name] = {
+                "sec_1x": round(base, 3),
+                scale_key: round(dt, 3),
+                "ratio": round(dt / base, 2) if base else None,
+                "protocol": "steady_min_of_3",
+                "provenance": "in_bench_fallback",
+            }
+        return recs
 
     docs_x100: dict[str, dict] = {}
-    for name in X100:
-        try:
-            rec = probe_fresh_process(
-                "docs_x100", name, x100_dir, f"sec_{X100_COPIES}x"
-            )
-        except Exception as exc:  # noqa: BLE001
-            errors[f"x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        docs_x100[name] = rec
+    out["docs_x100"] = docs_x100
+    docs_x100.update(
+        probe_tier_fresh(
+            "docs_x100", X100, x100_dir, f"sec_{X100_COPIES}x",
+            timeout_sec=3600,
+        )
+    )
+    for name, rec in docs_x100.items():
         print(
-            f"  [x{X100_COPIES}] {name}: {rec[f'sec_{X100_COPIES}x']}s "
+            f"  [x{X100_COPIES}] {name}: {rec.get(f'sec_{X100_COPIES}x')}s "
             f"({rec.get('provenance')})",
             file=sys.stderr,
         )
@@ -987,6 +1076,7 @@ def main() -> None:
     ev_x10_dir = _ensure_events_amplified(spark, SF_DIR, 10)
     spark.catalog.clearCache()
     events_x10: dict[str, dict] = {}
+    out["events_x10"] = events_x10
     for name in X10_EVENTS:
         release_probe_state()
         try:
@@ -1008,6 +1098,7 @@ def main() -> None:
     # a shuffle or a driver collect.
     spark.catalog.clearCache()
     mm_x10: dict[str, dict] = {}
+    out["multimodal_x10"] = mm_x10
     for name in X10_MULTIMODAL:
         release_probe_state()
         try:
@@ -1050,6 +1141,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["prewarm:emb_x10_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
     emb_x10: dict[str, dict] = {}
+    out["embeddings_x10"] = emb_x10
     for name in X10_EMB:
         release_probe_state()
         try:
@@ -1077,21 +1169,20 @@ def main() -> None:
         _prewarm_emb_sidecars(spark, emb_x100_dir)
     except Exception as exc:  # noqa: BLE001
         errors["prewarm:emb_x100_sidecars"] = f"{type(exc).__name__}: {exc}"[:200]
-    # Per-entry fresh subprocesses, like docs_x100 above — this tier
-    # shares the same overhead-dominated-base physics AND the same
-    # long-session JVM-state exposure (round 13).
+    # One fresh subprocess for the whole tier, like docs_x100 above —
+    # this tier shares the same overhead-dominated-base physics AND
+    # the same long-session JVM-state exposure (round 13/14).
     emb_x100: dict[str, dict] = {}
-    for name in X100_EMB:
-        try:
-            rec = probe_fresh_process(
-                "emb_x100", name, emb_x100_dir, "sec_100x"
-            )
-        except Exception as exc:  # noqa: BLE001
-            errors[f"emb_x100:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        emb_x100[name] = rec
+    out["embeddings_x100"] = emb_x100
+    emb_x100.update(
+        probe_tier_fresh(
+            "emb_x100", X100_EMB, emb_x100_dir, "sec_100x",
+            timeout_sec=1800,
+        )
+    )
+    for name, rec in emb_x100.items():
         print(
-            f"  [emb_x100] {name}: {rec['sec_100x']}s "
+            f"  [emb_x100] {name}: {rec.get('sec_100x')}s "
             f"({rec.get('provenance')})",
             file=sys.stderr,
         )
@@ -1100,6 +1191,7 @@ def main() -> None:
     gr_x4_dir = _ensure_graph_amplified(spark, SF_DIR, 4)
     spark.catalog.clearCache()
     graph_x4: dict[str, dict] = {}
+    out["graph_x4"] = graph_x4
     for name in X4_GRAPH:
         release_probe_state()
         try:
@@ -1114,24 +1206,12 @@ def main() -> None:
             "ratio": round(dt / base, 2) if base else None,
         }
         print(f"  [gr_x4] {name}: {dt:.3f}s", file=sys.stderr)
-    out = {
-        "metric": "headline_suite_wall_sec",
-        "value": round(total, 3),
-        "unit": "sec",
-        "measure": "warm_best_of_2",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "docs_x10": docs_x10,
-        "docs_x100": docs_x100,
-        "events_x10": events_x10,
-        "multimodal_x10": mm_x10,
-        "embeddings_x10": emb_x10,
-        "embeddings_x100": emb_x100,
-        "graph_x4": graph_x4,
-        "variance": variance,
-        "suite_band": suite_band,
-        "errors": errors,
-    }
+    # All tiers complete: the record is no longer partial (the tier
+    # dicts were attached to `out` as they were created and filled in
+    # place — see the round-14 SIGTERM note above).
+    out["value"] = round(total, 3)
+    out["suite_band"] = suite_band
+    out.pop("partial", None)
     # Hardware/session calibration wall (round 11, ADVICE r10): a
     # FIXED registry-independent workload (range scan + expression
     # aggregate over 50M generated rows, steady min-of-5) whose wall
@@ -1182,39 +1262,33 @@ def main() -> None:
             "scripts",
             "isolated_probe.py",
         )
-        # One retry (ADVICE r11): this fresh-JVM subprocess can run
-        # up to 30 minutes, and a single transient failure used to
-        # leave BENCH_FULL without isolated_floors — which the suite
-        # then hard-fails on. A flaky subprocess must not become a
-        # suite gate without at least one more attempt; both failures
-        # are recorded so the artifact shows the retry happened.
-        attempts = []
-        for attempt in (1, 2):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, probe_path, "--floors-only", *top10],
-                    capture_output=True,
-                    text=True,
-                    timeout=1800,
-                    check=True,
-                )
-                rec = json.loads(proc.stdout.strip().splitlines()[-1])
-                out["isolated_floors"] = rec.get("probes", {})
-                print(
-                    f"[floors] {len(out['isolated_floors'])} isolated "
-                    f"floors recorded for the top-10 headline entries"
-                    + (f" (attempt {attempt})" if attempt > 1 else ""),
-                    file=sys.stderr,
-                )
-                break
-            except Exception as exc:  # noqa: BLE001
-                attempts.append(f"{type(exc).__name__}: {exc}"[:200])
-                print(
-                    f"[floors] attempt {attempt} failed: {attempts[-1]}",
-                    file=sys.stderr,
-                )
-        else:
-            errors["isolated_floors"] = " | then: ".join(attempts)
+        # SINGLE attempt since round 14 (VERDICT r13 item 1c): the
+        # r11 retry doubled a subprocess worth up to 30 minutes and
+        # helped kill the r13 driver bench (rc=124). Typical floors
+        # wall is ~3-5 min (10 entries × 8 sub-second-to-3 s runs);
+        # the timeout is a backstop, not a budget, and a failure is
+        # recorded loudly so the artifact shows why floors are absent.
+        try:
+            proc = subprocess.run(
+                [sys.executable, probe_path, "--floors-only", *top10],
+                capture_output=True,
+                text=True,
+                timeout=1500,
+                check=True,
+            )
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            out["isolated_floors"] = rec.get("probes", {})
+            print(
+                f"[floors] {len(out['isolated_floors'])} isolated "
+                f"floors recorded for the top-10 headline entries",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors["isolated_floors"] = f"{type(exc).__name__}: {exc}"[:200]
+            print(
+                f"[floors] failed: {errors['isolated_floors']}",
+                file=sys.stderr,
+            )
     # Full uncapped record → file + stderr (humans, SURVEY, judge).
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -1249,6 +1323,11 @@ def build_summary_line(out: dict, cap: int = 1960) -> str:
     }
     if out.get("errors"):
         compact["n_errors"] = len(out["errors"])
+    if out.get("partial"):
+        # Round 14: a SIGTERM'd run emits the completed sections with
+        # this marker so the driver record is parseable AND honest —
+        # a partial wall must never be read as a full-suite wall.
+        compact["partial"] = True
 
     def dumps(d: dict) -> str:
         return json.dumps(d, separators=(",", ":"))

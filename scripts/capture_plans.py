@@ -33,7 +33,11 @@ def main() -> int:
 
     if not names:
         names = list(HEADLINE)
-    out_dir = os.path.join(REPO, "plans", "r13")
+    # round dir: r14 for this optimization round (env-overridable so
+    # historical captures remain reproducible)
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name=f"capture_plans_{tag}")
     spark.sparkContext.setLogLevel("ERROR")

@@ -110,6 +110,47 @@ def test_summary_line_is_valid_json_with_errors_counted():
     assert parsed["n_errors"] == 1
 
 
+def test_summary_line_carries_partial_marker():
+    """Round 14 (VERDICT r13 item 1d): a SIGTERM'd bench emits the
+    completed sections marked partial — the marker must survive into
+    the capped line so a partial wall is never read as a full-suite
+    wall, and a normal (non-partial) record must not carry it."""
+    out = _fake_out()
+    out["partial"] = True
+    parsed = json.loads(build_summary_line(out))
+    assert parsed["partial"] is True
+    parsed = json.loads(build_summary_line(_fake_out()))
+    assert "partial" not in parsed
+
+
+def test_parse_probe_lines_salvages_partial_tier_output():
+    """Round 14 (VERDICT r13 item 1a/c): the batched tier subprocess
+    streams one salvage line per completed entry; a timeout must lose
+    only the unfinished entries. The final summary line supersedes the
+    partials when present; junk lines never break the parse."""
+    from bench import parse_probe_lines
+
+    rec_a = {"sec_1x": 1.0, "sec_100x": 9.0, "ratio": 9.0}
+    rec_b = {"sec_1x": 2.0, "sec_100x": 8.0, "ratio": 4.0}
+    partial_only = (
+        "  [docs_x100] a: 9.0s / 1.0s\n"
+        + json.dumps({"probe_partial": {"a": rec_a}})
+        + "\nnot json {{{\n"
+    )
+    assert parse_probe_lines(partial_only) == {"a": rec_a}
+    finished = (
+        json.dumps({"probe_partial": {"a": rec_a}})
+        + "\n"
+        + json.dumps({"probe_partial": {"b": rec_b}})
+        + "\n"
+        + json.dumps(
+            {"metric": "isolated_docs_x100", "probes": {"a": rec_a, "b": rec_b}}
+        )
+    )
+    assert parse_probe_lines(finished) == {"a": rec_a, "b": rec_b}
+    assert parse_probe_lines("") == {}
+
+
 def test_probe_lists_reference_registered_queries():
     from bigdatafinalproject_hockey_spark.queries import QUERIES
 
@@ -283,7 +324,14 @@ def test_x100_gate_reads_walls_not_ratios():
     for name in X100 + X100_EMB:
         assert name in records, f"{name}: no committed x100 record"
         rec = records[name]
-        assert rec.get("protocol") == "steady_min_of_5", (name, rec)
+        # r14 (VERDICT r13 item 1b): the fresh-process tiers moved to
+        # steady min-of-3 with the per-run spread recorded — min-of-5
+        # on 60-100 s entries is where the r13 driver bench wall went.
+        # min_of_5 stays accepted so a pre-r14 artifact still parses.
+        assert rec.get("protocol") in (
+            "steady_min_of_3",
+            "steady_min_of_5",
+        ), (name, rec)
         bound = X100_WALL_BOUNDS_SEC.get(name)
         assert bound is not None, (
             f"{name}: x100 probe entry has no wall bound — add one "
@@ -335,7 +383,16 @@ def test_isolated_floors_cover_top10_headline_entries():
     with open("BENCH_FULL.json") as fh:
         full = json.load(fh)
     floors = full.get("isolated_floors")
-    assert floors, "BENCH_FULL.json has no isolated_floors section"
+    if not floors:
+        # r14: the floors subprocess runs ONCE (its r11 retry helped
+        # blow the r13 driver budget), so a transient failure may
+        # leave floors absent — acceptable only when the artifact
+        # records the failure loudly (visible, never silent).
+        assert (full.get("errors") or {}).get("isolated_floors"), (
+            "BENCH_FULL.json has neither isolated_floors nor a "
+            "recorded isolated_floors error"
+        )
+        return
     timings = full["queries"]
     expect = {
         n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]
